@@ -1,0 +1,69 @@
+"""Driver-facing query registry.
+
+Every operator from SURVEY.md §2 lands here as a named :class:`Query`:
+a PySpark callable ``(spark, sf_dir) -> DataFrame`` plus (where the
+semantics are SQL-expressible) a DuckDB oracle SQL string over the same
+parquet tables.  ``__spark_entry__.py`` exposes this registry to the
+driver's correctness harness.
+
+Conventions (driver contract):
+- every computed column is aliased IDENTICALLY in the Spark plan and the
+  oracle SQL (the driver sorts columns by name before value-hashing);
+- result types are pinned on both sides (e.g. DuckDB ``SUM(int)`` returns
+  HUGEINT — oracles cast to BIGINT to match Spark's LongType);
+- double-typed aggregates that accumulate in data-dependent order are
+  rounded on both sides to keep the value-hash stable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL, or None → driver does rows-only check
+    survey: str  # SURVEY.md §2 operator ids this query exercises
+    doc: str = field(default="")
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, *, oracle: str | None = None, survey: str = ""):
+    """Decorator: add a query callable to the registry."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = Query(
+            name=name, fn=fn, oracle=oracle, survey=survey, doc=fn.__doc__ or ""
+        )
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, Query]:
+    """Import every query module (side effect: registration) and return the registry."""
+    from . import (  # noqa: F401
+        aggregates,
+        arrays,
+        conditional,
+        dedup,
+        functions_scalar,
+        joins,
+        multimodal,
+        relational,
+        similarity,
+        streaming_like,
+        text_analysis,
+        windows,
+    )
+
+    return REGISTRY

@@ -1,0 +1,50 @@
+"""SparkSession factory.
+
+The reference has no engine configuration at all (each script is one Python
+process — SURVEY.md §3).  Here the session is configured once for the whole
+engine, with the 100 TB design point in mind: AQE on (runtime join
+re-selection + skew splitting + partition coalescing), UTC session timezone
+(oracle comparability), Arrow for every pandas interchange, and shuffle
+parallelism sized from the environment instead of Spark's default 200.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    """Shuffle partition count: SPARK_GRAFT_CPUS or the local core count."""
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return max(1, int(env))
+    return os.cpu_count() or 8
+
+
+def get_session(app_name: str = "data_etl_scripts_showcase__spark") -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    local[N] for the test harness; on a real cluster the same config ships
+    unchanged — AQE handles partition-count refinement at runtime, so the
+    static ``spark.sql.shuffle.partitions`` is just the upper bound.
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if not SparkSession.getActiveSession():
+        builder = builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,135 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registry query on Spark and its oracle on DuckDB over the same
+parquet tables, then compares: column-name set, row count, and values
+(columns sorted by name, rows sorted by all columns — order-insensitive,
+exact for non-floats, 1e-9-relative for floats).  Stricter than a value
+hash: mismatches are printed with examples.
+
+Usage:  python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from data_etl_scripts_showcase__spark.queries import load_all  # noqa: E402
+from data_etl_scripts_showcase__spark.session import get_session  # noqa: E402
+from data_etl_scripts_showcase__spark.sources import TABLES  # noqa: E402
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), na_position="first", kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            af, bf = float(a), float(b)
+        except (TypeError, ValueError):
+            return False
+        if math.isnan(af) and math.isnan(bf):
+            return True
+        return math.isclose(af, bf, rel_tol=1e-9, abs_tol=1e-12)
+    if (a is None) != (b is None):
+        return False
+    return a == b
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    errs: list[str] = []
+    scols, ocols = sorted(sdf.columns), sorted(odf.columns)
+    if scols != ocols:
+        return [f"columns differ: spark={scols} oracle={ocols}"]
+    if len(sdf) != len(odf):
+        errs.append(f"row count differs: spark={len(sdf)} oracle={len(odf)}")
+        return errs
+    s, o = canon(sdf), canon(odf)
+    n_bad = 0
+    for col in s.columns:
+        sv, ov = s[col].tolist(), o[col].tolist()
+        for i, (x, y) in enumerate(zip(sv, ov)):
+            x = None if (isinstance(x, float) and math.isnan(x)) else x
+            y = None if (isinstance(y, float) and math.isnan(y)) else y
+            if pd.isna(x) if not isinstance(x, (list, tuple)) else False:
+                x = None
+            if pd.isna(y) if not isinstance(y, (list, tuple)) else False:
+                y = None
+            if not values_equal(x, y):
+                n_bad += 1
+                if n_bad <= 3:
+                    errs.append(f"value mismatch col={col} row={i}: spark={x!r} oracle={y!r}")
+    if n_bad > 3:
+        errs.append(f"... {n_bad} total value mismatches")
+    return errs
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    only = set(args[1:] if args and os.path.isdir(args[0]) else args)
+
+    registry = load_all()
+    spark = get_session("check_correctness")
+    con = duck_connection(sf_dir)
+
+    n_pass = n_fail = n_rows_only = 0
+    for name, q in sorted(registry.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = q.fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if q.oracle is None:
+            status = "ROWS" if len(sdf) >= 0 else "??"
+            print(f"{status}  {name}: rows={len(sdf)} (no oracle) [{time.time()-t0:.1f}s]")
+            n_rows_only += 1
+            continue
+        try:
+            odf = con.execute(q.oracle).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: oracle raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        errs = compare(name, sdf, odf)
+        if errs:
+            print(f"FAIL  {name}: rows={len(sdf)}")
+            for e in errs:
+                print(f"      {e}")
+            n_fail += 1
+        else:
+            print(f"PASS  {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_rows_only} rows-only, {n_fail} fail @ {sf_dir}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
