@@ -1,1 +1,181 @@
-"""Placeholder — filled in as SURVEY.md §2 coverage widens."""
+"""Joins (SURVEY.md §2.3 J1-J3 + the standard join surface).
+
+The reference implements exactly two join shapes, both by hand: a driver-
+collected IN-list spliced into source SQL (J1 —
+/root/reference/Azure_datalake_etl/Gonukkad_Merchants.py:44,61) and a
+sequential per-row enrichment loop (J2 —
+/root/reference/buisness_profile_etl/main.py:475-708).  Here both are
+declarative joins: Catalyst picks broadcast-hash for small build sides
+(dimension tables), sort-merge otherwise, and AQE re-plans at runtime —
+the strategy that still works when the probe side is 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from . import register
+
+
+@register(
+    "j1_broadcast_semi_join",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000.0
+    )
+    """,
+    survey="J1",
+)
+def j1_broadcast_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join replacing the collected IN-list (Gonukkad_Merchants.py:44,61).
+
+    The id side stays distributed and is broadcast; at 100 TB the orders scan
+    streams through the broadcast hash table with no shuffle of the big side.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    ids = (
+        load_table(spark, sf_dir, "customer")
+        .where((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 1000.0))
+        .select("c_custkey")
+    )
+    return orders.join(
+        F.broadcast(ids), orders.o_custkey == ids.c_custkey, "left_semi"
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "j2_multiway_left_enrichment",
+    oracle="""
+    SELECT
+        o.o_orderkey,
+        o.o_custkey,
+        coalesce(c.c_name, 'Not_Found') AS customer_name,
+        coalesce(n.n_name, 'Not_Found') AS nation_name,
+        coalesce(r.r_name, 'Not_Found') AS region_name,
+        o.o_totalprice
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    survey="J2,J3,C2",
+)
+def j2_multiway_left_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-way left-outer enrichment join (main.py:475-708 re-expressed).
+
+    The reference attaches 7 keyed documents to each row sequentially; here
+    each "virtual table" is a DataFrame and the attach is a left join.
+    Dimension sides (customer/nation/region here) broadcast; the fact side
+    never shuffles.  Missing enrichments keep the reference's `Not_Found`
+    sentinel (main.py:501-568) via coalesce.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nf = F.lit("Not_Found")
+    return (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left"
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.coalesce("c_name", nf).alias("customer_name"),
+            F.coalesce("n_name", nf).alias("nation_name"),
+            F.coalesce("r_name", nf).alias("region_name"),
+            "o_totalprice",
+        )
+    )
+
+
+@register(
+    "j3_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    survey="J-std",
+)
+def j3_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as left_anti (standard surface; SURVEY §2.3 note)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "j4_inner_fact_dim",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, s.s_name, l.l_quantity
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE s.s_acctbal > 0.0
+    """,
+    survey="J-std",
+)
+def j4_inner_fact_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⨝ broadcast dimension — the canonical star-schema probe."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 0.0)
+    return li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey, "inner").select(
+        "l_orderkey", "l_linenumber", "s_name", "l_quantity"
+    )
+
+
+@register(
+    "j5_full_outer",
+    oracle="""
+    WITH open_c AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+         done_c AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    SELECT
+        coalesce(open_c.o_custkey, done_c.o_custkey) AS cust_id,
+        open_c.o_custkey IS NOT NULL AS has_open,
+        done_c.o_custkey IS NOT NULL AS has_done
+    FROM open_c FULL OUTER JOIN done_c ON open_c.o_custkey = done_c.o_custkey
+    """,
+    survey="J-std",
+)
+def j5_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join with presence indicators."""
+    orders = load_table(spark, sf_dir, "orders")
+    open_c = (
+        orders.where(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    )
+    done_c = (
+        orders.where(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    )
+    oc, dc = open_c.alias("oc"), done_c.alias("dc")
+    return oc.join(dc, F.col("oc.o_custkey") == F.col("dc.o_custkey"), "full").select(
+        F.coalesce(F.col("oc.o_custkey"), F.col("dc.o_custkey")).alias("cust_id"),
+        F.col("oc.o_custkey").isNotNull().alias("has_open"),
+        F.col("dc.o_custkey").isNotNull().alias("has_done"),
+    )
+
+
+@register(
+    "j6_cross_join",
+    oracle="""
+    SELECT r.r_name, n.n_name, (r.r_regionkey = n.n_regionkey) AS is_home
+    FROM region r CROSS JOIN nation n
+    """,
+    survey="J-std",
+)
+def j6_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join (tiny × tiny; guarded surface at scale)."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select(
+        "r_name",
+        "n_name",
+        (F.col("r_regionkey") == F.col("n_regionkey")).alias("is_home"),
+    )

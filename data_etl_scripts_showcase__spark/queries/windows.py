@@ -1,1 +1,194 @@
-"""Placeholder — filled in as SURVEY.md §2 coverage widens."""
+"""Window functions / sorts / limits / top-k (SURVEY.md §2.5).
+
+The reference's only windowed computation is a sequential running max
+(latest OFFER — /root/reference/buisness_profile_etl/main.py:659-662);
+the engine exposes the full analytic surface: ranking, frames, lag/lead,
+top-k per group.  All orderings carry a unique tie-break key so results are
+deterministic under any partitioning (Spark window sort is otherwise only
+partial-order stable).  Running double sums go through exact decimals —
+windowed accumulation order is engine-internal, so only an associative
+exact type guarantees cross-engine equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions import dec2
+from ..sources import load_table
+from . import register
+
+
+@register(
+    "w1_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC
+               ) AS rn
+        FROM orders
+    )
+    WHERE rn <= 3
+    """,
+    survey="W-std,A7",
+)
+def w1_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price (rank + filter — the scalable top-k).
+
+    At 100 TB this is one hash-partition shuffle on the group key; no global
+    sort, no driver involvement.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "w2_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+    survey="W-std",
+)
+def w2_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer spend (cumulative frame)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec2("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@register(
+    "w3_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           o_totalprice - coalesce(lag(o_totalprice) OVER w, o_totalprice) AS delta
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+    survey="W-std",
+)
+def w3_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics per customer order history."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    prev = F.lag("o_totalprice").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        prev.alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        (F.col("o_totalprice") - F.coalesce(prev, F.col("o_totalprice"))).alias(
+            "delta"
+        ),
+    )
+
+
+@register(
+    "w4_rank_dense_rank",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           CAST(rank() OVER w AS INTEGER) AS price_rank,
+           CAST(dense_rank() OVER w AS INTEGER) AS price_dense_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+    survey="W-std",
+)
+def w4_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank within priority class."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+    )
+
+
+@register(
+    "w5_order_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+    survey="W-std (ORDER BY + LIMIT)",
+)
+def w5_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-100 (Spark executes as TakeOrderedAndProject — no full sort)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "w6_latest_by_window",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS latest_orderkey, o_totalprice AS latest_price
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey ASC
+               ) AS rn
+        FROM orders
+    )
+    WHERE rn = 1
+    """,
+    survey="A7 (window formulation)",
+)
+def w6_latest_by_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-per-key as a window (A7's second formulation, SURVEY §2.5).
+
+    Same semantics as a7_argmax_latest_per_key (max_by), pinned to the
+    reference tie-break: strict `>` on timestamp keeps the earliest-seen row
+    (main.py:659-662) → DESC date, ASC key, row_number()=1.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.col("o_totalprice").alias("latest_price"),
+        )
+    )

@@ -15,6 +15,7 @@ unhinted; we validate after binding instead.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 TABLES = [
@@ -138,7 +139,20 @@ def load_table(
     (/root/reference/Azure_datalake_etl/Gonukkad_Merchants.py:60-64 — scan
     failure yields an empty list), any mismatch raises.
     """
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
+        # reader rejects; read the raw int64 nanos and floor-divide to
+        # micros (DuckDB's TIMESTAMP_NS → TIMESTAMP cast floors the same
+        # way, keeping the oracle comparable).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if validate:
         expected = TABLE_SCHEMAS.get(name)
         if expected is not None:
