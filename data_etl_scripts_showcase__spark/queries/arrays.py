@@ -1,1 +1,200 @@
-"""Placeholder — filled in as SURVEY.md §2 coverage widens."""
+"""Array / map operators (SURVEY.md §2.8 M1-M6).
+
+The reference manipulates JSON arrays with Python loops (addressLines join —
+/root/reference/buisness_profile_etl/main.py:443-446; periods→hours map —
+main.py:535-546; media scan — main.py:637-645).  Here arrays are first-class
+columns and every loop becomes a higher-order function (transform / filter /
+exists / aggregate) evaluated inside codegen — no explode unless the
+downstream op genuinely needs rows.
+
+The driver tables carry no array columns, so these queries derive one:
+``split(text)`` tokens on documents — same shapes the reference works over.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from . import register
+
+def TOKENS():
+    """Token array column: whitespace-split doc text (needs an active session)."""
+    return F.split(F.col("text"), " ")
+
+
+@register(
+    "m1_array_join",
+    oracle="""
+    SELECT doc_id,
+           array_to_string(string_split(text, ' ')[1:5], ', ') AS head_tokens,
+           array_to_string(string_split(text, ' '), ' ') AS rejoined
+    FROM documents
+    """,
+    survey="M1,F3",
+)
+def m1_array_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array → delimited string (addressLines → ', '.join — main.py:443-446)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.array_join(F.slice(TOKENS(), 1, 5), ", ").alias("head_tokens"),
+        F.array_join(TOKENS(), " ").alias("rejoined"),
+    )
+
+
+@register(
+    "m2_entries_to_map_string",
+    oracle="""
+    WITH c AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY source, lang
+    )
+    SELECT source,
+           array_to_string(
+               list(concat(lang, '=', CAST(n AS VARCHAR)) ORDER BY lang), '; '
+           ) AS lang_map
+    FROM c GROUP BY source
+    """,
+    survey="M2",
+)
+def m2_entries_to_map_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-of-entries → keyed map, serialized canonically.
+
+    Mirrors periods→daywise_hours (main.py:535-546): entries become a real
+    MapType via map_from_entries (keys unique by construction here — the
+    engine-wide LAST_WIN dedup policy covers the reference's dict-overwrite
+    case), then the map serializes key-sorted so the oracle hash is stable.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    per_source = counts.groupBy("source").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("lang", "n")))
+        ).alias("m")
+    )
+    serialized = F.array_join(
+        F.transform(
+            F.map_entries(F.col("m")),
+            lambda e: F.concat(e.key, F.lit("="), e.value.cast("string")),
+        ),
+        "; ",
+    )
+    return per_source.select("source", serialized.alias("lang_map"))
+
+
+@register(
+    "m3_array_filter_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 5)) AS INTEGER) AS long_token_ct,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS token_ct
+    FROM documents
+    """,
+    survey="M3,A5",
+)
+def m3_array_filter_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """size(filter(arr, …)) conditional count (additional_categories_count —
+    main.py:548-555; service_count — main.py:646-652)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(TOKENS(), lambda x: F.length(x) > 5)).alias("long_token_ct"),
+        F.size(TOKENS()).alias("token_ct"),
+    )
+
+
+@register(
+    "m4_array_exists_flag",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN list_has_any(string_split(text, ' '), ['spark']) THEN 'Yes' ELSE 'No' END AS has_spark,
+           CASE WHEN list_has_any(string_split(text, ' '), ['join', 'merge']) THEN 'Yes' ELSE 'No' END AS has_join
+    FROM documents
+    """,
+    survey="M4,A6",
+)
+def m4_array_exists_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exists(arr, …) → Yes/No flag (has_cover/has_menu — main.py:635-645)."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def flag(cond):
+        return F.when(cond, "Yes").otherwise("No")
+
+    return d.select(
+        "doc_id",
+        flag(F.exists(TOKENS(), lambda x: x == "spark")).alias("has_spark"),
+        flag(
+            F.exists(TOKENS(), lambda x: (x == "join") | (x == "merge"))
+        ).alias("has_join"),
+    )
+
+
+@register(
+    "m5_explode_token_counts",
+    oracle="""
+    SELECT token, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    """,
+    survey="M5,A2",
+)
+def m5_explode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode → grouped count (the datedValues double-explode shape —
+    main.py:590-606).  One shuffle; map-side partial counts."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(TOKENS()).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "m6_element_access",
+    oracle="""
+    SELECT doc_id,
+           string_split(text, ' ')[1] AS first_token,
+           string_split(text, ' ')[-1] AS last_token,
+           string_split(text, ' ')[3] AS third_token
+    FROM documents
+    """,
+    survey="M6,F17",
+)
+def m6_element_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last/indexed element (addresses[0], additionalPhones[0] —
+    main.py:499-522).  element_at is 1-based and null-safe like the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.element_at(TOKENS(), 1).alias("first_token"),
+        F.element_at(TOKENS(), -1).alias("last_token"),
+        F.element_at(TOKENS(), 3).alias("third_token"),
+    )
+
+
+@register(
+    "m7_array_std_surface",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ')[1:10] AS toks FROM documents)
+    SELECT doc_id,
+           list_sort(list_distinct(toks)) AS sorted_unique,
+           CAST(len(list_distinct(toks)) AS INTEGER) AS n_unique,
+           list_transform(toks[1:3], x -> upper(x)) AS head_upper
+    FROM t
+    """,
+    survey="M-std",
+)
+def m7_array_std_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_distinct / array_sort / transform (standard surface)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.slice(TOKENS(), 1, 10)
+    return d.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(toks)).alias("sorted_unique"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x)).alias("head_upper"),
+    )

@@ -1,1 +1,221 @@
-"""Placeholder — filled in as SURVEY.md §2 coverage widens."""
+"""Scalar function surface (SURVEY.md §2.7 F1-F17).
+
+Every scalar the reference hand-rolls in Python — strip/isdigit/join/
+replace/round/strptime/parse_qs/json access — as JVM-side Column
+expressions inside whole-stage codegen.  No Python runs per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from . import register
+
+
+@register(
+    "f_string_functions",
+    oracle="""
+    SELECT
+        p_partkey,
+        trim(p_name) AS name_trim,
+        upper(p_brand) AS brand_upper,
+        replace(p_name, ' ', '_') AS name_snake,
+        concat(p_type, ':', p_brand) AS type_brand,
+        concat_ws('|', p_name, p_type) AS name_type,
+        substr(p_name, 1, 3) AS name_prefix,
+        CAST(length(p_name) AS INTEGER) AS name_len,
+        contains(p_name, 'gear') AS is_gear,
+        regexp_extract(p_brand, '#([0-9]+)$', 1) AS brand_num
+    FROM part
+    """,
+    survey="F1,F3,F4,F5,F6,F2",
+)
+def f_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """trim / replace / concat / concat_ws / substring / length / contains / regexp
+    (main.py:446-454 address building; Gonukkad_Merchants.py:153 .replace)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.trim("p_name").alias("name_trim"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.concat(F.col("p_type"), F.lit(":"), F.col("p_brand")).alias("type_brand"),
+        F.concat_ws("|", "p_name", "p_type").alias("name_type"),
+        F.substring("p_name", 1, 3).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.col("p_name").contains("gear").alias("is_gear"),
+        F.regexp_extract("p_brand", r"#([0-9]+)$", 1).alias("brand_num"),
+    )
+
+
+@register(
+    "f_date_functions",
+    oracle="""
+    SELECT
+        o_orderkey,
+        strftime(o_orderdate, '%Y-%m-%d') AS order_ds,
+        strftime(o_orderdate - INTERVAL 7 DAY, '%Y-%m-%d') AS week_before,
+        CAST(date_part('year', o_orderdate) AS INTEGER) AS order_year,
+        CAST(date_part('month', o_orderdate) AS INTEGER) AS order_month,
+        CAST(date_part('day', o_orderdate) AS INTEGER) AS order_day,
+        CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_epoch95,
+        strftime(make_date(CAST(date_part('year', o_orderdate) AS INTEGER), 1, 1), '%Y-%m-%d') AS year_start
+    FROM orders
+    """,
+    survey="F11,F12,F14",
+)
+def f_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date arithmetic / formatting / component extraction / make_date
+    (Gonukkad_Merchants.py:79-84 yesterday-stamps; main.py:159 D-7 window;
+    main.py:670-671 {y,m,d} struct → date)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_ds"),
+        F.date_format(F.date_sub(F.col("o_orderdate").cast("date"), 7), "yyyy-MM-dd").alias(
+            "week_before"
+        ),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch95"
+        ),
+        F.date_format(
+            F.make_date(F.year("o_orderdate"), F.lit(1), F.lit(1)), "yyyy-MM-dd"
+        ).alias("year_start"),
+    )
+
+
+@register(
+    "f_timestamp_roundtrip",
+    oracle="""
+    SELECT
+        event_id,
+        strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') AS iso_ts,
+        CAST(strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ'), '%Y-%m-%dT%H:%M:%S.%fZ') AS TIMESTAMP) AS parsed_back,
+        strftime(ts, '%Y-%m-%d') AS event_date,
+        date_trunc('hour', ts) AS event_hour
+    FROM events
+    """,
+    survey="F13",
+)
+def f_timestamp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-8601 format → strptime parse-back → date truncation
+    (main.py:661,672: strptime '%Y-%m-%dT%H:%M:%S.%fZ' then .date())."""
+    ev = load_table(spark, sf_dir, "events")
+    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+    return ev.select(
+        "event_id",
+        iso.alias("iso_ts"),
+        F.to_timestamp(iso, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+        .cast("timestamp_ntz")
+        .alias("parsed_back"),
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("event_hour"),
+    )
+
+
+@register(
+    "f_url_parse",
+    oracle="""
+    WITH urls AS (
+        SELECT event_id,
+               concat('https://api.example.com/v1/metrics?user=', CAST(user_id AS VARCHAR),
+                      '&type=', event_type, '&k=', regexp_extract(props, '"k": (-?[0-9]+)', 1)) AS url
+        FROM events
+    )
+    SELECT event_id, url,
+           regexp_extract(url, 'user=([^&]+)', 1) AS q_user,
+           regexp_extract(url, 'type=([^&]+)', 1) AS q_type,
+           regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+           regexp_extract(url, '://([^/]+)/', 1) AS host
+    FROM urls
+    """,
+    survey="F15,F4",
+)
+def f_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL build + query-param extraction (parse_qs — main.py:184-188).
+
+    Spark side uses the real parse_url expression; the oracle reproduces
+    the same values with regexes (DuckDB has no URL functions).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("https://api.example.com/v1/metrics?user="),
+        F.col("user_id").cast("string"),
+        F.lit("&type="),
+        F.col("event_type"),
+        F.lit("&k="),
+        F.regexp_extract("props", '"k": (-?[0-9]+)', 1),
+    )
+    with_url = ev.select("event_id", url.alias("url"))
+    return with_url.select(
+        "event_id",
+        "url",
+        F.parse_url("url", F.lit("QUERY"), F.lit("user")).alias("q_user"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("type")).alias("q_type"),
+        F.parse_url("url", F.lit("PROTOCOL")).alias("scheme"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+    )
+
+
+@register(
+    "f_json_shred",
+    oracle="""
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS INTEGER) AS k_typed,
+           regexp_extract(props, '"k": (-?[0-9]+)', 1) AS k_raw,
+           regexp_extract(props, '"missing": "(.*)"', 1) <> '' AS has_missing
+    FROM events
+    """,
+    survey="F16,F8",
+)
+def f_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field access: schema'd from_json struct + get_json_object path
+    (main.py:443-454,499-568 response shredding)."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT, missing STRING")
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("k_typed"),
+        F.get_json_object("props", "$.k").alias("k_raw"),
+        parsed.getField("missing").isNotNull().alias("has_missing"),
+    )
+
+
+@register(
+    "f_casts_and_round",
+    oracle="""
+    SELECT
+        c_custkey,
+        (c_acctbal > 0.0) AS is_positive,
+        CAST(c_acctbal > 0.0 AS INTEGER) AS is_positive_int,
+        round(c_acctbal, 1) AS bal_round1,
+        CAST(trunc(c_acctbal) AS BIGINT) AS bal_int,
+        TRY_CAST(c_mktsegment AS INTEGER) AS seg_as_int,
+        CAST(c_nationkey AS DOUBLE) AS nation_dbl
+    FROM customer
+    """,
+    survey="F7,F8,F9",
+)
+def f_casts_and_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool→int (convert_boolean ×8 scripts), lossy int cast, round.
+
+    Lossy-int semantics pinned to Python's `int()`: truncation toward zero
+    (Spark double→bigint truncates; oracle uses trunc() because DuckDB's
+    plain cast rounds half-even instead).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    pos = F.col("c_acctbal") > 0.0
+    return c.select(
+        "c_custkey",
+        pos.alias("is_positive"),
+        pos.cast("int").alias("is_positive_int"),
+        F.round("c_acctbal", 1).alias("bal_round1"),
+        F.col("c_acctbal").cast("bigint").alias("bal_int"),
+        F.col("c_mktsegment").try_cast("int").alias("seg_as_int"),
+        F.col("c_nationkey").cast("double").alias("nation_dbl"),
+    )

@@ -40,6 +40,9 @@ def get_session(app_name: str = "data_etl_scripts_showcase__spark") -> SparkSess
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Reference semantics: rows are Python dicts mutated in place, so a
+        # repeated key last-wins (buisness_profile_etl/main.py:479-493).
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

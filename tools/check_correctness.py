@@ -36,10 +36,27 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _hashable(v):
+    """Make list/array cells sortable/comparable (tuples), recursively."""
+    import numpy as np
+
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return tuple(_hashable(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _hashable(x)) for k, x in v.items()))
+    return v
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    for col in df.columns:
+        if df[col].dtype == object:
+            df[col] = df[col].map(_hashable)
     if len(df):
-        df = df.sort_values(by=list(df.columns), na_position="first", kind="mergesort")
+        key = df.apply(lambda r: tuple(repr(v) for v in r), axis=1)
+        df = df.loc[key.sort_values(kind="mergesort").index]
     return df.reset_index(drop=True)
 
 
