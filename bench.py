@@ -20,9 +20,20 @@ sys.path.insert(0, REPO)
 from data_etl_scripts_showcase__spark.queries import load_all  # noqa: E402
 from data_etl_scripts_showcase__spark.session import get_session  # noqa: E402
 
-# Headline set: one per major operator family (widened as coverage grows).
+# Headline set: one per major operator family.
 HEADLINE = [
     "flagship_active_customer_snapshot",
+    "q1_pricing_summary",
+    "j2_multiway_left_enrichment",
+    "a3_pivot_status_qty",
+    "w1_topk_per_group",
+    "a2_grouped_sum_shredded_json",
+    "d1_exact_dedup",
+    "d3_lsh_candidate_pairs",
+    "d5_simhash_signature",
+    "v1_knn_bruteforce",
+    "t2_quality_score",
+    "mm2_decoded_features",
 ]
 
 

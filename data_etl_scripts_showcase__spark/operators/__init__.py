@@ -1,0 +1,8 @@
+"""Library operators.
+
+Composable, 100 TB-minded building blocks that go beyond the reference's own
+surface (BASELINE.json north star): text analysis, deduplication
+(exact / MinHash-LSH / SimHash / n-gram Jaccard), and embedding similarity
+search.  Everything is built from JVM-side column expressions and
+shuffle-conscious DataFrame plans — no driver collects, no per-row Python.
+"""

@@ -1,0 +1,112 @@
+"""Multimodal-column operators: opaque binary payloads + typed metadata,
+decode / feature-extract / frame-sample as Arrow-batched Pandas stages
+(BASELINE.json north star — training-data pipeline ops).
+
+Design (the part that must be real even where codecs aren't):
+- media is an opaque ``binary`` column plus typed metadata columns — the
+  layout that scales: parquet stores the blob once, metadata columns prune
+  without touching bytes;
+- decode/feature steps run via ``mapInPandas`` — per-partition Arrow
+  batches, the only sane way to run Python codecs over 100 TB of blobs;
+- the actual codec calls are STUBBED (this environment has no image/audio
+  libraries): ``decode_stub_features`` derives deterministic pseudo-features
+  from the bytes (length + md5), and ``decode_real`` raises
+  NotImplementedError where PIL/librosa/ffmpeg would be invoked.  The Spark
+  plumbing — schema, batching, UDF signature — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_TYPES = ["image", "audio", "video"]
+
+# Output schema of the decode/feature stage (DDL, used by mapInPandas).
+FEATURE_SCHEMA = (
+    "asset_id bigint, media_type string, byte_len int, checksum string, "
+    "width int, height int, n_frames int, sampled_frames array<int>"
+)
+
+
+def to_assets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Derive a multimodal asset table from a text table (test harness shim):
+    (asset_id, media_type, content binary, declared_len).
+
+    In production this would be a parquet/lance scan of real blobs; the
+    column layout is identical.
+    """
+    return df.select(
+        F.col(id_col).alias("asset_id"),
+        F.element_at(
+            F.array(*[F.lit(m) for m in MEDIA_TYPES]),
+            (F.col(id_col) % len(MEDIA_TYPES)).cast("int") + 1,
+        ).alias("media_type"),
+        F.encode(F.col(text_col), "UTF-8").alias("content"),
+        F.length(F.col(text_col)).alias("declared_len"),
+    )
+
+
+def _pseudo_dims(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic fake decode: dims/frames from byte length + md5.
+
+    STUB for the real codec path — a real implementation returns the
+    actual decoded dimensions; this one is reproducible in any engine
+    (the DuckDB oracle recomputes it) so the plumbing is verifiable.
+    """
+    h = hashlib.md5(payload).hexdigest()
+    width = 16 + (len(payload) % 624)
+    height = 16 + (int(h[:4], 16) % 624)
+    n_frames = 1 + (len(payload) % 32)
+    return width, height, n_frames
+
+
+def decode_real(payload: bytes, media_type: str):  # pragma: no cover
+    """Real decode entry point — requires PIL / soundfile / ffmpeg.
+
+    Not available in this environment; kept as the documented seam where
+    the stub is swapped out.
+    """
+    raise NotImplementedError(
+        "real media decoding requires PIL/soundfile/ffmpeg; "
+        "use decode_stub_features for the harness"
+    )
+
+
+def decode_stub_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: binary content → feature row (stub decode).
+
+    Operates on whole Arrow batches; every output value is a pure function
+    of the payload bytes, so results are partitioning-independent.
+    Frame sampling keeps ≤4 evenly-spaced frame indices.
+    """
+    for pdf in batches:
+        payloads = pdf["content"]
+        dims = [_pseudo_dims(bytes(p)) for p in payloads]
+        n_frames = [d[2] for d in dims]
+        step = [max(1, (n + 3) // 4) for n in n_frames]
+        yield pd.DataFrame(
+            {
+                "asset_id": pdf["asset_id"],
+                "media_type": pdf["media_type"],
+                "byte_len": [len(bytes(p)) for p in payloads],
+                "checksum": [
+                    hashlib.md5(bytes(p)).hexdigest() for p in payloads
+                ],
+                "width": [d[0] for d in dims],
+                "height": [d[1] for d in dims],
+                "n_frames": n_frames,
+                "sampled_frames": [
+                    list(range(0, n, s)) for n, s in zip(n_frames, step)
+                ],
+            }
+        )
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """Run the decode/feature stage over an asset table."""
+    return assets.mapInPandas(decode_stub_features, FEATURE_SCHEMA)

@@ -1,0 +1,147 @@
+"""Embedding similarity search: brute-force cosine top-k + sign-LSH bucketed
+ANN (BASELINE.json north star — training-data pipeline ops).
+
+Scale design:
+- *Brute force* is the baseline/recall-oracle: broadcast the (small) query
+  set, stream the corpus once, rank per query.  Corpus never shuffles until
+  the final per-query top-k (keyed by query id — tiny).
+- *Sign-LSH* is the scale path: an axis-sign bucket key computed in the scan
+  stage blocks the corpus; candidate generation becomes an equality join on
+  the bucket, turning O(|Q|·|C|) into O(|Q|·bucket_size).  More planes →
+  smaller buckets; multiple tables → recall (standard LSH trade-off).
+
+Dot products fold left-to-right in doubles (F.aggregate), so scores are
+deterministic for a given vector — the DuckDB oracle reproduces them to
+rounding precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two float arrays, accumulated in double, in order."""
+    prods = F.zip_with(
+        _c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column | str) -> Column:
+    """L2 norm (double)."""
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity; 0 when either vector has zero norm."""
+    na, nb = norm(a), norm(b)
+    return F.when((na == 0.0) | (nb == 0.0), F.lit(0.0)).otherwise(
+        dot(a, b) / (na * nb)
+    )
+
+
+def knn_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_to: int = 6,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Exact cosine top-k per query: (query_id, neighbor_id, sim, rank).
+
+    Broadcast the query side; rank with a deterministic tie-break
+    (sim desc, neighbor id asc).  Self-matches excluded.
+    ``parallelism``: repartition the corpus first (for few-file sources
+    whose scan yields too few partitions to spread the dot products).
+    """
+    if parallelism:
+        corpus = corpus.repartition(parallelism)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("q_vec", "c_vec"), round_to).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def sign_bucket(vec: Column | str, n_bits: int = 8) -> Column:
+    """Axis-sign LSH bucket: bit i set iff vec[i] > 0 (first n_bits dims)."""
+    v = _c(vec)
+    acc = F.lit(0)
+    for i in range(n_bits):
+        acc = acc + F.when(
+            F.element_at(v, i + 1) > 0.0, F.lit(2**i)
+        ).otherwise(F.lit(0))
+    return acc.cast("int")
+
+
+def knn_lsh_bucketed(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_bits: int = 8,
+    round_to: int = 6,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """ANN top-k within the query's sign-LSH bucket (the scale path).
+
+    Candidates come from an equality join on the bucket key — at 100 TB the
+    corpus is written bucketed/partitioned by this key, so the probe reads
+    one partition per query instead of the full corpus.
+    """
+    if parallelism:
+        corpus = corpus.repartition(parallelism)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        sign_bucket(vec_col, n_bits).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        sign_bucket(vec_col, n_bits).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("q_vec", "c_vec"), round_to).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

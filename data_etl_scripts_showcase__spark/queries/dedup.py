@@ -1,1 +1,259 @@
-"""Placeholder — filled in as SURVEY.md §2 coverage widens."""
+"""Deduplication queries over `documents` (north-star extensions).
+
+Exact, MinHash+LSH, n-gram Jaccard, SimHash, and embedding-cosine near-dup —
+each a thin wrapper over ``..operators.dedup`` with a full DuckDB oracle that
+reproduces the identical md5-derived hashes, bands, and pair sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as DD
+from ..operators.similarity import cosine
+from ..sources import load_table
+from . import register
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+# Shared oracle CTEs: tokens → distinct word-3-gram shingles → exploded →
+# 16-seed minhash signature (hashes identical to operators.dedup.h32).
+_GRAMS_CTE = f"""
+    n AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (
+        SELECT doc_id,
+               list_distinct(
+                   list_transform(
+                       range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])
+                   )
+               ) AS grams
+        FROM n
+    ),
+    e AS (SELECT doc_id, unnest(grams) AS sh FROM g)
+"""
+
+_BASE_H = "('0x' || substr(md5(sh), 1, 8))::BIGINT"
+_MINS = ",\n           ".join(
+    f"min(({_BASE_H} * {a} + {b}) % {DD.MINHASH_PRIME}) AS mh{s}"
+    for s, (a, b) in enumerate(DD.PERMS)
+)
+
+_SIG_CTE = f"{_GRAMS_CTE}, sig AS (SELECT doc_id, {_MINS} FROM e GROUP BY doc_id)"
+
+
+def _band_sql(b: int) -> str:
+    cols = ", ".join(
+        f"mh{b * DD.ROWS_PER_BAND + r}::VARCHAR" for r in range(DD.ROWS_PER_BAND)
+    )
+    return (
+        f"SELECT doc_id, {b} AS band, md5(concat_ws('-', {cols})) AS bucket FROM sig"
+    )
+
+
+_BANDS_CTE = (
+    _SIG_CTE
+    + ", b AS ("
+    + " UNION ALL ".join(_band_sql(b) for b in range(DD.N_BANDS))
+    + ")"
+)
+
+_CAND_SQL = """
+    SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+    FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+"""
+
+
+@register(
+    "d1_exact_dedup",
+    oracle=f"""
+    SELECT md5({_NORM}) AS fingerprint,
+           min(doc_id) AS rep_id,
+           CAST(count(*) AS BIGINT) AS dup_count
+    FROM documents
+    GROUP BY md5({_NORM})
+    """,
+    survey="NS-dedup (exact hash-groupBy)",
+)
+def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups: md5(normalized text) → representative + count."""
+    return DD.exact_dedup(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "d2_minhash_signature",
+    oracle=f"WITH {_SIG_CTE} SELECT * FROM sig",
+    survey="NS-dedup (MinHash signatures)",
+)
+def d2_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-seed MinHash signature per document (one explode + one groupBy)."""
+    return DD.minhash_signature(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
+@register(
+    "d3_lsh_candidate_pairs",
+    oracle=f"WITH {_BANDS_CTE} {_CAND_SQL}",
+    survey="NS-dedup (MinHash LSH banding)",
+)
+def d3_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs sharing any (band, bucket) — near-linear
+    candidate generation instead of O(n²)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = DD.minhash_signature(
+        docs, "doc_id", "text", parallelism=spark.sparkContext.defaultParallelism
+    )
+    return DD.candidate_pairs(DD.lsh_buckets(sig, "doc_id"), "doc_id")
+
+
+@register(
+    "d4_jaccard_verified_pairs",
+    oracle=f"""
+    WITH {_BANDS_CTE},
+    cand AS ({_CAND_SQL})
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+               / len(list_distinct(ga.grams || gb.grams)) AS jaccard
+    FROM cand c
+    JOIN g ga ON ga.doc_id = c.id_a
+    JOIN g gb ON gb.doc_id = c.id_b
+    WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+              / len(list_distinct(ga.grams || gb.grams)) >= 0.5
+    """,
+    survey="NS-dedup (n-gram Jaccard verification)",
+)
+def d4_jaccard_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard over the LSH candidates only (bounded set),
+    keeping pairs with J ≥ 0.5 — the verify stage of MinHash dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select("doc_id", DD.word_ngrams("text").alias("grams"))
+    sig = DD.minhash_signature(
+        docs, "doc_id", "text", parallelism=spark.sparkContext.defaultParallelism
+    )
+    cand = DD.candidate_pairs(DD.lsh_buckets(sig, "doc_id"), "doc_id")
+    ga = grams.select(
+        F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a")
+    )
+    gb = grams.select(
+        F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b")
+    )
+    j = DD.jaccard(F.col("grams_a"), F.col("grams_b"))
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select("id_a", "id_b", j.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.5)
+    )
+
+
+_SIMHASH_SUMS = ",\n           ".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(32)
+)
+_SIMHASH_VAL = " + ".join(
+    f"(CASE WHEN b{i} > 0 THEN {2**i}::BIGINT ELSE 0::BIGINT END)" for i in range(32)
+)
+_SIMHASH_CTE = f"""
+    {_GRAMS_CTE},
+    eh AS (SELECT doc_id, ('0x' || substr(md5(concat('0:', sh)), 1, 8))::BIGINT AS h FROM e),
+    sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM eh GROUP BY doc_id),
+    sh AS (SELECT doc_id, {_SIMHASH_VAL} AS simhash FROM sums)
+"""
+
+
+@register(
+    "d5_simhash_signature",
+    oracle=f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sh",
+    survey="NS-dedup (SimHash)",
+)
+def d5_simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (32 conditional sums in one groupBy)."""
+    return DD.simhash32(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
+@register(
+    "d6_simhash_neardup_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_CTE},
+    ds AS (SELECT d.doc_id, d.source, sh.simhash FROM documents d JOIN sh ON d.doc_id = sh.doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM ds a JOIN ds b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    """,
+    survey="NS-dedup (SimHash hamming pairs, key-blocked)",
+)
+def d6_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within a blocking key (source), hamming ≤ 8.
+
+    Blocking bounds the pair space; at scale the block key becomes the
+    shuffle/bucketing key so each executor compares only its block.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = DD.simhash32(
+        docs, "doc_id", "text", parallelism=spark.sparkContext.defaultParallelism
+    )
+    ds = docs.select("doc_id", "source").join(sh, "doc_id")
+    a = ds.select(
+        F.col("source"),
+        F.col("doc_id").alias("id_a"),
+        F.col("simhash").alias("sim_a"),
+    )
+    b = ds.select(
+        F.col("source"),
+        F.col("doc_id").alias("id_b"),
+        F.col("simhash").alias("sim_b"),
+    )
+    ham = DD.hamming32(F.col("sim_a"), F.col("sim_b"))
+    return (
+        a.join(b, "source")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= 8)
+    )
+
+
+@register(
+    "d7_embedding_cosine_neardup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+    """,
+    survey="NS-dedup (embedding-cosine near-dup, label-blocked)",
+)
+def d7_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs within a label block, cosine ≥ 0.35."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("label"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("vec_a"),
+    )
+    b = e.select(
+        F.col("label"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vec_b"),
+    )
+    sim = F.round(cosine("vec_a", "vec_b"), 6)
+    return (
+        a.join(b, "label")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .where(F.col("sim") >= 0.35)
+    )

@@ -1,1 +1,82 @@
-"""Placeholder — filled in as SURVEY.md §2 coverage widens."""
+"""Multimodal-column queries (north-star extensions).
+
+Binary payload + metadata handling, and the mapInPandas decode stage with
+its deterministic stub — both with full DuckDB oracles (the stub's
+pseudo-features are pure functions of the bytes, reproducible in SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import multimodal as MM
+from ..sources import load_table
+from . import register
+
+_MEDIA_CASE = (
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+)
+
+
+@register(
+    "mm1_binary_metadata",
+    oracle=f"""
+    SELECT doc_id AS asset_id,
+           {_MEDIA_CASE} AS media_type,
+           CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS byte_len,
+           md5(text) AS checksum,
+           upper(substr(md5(text), 1, 8)) AS magic
+    FROM documents
+    """,
+    survey="NS-mm (binary column + typed metadata)",
+)
+def mm1_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary column + metadata projection — no decode, no UDF.
+
+    The scan-side half of multimodal handling: length/digest/magic come
+    from expressions over the blob, so Catalyst can prune and filter
+    without any Python.
+    """
+    assets = MM.to_assets(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    return assets.select(
+        "asset_id",
+        "media_type",
+        F.length("content").alias("byte_len"),
+        F.md5("content").alias("checksum"),
+        F.upper(F.substring(F.md5("content"), 1, 8)).alias("magic"),
+    )
+
+
+@register(
+    "mm2_decoded_features",
+    oracle=f"""
+    WITH a AS (
+        SELECT doc_id AS asset_id,
+               {_MEDIA_CASE} AS media_type,
+               octet_length(CAST(text AS BLOB)) AS blen,
+               md5(text) AS h
+        FROM documents
+    )
+    SELECT asset_id, media_type,
+           CAST(blen AS INTEGER) AS byte_len,
+           h AS checksum,
+           CAST(16 + blen % 624 AS INTEGER) AS width,
+           CAST(16 + ('0x' || substr(h, 1, 4))::BIGINT % 624 AS INTEGER) AS height,
+           CAST(1 + blen % 32 AS INTEGER) AS n_frames,
+           CAST(range(0, 1 + blen % 32,
+                      greatest(1, (1 + blen % 32 + 3) // 4)) AS INTEGER[]) AS sampled_frames
+    FROM a
+    """,
+    survey="NS-mm (mapInPandas decode stage, stub codec)",
+)
+def mm2_decoded_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode/feature/frame-sample stage via mapInPandas.
+
+    The codec is a deterministic stub (no media libs in this environment);
+    the plumbing — binary column in, declared feature schema out, ≤4
+    evenly-spaced sampled frames — is the real scale path and is verified
+    value-for-value against the SQL oracle.
+    """
+    assets = MM.to_assets(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    return MM.extract_features(assets)

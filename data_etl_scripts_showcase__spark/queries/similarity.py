@@ -1,1 +1,108 @@
-"""Placeholder — filled in as SURVEY.md §2 coverage widens."""
+"""Similarity-search queries over `embeddings` (north-star extensions).
+
+Brute-force cosine top-k (the recall oracle) and sign-LSH bucketed ANN (the
+scale path) — wrappers over ``..operators.similarity``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import similarity as SIM
+from ..sources import load_table
+from . import register
+
+_COS = (
+    "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+    "CAST(c.embedding AS DOUBLE[]))"
+)
+
+
+@register(
+    "v1_knn_bruteforce",
+    oracle=f"""
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round({_COS}, 6) AS sim,
+           CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round({_COS}, 6) DESC, c.vec_id ASC
+           ) AS INTEGER) AS rank
+    FROM embeddings q, embeddings c
+    WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id
+    QUALIFY rank <= 5
+    """,
+    survey="NS-sim (brute-force cosine top-k)",
+)
+def v1_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for 8 query vectors.
+
+    Broadcast queries × one corpus pass; per-query ranking with
+    deterministic tie-break.  This is the recall baseline for v2.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.knn_bruteforce(
+        e.where(F.col("vec_id") < 8), e, k=5,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
+@register(
+    "v2_knn_lsh_bucketed",
+    oracle=f"""
+    WITH sb AS (
+        SELECT vec_id, embedding,
+               (
+                 {" + ".join(f"(CASE WHEN embedding[{i+1}] > 0.0 THEN {2**i} ELSE 0 END)" for i in range(8))}
+               )::INTEGER AS bucket
+        FROM embeddings
+    )
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round({_COS}, 6) AS sim,
+           CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round({_COS}, 6) DESC, c.vec_id ASC
+           ) AS INTEGER) AS rank
+    FROM sb q JOIN sb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    WHERE q.vec_id < 8
+    QUALIFY rank <= 3
+    """,
+    survey="NS-sim (sign-LSH bucketed ANN)",
+)
+def v2_knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-3 within the query's sign-LSH bucket (equality-join pruning).
+
+    At 100 TB the corpus is bucketed by this key on disk, so a query probes
+    one bucket instead of scanning the corpus — the standard LSH trade of
+    recall for a ~2^n_bits candidate reduction.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.knn_lsh_bucketed(
+        e.where(F.col("vec_id") < 8), e, k=3,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
+@register(
+    "v3_norm_stats",
+    oracle="""
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(min(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])))), 6) AS min_norm,
+           round(max(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])))), 6) AS max_norm
+    FROM embeddings GROUP BY label
+    """,
+    survey="NS-sim (vector norms / corpus stats)",
+)
+def v3_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector-norm extrema (corpus sanity stats; min/max are
+    order-independent so no decimal detour is needed)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = SIM.norm("embedding")
+    return e.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.min(n), 6).alias("min_norm"),
+        F.round(F.max(n), 6).alias("max_norm"),
+    )

@@ -1,1 +1,149 @@
-"""Placeholder — filled in as SURVEY.md §2 coverage widens."""
+"""Text-analysis queries over `documents` (north-star extensions).
+
+Language ID, quality scoring, token counting, fingerprinting — the
+training-data-pipeline text ops (BASELINE.json).  Implementations live in
+``..operators.text``; every query has a full DuckDB oracle reproducing the
+same md5-derived hashes and ratio formulas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import text as TX
+from ..sources import load_table
+from . import register
+
+# Shared oracle fragment: normalized text + token list.
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+
+@register(
+    "t1_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars_live,
+           n_chars AS n_chars_meta
+    FROM documents
+    """,
+    survey="NS-text (token counting)",
+)
+def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish-regex token counts, char counts."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.bpe_token_count("text").alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_live"),
+        F.col("n_chars").alias("n_chars_meta"),
+    )
+
+
+_STOP_SQL = "['" + "','".join(TX.STOPWORDS) + "']"
+
+
+@register(
+    "t2_quality_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               len({_TOKS}) AS n_tok,
+               length(text) AS n_chr,
+               length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+               len(list_filter({_TOKS}, x -> list_contains({_STOP_SQL}, x))) AS n_stop
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tok AS INTEGER) AS n_tokens,
+           CASE WHEN n_chr = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_chr END AS punct_ratio,
+           CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n_tok END AS stopword_ratio,
+           least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) * 0.4
+             + (1.0 - CASE WHEN n_chr = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_chr END) * 0.3
+             + least((CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n_tok END) * 5.0, 1.0) * 0.3
+             AS quality_score
+    FROM t
+    """,
+    survey="NS-text (quality scoring)",
+)
+def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/punctuation/stopword quality heuristic, [0,1]."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.punct_ratio("text").alias("punct_ratio"),
+        TX.stopword_ratio("text").alias("stopword_ratio"),
+        TX.quality_score("text").alias("quality_score"),
+    )
+
+
+def _hits_sql(lang: str) -> str:
+    markers = "['" + "','".join(TX.LANG_MARKERS[lang]) + "']"
+    return f"len(list_filter({_TOKS}, x -> list_contains({markers}, x)))"
+
+
+_LANGS = sorted(TX.LANG_MARKERS)
+
+
+@register(
+    "t3_language_id",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, lang AS lang_meta,
+               {", ".join(f"{_hits_sql(lg)} AS h_{lg}" for lg in _LANGS)}
+        FROM documents
+    )
+    SELECT doc_id, lang_meta,
+           {", ".join(f"CAST(h_{lg} AS INTEGER) AS hits_{lg}" for lg in _LANGS)},
+           CASE WHEN greatest({", ".join("h_" + lg for lg in _LANGS)}) <= 0 THEN 'und'
+                {" ".join(f"WHEN h_{lg} = greatest({', '.join('h_' + l2 for l2 in _LANGS)}) THEN '{lg}'" for lg in _LANGS)}
+           END AS lang_pred
+    FROM h
+    """,
+    survey="NS-text (language ID heuristic)",
+)
+def t3_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: per-language hit counts + argmax prediction.
+
+    Ties break alphabetically; no hits → 'und'.  (The synthetic corpus is
+    English-wordlist text for every lang value, so lang_pred is exercised
+    against lang_meta without being expected to match it.)
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cols = [
+        TX.marker_hits("text", TX.LANG_MARKERS[lg]).alias(f"hits_{lg}")
+        for lg in _LANGS
+    ]
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_meta"),
+        *cols,
+        TX.language_id("text").alias("lang_pred"),
+    )
+
+
+@register(
+    "t4_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5({_NORM}) AS fp_md5,
+           substr(md5({_NORM}), 1, 8) AS fp_bucket,
+           ('0x' || substr(md5({_NORM}), 1, 8))::BIGINT AS fp_int
+    FROM documents
+    """,
+    survey="NS-text (document fingerprinting)",
+)
+def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 digest, 32-bit bucket prefix, integer form."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.fingerprint_md5("text").alias("fp_md5"),
+        F.substring(TX.fingerprint_md5("text"), 1, 8).alias("fp_bucket"),
+        TX.fingerprint_int("text").alias("fp_int"),
+    )

@@ -1,0 +1,163 @@
+"""Unit tests for library operators on tiny literal DataFrames
+(SURVEY.md §5 t2: edge cases the driver tables can't exercise)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_etl_scripts_showcase__spark.operators import dedup as DD
+from data_etl_scripts_showcase__spark.operators import multimodal as MM
+from data_etl_scripts_showcase__spark.operators import similarity as SIM
+from data_etl_scripts_showcase__spark.operators import text as TX
+
+
+def docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def one_value(df):
+    return df.collect()[0][0]
+
+
+class TestTextOps:
+    def test_tokens_normalize(self, spark):
+        d = docs(spark, [(1, "  Hello   WORLD  ")])
+        assert one_value(d.select(TX.tokens("text"))) == ["hello", "world"]
+
+    def test_empty_text_ratios_are_zero(self, spark):
+        d = docs(spark, [(1, "")])
+        row = d.select(
+            TX.punct_ratio("text").alias("p"),
+            TX.stopword_ratio("text").alias("s"),
+            TX.mean_token_len("text").alias("m"),
+        ).collect()[0]
+        assert row.p == 0.0 and row.s == 0.0 and row.m == 0.0
+
+    def test_language_id_markers(self, spark):
+        d = docs(
+            spark,
+            [
+                (1, "le chat et les chiens des villes"),
+                (2, "the cat and the dog of the town"),
+                (3, "xyzzy qwerty plugh"),
+            ],
+        )
+        out = {
+            r.doc_id: r.lang
+            for r in d.select("doc_id", TX.language_id("text").alias("lang")).collect()
+        }
+        assert out == {1: "fr", 2: "en", 3: "und"}
+
+    def test_language_id_tie_breaks_alphabetically(self, spark):
+        # 'le' is a marker for both fr and zh (1 hit each) → 'fr' < 'zh'
+        d = docs(spark, [(1, "le xyzzy")])
+        assert one_value(d.select(TX.language_id("text"))) == "fr"
+
+    def test_fingerprint_invariant_to_case_and_whitespace(self, spark):
+        d = docs(spark, [(1, "Hello  World"), (2, "hello world")])
+        fps = [r[0] for r in d.select(TX.fingerprint_md5("text")).collect()]
+        assert fps[0] == fps[1]
+
+
+class TestDedupOps:
+    def test_word_ngrams_short_doc_is_empty(self, spark):
+        # guards the sequence(1,0)-descends pitfall
+        d = docs(spark, [(1, "only two")])
+        assert one_value(d.select(DD.word_ngrams("text"))) == []
+
+    def test_word_ngrams_exact(self, spark):
+        d = docs(spark, [(1, "a b c d")])
+        assert one_value(d.select(DD.word_ngrams("text"))) == ["a b c", "b c d"]
+
+    def test_exact_dedup_groups(self, spark):
+        d = docs(spark, [(1, "Same  Text"), (2, "same text"), (3, "other")])
+        out = DD.exact_dedup(d, "doc_id", "text").collect()
+        by_count = {r.dup_count: r for r in out}
+        assert by_count[2].rep_id == 1 and by_count[1].rep_id == 3
+
+    def test_jaccard_bounds(self, spark):
+        df = spark.createDataFrame(
+            [(["a", "b"], ["a", "b"]), (["a"], ["b"]), ([], [])],
+            "x array<string>, y array<string>",
+        )
+        vals = [r[0] for r in df.select(DD.jaccard(F.col("x"), F.col("y"))).collect()]
+        assert vals == [1.0, 0.0, 0.0]
+
+    def test_identical_docs_share_signature_and_pair(self, spark):
+        text = "the quick brown fox jumps over the lazy dog again and again"
+        d = docs(spark, [(1, text), (2, text), (3, "completely different words here")])
+        sig = DD.minhash_signature(d, "doc_id", "text")
+        rows = {r.doc_id: [r[f"mh{i}"] for i in range(DD.N_SEEDS)] for r in sig.collect()}
+        assert rows[1] == rows[2] and rows[1] != rows[3]
+        pairs = DD.candidate_pairs(DD.lsh_buckets(sig, "doc_id"), "doc_id").collect()
+        assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+    def test_simhash_identical_and_hamming(self, spark):
+        text = "one two three four five six seven eight"
+        d = docs(spark, [(1, text), (2, text)])
+        out = {r.doc_id: r.simhash for r in DD.simhash32(d, "doc_id", "text").collect()}
+        assert out[1] == out[2]
+        assert 0 <= out[1] < 2**32
+        ham = spark.createDataFrame([(out[1], out[2])], "a bigint, b bigint").select(
+            DD.hamming32(F.col("a"), F.col("b"))
+        )
+        assert one_value(ham) == 0
+
+
+class TestSimilarityOps:
+    def test_cosine_identity_and_orthogonal(self, spark):
+        df = spark.createDataFrame(
+            [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]), ([0.0, 0.0], [1.0, 0.0])],
+            "a array<float>, b array<float>",
+        )
+        vals = [r[0] for r in df.select(SIM.cosine("a", "b")).collect()]
+        assert vals[0] == pytest.approx(1.0)
+        assert vals[1] == pytest.approx(0.0)
+        assert vals[2] == 0.0  # zero-norm guard
+
+    def test_knn_excludes_self_and_ranks(self, spark):
+        vecs = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0]),
+                (2, [0.9, 0.1]),
+                (3, [0.0, 1.0]),
+                (4, [1.0, 0.01]),
+            ],
+            "vec_id bigint, embedding array<float>",
+        )
+        out = SIM.knn_bruteforce(vecs.where("vec_id = 1"), vecs, k=2).collect()
+        assert [r.neighbor_id for r in out] == [4, 2]
+        assert all(r.query_id == 1 for r in out)
+
+    def test_sign_bucket_blocks(self, spark):
+        vecs = spark.createDataFrame(
+            [(1, [1.0, 1.0]), (2, [1.0, 1.0]), (3, [-1.0, -1.0])],
+            "vec_id bigint, embedding array<float>",
+        )
+        b = vecs.select(SIM.sign_bucket("embedding", 2).alias("b")).collect()
+        assert b[0].b == b[1].b != b[2].b
+
+
+class TestMultimodalOps:
+    def test_decode_real_is_stubbed(self):
+        with pytest.raises(NotImplementedError):
+            MM.decode_real(b"bytes", "image")
+
+    def test_feature_stage_deterministic(self, spark):
+        d = docs(spark, [(0, "abc"), (1, "0123456789" * 5)])
+        out = {
+            r.asset_id: r
+            for r in MM.extract_features(MM.to_assets(d, "doc_id", "text")).collect()
+        }
+        import hashlib
+
+        assert out[0].media_type == "image" and out[1].media_type == "audio"
+        assert out[0].byte_len == 3 and out[1].byte_len == 50
+        assert out[0].checksum == hashlib.md5(b"abc").hexdigest()
+        assert out[0].width == 16 + 3 % 624
+        assert out[1].n_frames == 1 + 50 % 32
+        assert out[1].sampled_frames == list(
+            range(0, out[1].n_frames, max(1, (out[1].n_frames + 3) // 4))
+        )
+        assert len(out[1].sampled_frames) <= 4
