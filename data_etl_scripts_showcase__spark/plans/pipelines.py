@@ -1,0 +1,171 @@
+"""End-to-end pipelines — the reference's three entry points re-expressed
+(SURVEY.md §3.1-3.3).
+
+Each reference script IS its physical plan: eager, driver-resident,
+row-at-a-time.  Here each pipeline is a lazy DataFrame plan ending in a
+single partitioned write, with the QA gate in front of the publish.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..enrichment import enrich, mock_fetch_page
+from ..enrichment.stage import METRICS
+from ..functions import NOT_FOUND, bool_to_int, iso_ts
+from ..sinks import reconcile, write_snapshot
+from ..sources import load_table
+
+
+def snapshot_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    base_path: str,
+    ds: str,
+    bool_cols: list[str] | None = None,
+) -> DataFrame:
+    """§3.1 archetype (presentation.py): full scan → bool→int cleanse →
+    dated snapshot write.  No driver materialization, no rename sweep,
+    no sleep — the date partition is the snapshot."""
+    df = load_table(spark, sf_dir, table)
+    for c in bool_cols or []:
+        df = df.withColumn(c, bool_to_int(c))
+    write_snapshot(df, base_path, ds)
+    return df
+
+
+def filtered_snapshot_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    base_path: str,
+    ds: str,
+) -> DataFrame:
+    """§3.2 archetype (Gonukkad_Merchants.py): cleansed id list ⋉ fact table
+    → null-out → snapshot.  The driver-collected IN-list becomes a broadcast
+    semi-join; Geolocation:=NULL becomes a typed null projection."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    ids = customer.where(F.col("c_acctbal") > 0.0).select("c_custkey")
+    snap = (
+        orders.join(
+            F.broadcast(ids), orders.o_custkey == ids.c_custkey, "left_semi"
+        )
+        .withColumn("geolocation", F.lit(None).cast("string"))
+        .withColumn("is_open", bool_to_int(F.col("o_orderstatus") == "O"))
+    )
+    write_snapshot(snap, base_path, ds)
+    return snap
+
+
+def shred_enriched(enriched: DataFrame, key_col: str) -> DataFrame:
+    """The §3.3 shred/aggregate/case section as ONE declarative plan.
+
+    Reference: ~230 lines of per-row dict surgery (main.py:495-698).  Here:
+    struct access (F16), Yes/No exists flags (A6), double-explode metric
+    sums with lossy-int skip (M5+A2+F8), explicit-value pivot (A3), derived
+    totals (A4), conditional counts (A5), latest-OFFER arg-max with the
+    strict-`>` tie-break (A7), Not_Found sentinels (C2) and the 7-branch
+    profile_status cascade (C1).
+    """
+    key = F.col(key_col)
+
+    # -- metric sums: explode metrics → explode values → pivot (one shuffle)
+    mx = (
+        enriched.select(key, F.explode("resp.metrics").alias("m"))
+        .select(key, F.col("m.metric").alias("metric"), F.explode("m.values").alias("v"))
+        .withColumn("vi", F.col("v").try_cast("int"))  # 'n/a' → NULL → skipped
+        .groupBy(key_col)
+        .pivot("metric", METRICS)
+        .sum("vi")
+    )
+    for m in METRICS:
+        mx = mx.withColumn(m, F.coalesce(F.col(m), F.lit(0)).cast("bigint"))
+    mx = mx.withColumn(
+        "total_actions", sum(F.col(m) for m in METRICS).cast("bigint")
+    )
+
+    # -- posts: conditional counts + latest-OFFER arg-max (strict `>` ⇒
+    #    earliest-seen wins ties ⇒ deterministic max_by on (ts, -idx))
+    posts = enriched.select(
+        key, F.posexplode_outer("resp.posts").alias("idx", "p")
+    )
+    offer_ts = F.when(
+        F.col("p.topicType") == "OFFER", iso_ts(F.col("p.createTime"))
+    )
+    px = posts.groupBy(key_col).agg(
+        F.count(F.when(F.col("p.topicType") == "OFFER", 1)).alias("offer_count"),
+        F.count(F.when(F.col("p.topicType") == "STANDARD", 1)).alias(
+            "standard_count"
+        ),
+        F.date_format(
+            F.max_by(
+                offer_ts, F.when(offer_ts.isNotNull(), F.struct(offer_ts, -F.col("idx")))
+            ),
+            "yyyy-MM-dd",
+        ).alias("latest_offer_ds"),
+    )
+
+    # -- scalar shred + flags + status cascade
+    st = F.col("resp.status")
+    status = (
+        F.when(st.suspended, "suspended")
+        .when(st.pending, "processing")
+        .when(st.hasVoiceOfMerchant & st.hasBusinessAuthority, "verified")
+        .when(st.duplicate, "duplicate")
+        .when(~st.hasVoiceOfMerchant, "verification_required")
+        .otherwise("unexpected_status")
+    )
+    flat = enriched.select(
+        key,
+        F.coalesce(F.col("resp.title"), F.lit(NOT_FOUND)).alias("business_name"),
+        F.round(F.col("resp.rating"), 1).alias("overall_rating"),
+        F.col("resp.review_count").alias("review_count"),
+        F.when(F.col("resp.media.has_cover"), "Yes").otherwise("No").alias(
+            "has_cover"
+        ),
+        F.when(F.col("resp.media.has_menu"), "Yes").otherwise("No").alias(
+            "has_menu"
+        ),
+        status.alias("profile_status"),
+    )
+
+    return flat.join(mx, key_col, "left").join(px, key_col, "left").withColumn(
+        "latest_offer_ds", F.coalesce("latest_offer_ds", F.lit(NOT_FOUND))
+    )
+
+
+def enrichment_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    base_path: str | None = None,
+    ds: str = "2026-01-01",
+    fetch_page: Callable = mock_fetch_page,
+    limit_keys: int | None = None,
+) -> DataFrame:
+    """§3.3 flagship: id cleanse → enrichment stage → shred → QA gate → publish.
+
+    The reference's O(n²) per-row CSV rewrite (main.py:710-715) is a single
+    lazy write; its 1-thread 8-calls/merchant loop is a partition-parallel
+    mapInPandas; its print-only reconciliation gate raises.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    keys = customer.select(F.col("c_custkey").alias("merchant_id"))
+    if limit_keys:
+        keys = keys.where(F.col("merchant_id") < limit_keys)
+    keys = keys.repartition(spark.sparkContext.defaultParallelism)
+
+    # Persist the enrichment output: three shred branches + the QA gate all
+    # consume it, and recomputing this stage means re-fetching the network.
+    # (At cluster scale: MEMORY_AND_DISK, or checkpoint to the raw-response
+    # archive — the reference's S6 JSON dump serves the same replay purpose.)
+    enriched = enrich(keys, "merchant_id", fetch_page).persist()
+    wide = shred_enriched(enriched, "merchant_id")
+
+    reconcile(keys, wide, context="enrichment_pipeline")  # A9, raising
+    if base_path:
+        write_snapshot(wide, base_path, ds)
+    return wide

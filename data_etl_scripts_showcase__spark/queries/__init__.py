@@ -59,6 +59,7 @@ def load_all() -> dict[str, Query]:
         functions_scalar,
         joins,
         multimodal,
+        pipelines_q,
         relational,
         similarity,
         streaming_like,

@@ -1,0 +1,85 @@
+"""The §3.3 flagship enrichment pipeline as a registry query.
+
+The mock fetcher is a pure md5 function of the key, so the ENTIRE pipeline —
+mapInPandas enrichment, pagination, JSON shred, metric pivot, arg-max,
+status cascade, sentinels — is value-checked against a closed-form DuckDB
+oracle.  This is the strongest correctness statement in the repo: the mock
+network included, end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..enrichment.stage import METRICS
+from ..plans import enrichment_pipeline
+from . import register
+
+_K = "CAST(c_custkey AS VARCHAR)"
+_H = f"md5(concat('loc:', {_K}))"
+
+
+def _hx(h: str, py_lo: int, py_hi: int) -> str:
+    """('0x'||substr(h, py_lo+1, py_hi-py_lo))::BIGINT — mirrors stage._hx."""
+    return f"('0x' || substr({h}, {py_lo + 1}, {py_hi - py_lo}))::BIGINT"
+
+
+def _metric_sum(m: str) -> str:
+    raw = (
+        f"('0x' || substr(md5(concat('{m}:', {_K}, ':', i::VARCHAR)), 1, 4))::BIGINT"
+    )
+    return (
+        f"coalesce(list_sum(list_transform("
+        f"list_filter(list_transform(range(0, 7), i -> {raw}), r -> r % 17 <> 0),"
+        f" r -> r % 100)), 0)::BIGINT"
+    )
+
+
+_HP = f"('0x' || substr(md5(concat('post:', {_K}, ':', i::VARCHAR)), 1, 4))::BIGINT"
+_N_POSTS = f"(1 + {_hx(_H, 0, 4)} % 4)"
+_OFFER_IDX = f"list_filter(range(0, {_N_POSTS}), i -> {_HP} % 2 = 0)"
+
+_ORACLE = f"""
+SELECT
+    c_custkey AS merchant_id,
+    concat('Biz ', {_K}) AS business_name,
+    round((10 + {_hx(_H, 0, 4)} % 41) / 10.0, 1) AS overall_rating,
+    CAST({_hx(_H, 4, 8)} % 500 AS INTEGER) AS review_count,
+    CASE WHEN {_hx(_H, 12, 16)} % 2 = 0 THEN 'Yes' ELSE 'No' END AS has_cover,
+    CASE WHEN {_hx(_H, 16, 20)} % 2 = 0 THEN 'Yes' ELSE 'No' END AS has_menu,
+    CASE {_hx(_H, 8, 12)} % 5
+        WHEN 0 THEN 'suspended'
+        WHEN 1 THEN 'processing'
+        WHEN 2 THEN 'verified'
+        WHEN 3 THEN 'duplicate'
+        ELSE 'verification_required'
+    END AS profile_status,
+    {_metric_sum("CALL_CLICKS")} AS CALL_CLICKS,
+    {_metric_sum("WEBSITE_CLICKS")} AS WEBSITE_CLICKS,
+    {_metric_sum("DIRECTIONS")} AS DIRECTIONS,
+    ({" + ".join(_metric_sum(m) for m in METRICS)})::BIGINT AS total_actions,
+    CAST(len({_OFFER_IDX}) AS BIGINT) AS offer_count,
+    CAST({_N_POSTS} - len({_OFFER_IDX}) AS BIGINT) AS standard_count,
+    coalesce(
+        strftime(list_aggregate(
+            list_transform({_OFFER_IDX}, i -> DATE '2023-01-01' + ({_HP} % 365)::INTEGER),
+            'max'), '%Y-%m-%d'),
+        'Not_Found') AS latest_offer_ds
+FROM customer
+"""
+
+
+@register(
+    "e1_enrichment_flagship",
+    oracle=_ORACLE,
+    survey="S7,S8,S9,J2,A2-A8,C1,C2,F8,F13,M5 (§3.3 flagship, mock fetcher)",
+)
+def e1_enrichment_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full flagship pipeline on the customer key set with the mock fetcher.
+
+    Exercises: mapInPandas enrichment with pagination, from_json shred,
+    double-explode metric pivot with lossy-int skip, latest-OFFER arg-max,
+    Yes/No flags, Not_Found sentinels, profile_status cascade, and the
+    raising reconciliation gate.
+    """
+    return enrichment_pipeline(spark, sf_dir)

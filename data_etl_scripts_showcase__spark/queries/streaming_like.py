@@ -1,1 +1,112 @@
-"""Placeholder — filled in as SURVEY.md §2 coverage widens."""
+"""Streaming queries (SURVEY.md §2.10) — registry entries.
+
+st1/st4 REALLY run Structured Streaming (readStream → availableNow →
+memory sink) inside the correctness harness; their oracles are the batch
+equivalents, which is exactly the validation strategy SURVEY §7 prescribes
+for streaming (no reference ground truth exists).  st2/st3 exercise the
+same window operators on the batch frame (identical plans either way).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from ..streaming import (
+    events_stream,
+    run_to_memory,
+    sessionize_batch,
+    sliding_counts,
+    stream_dedup_keys,
+    tumbling_counts,
+)
+from . import register
+
+_TUMBLING_ORACLE = """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+@register(
+    "st1_stream_tumbling_counts",
+    oracle=_TUMBLING_ORACLE,
+    survey="§2.10 (streaming tumbling window + watermark, REAL readStream)",
+)
+def st1_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h windowed counts/sums via an actual streaming query
+    (readStream → availableNow → memory sink), oracle-checked against the
+    batch equivalent."""
+    return run_to_memory(tumbling_counts(events_stream(spark, sf_dir)))
+
+
+@register(
+    "st2_sliding_window_counts",
+    oracle="""
+    WITH g AS (
+        SELECT to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT))::TIMESTAMP AS grid,
+               event_type
+        FROM events
+    ),
+    s AS (
+        SELECT grid AS win_start, event_type FROM g
+        UNION ALL
+        SELECT grid - INTERVAL 30 MINUTE AS win_start, event_type FROM g
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM s GROUP BY win_start, event_type
+    """,
+    survey="§2.10 (sliding windows — D-7 rolling metric analog)",
+)
+def st2_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h windows sliding every 30min (each event in exactly 2 windows)."""
+    return sliding_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "st3_session_windows",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, ts,
+               sum(CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM o
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM m GROUP BY user_id, session_id
+    """,
+    survey="§2.10 (session windows / sessionization)",
+)
+def st3_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30-minute-gap sessions via session_window; the oracle is the
+    classic lag + cumulative-flag gaps-and-islands formulation."""
+    return sessionize_batch(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "st4_stream_dedup_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    survey="§2.10 (stateful streaming dedup within watermark, REAL readStream)",
+)
+def st4_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicatesWithinWatermark on (user_id, event_type);
+    the kept-key SET equals batch DISTINCT regardless of arrival order."""
+    return run_to_memory(
+        stream_dedup_keys(events_stream(spark, sf_dir)), mode="append"
+    )

@@ -1,0 +1,11 @@
+from .quality import ReconciliationError, reconcile, upsert_run_metrics
+from .snapshot import promote_view, read_snapshot, write_snapshot
+
+__all__ = [
+    "ReconciliationError",
+    "reconcile",
+    "upsert_run_metrics",
+    "write_snapshot",
+    "read_snapshot",
+    "promote_view",
+]

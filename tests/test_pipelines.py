@@ -1,0 +1,108 @@
+"""End-to-end pipeline + sink tests (SURVEY.md §5 t3 golden/e2e)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_etl_scripts_showcase__spark.plans import (
+    enrichment_pipeline,
+    filtered_snapshot_pipeline,
+    snapshot_pipeline,
+)
+from data_etl_scripts_showcase__spark.sinks import (
+    ReconciliationError,
+    promote_view,
+    read_snapshot,
+    reconcile,
+    upsert_run_metrics,
+    write_snapshot,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestSnapshotSink:
+    def test_write_read_promote_roundtrip(self, spark, tmp_path):
+        base = str(tmp_path / "snap")
+        df = spark.range(5).withColumn("v", F.col("id") * 2)
+        write_snapshot(df, base, "2026-01-01")
+        write_snapshot(df.where("id < 3"), base, "2026-01-02")
+        assert read_snapshot(spark, base, "2026-01-01").count() == 5
+        assert read_snapshot(spark, base).count() == 8
+        promoted = promote_view(spark, base, "latest_snap")
+        assert promoted.count() == 3  # latest ds wins
+        assert spark.table("latest_snap").count() == 3
+
+    def test_dynamic_overwrite_is_per_partition(self, spark, tmp_path):
+        base = str(tmp_path / "snap2")
+        write_snapshot(spark.range(4), base, "2026-01-01")
+        write_snapshot(spark.range(9), base, "2026-01-02")
+        # rewriting day 2 must not touch day 1
+        write_snapshot(spark.range(2), base, "2026-01-02")
+        assert read_snapshot(spark, base, "2026-01-01").count() == 4
+        assert read_snapshot(spark, base, "2026-01-02").count() == 2
+
+
+class TestQualityGate:
+    def test_reconcile_passes_and_raises(self, spark):
+        a, b = spark.range(10), spark.range(10)
+        assert reconcile(a, b) == 10
+        with pytest.raises(ReconciliationError, match="input_rows=10 output_rows=9"):
+            reconcile(a, b.where("id > 0"))
+
+    def test_run_metrics_merge_on_key(self, spark, tmp_path):
+        path = str(tmp_path / "metrics")
+        upsert_run_metrics(spark, path, "2026-01-01", {"active": 5})
+        upsert_run_metrics(spark, path, "2026-01-02", {"active": 7})
+        out = upsert_run_metrics(spark, path, "2026-01-01", {"active": 9})
+        rows = {r.run_date: r.active for r in out.collect()}
+        assert rows == {"2026-01-01": 9.0, "2026-01-02": 7.0}
+
+
+class TestPipelines:
+    def test_snapshot_pipeline(self, spark, tmp_path):
+        base = str(tmp_path / "p1")
+        out = snapshot_pipeline(spark, SF, "region", base, "2026-01-01")
+        assert read_snapshot(spark, base, "2026-01-01").count() == out.count() == 5
+
+    def test_filtered_snapshot_pipeline(self, spark, tmp_path):
+        base = str(tmp_path / "p2")
+        out = filtered_snapshot_pipeline(spark, SF, base, "2026-01-01")
+        got = read_snapshot(spark, base, "2026-01-01")
+        assert got.count() == out.count() > 0
+        row = got.limit(1).collect()[0]
+        assert row.geolocation is None
+        assert row.is_open in (0, 1)
+
+    def test_enrichment_pipeline_golden(self, spark):
+        out = enrichment_pipeline(spark, SF, limit_keys=8).orderBy("merchant_id")
+        rows = out.collect()
+        assert len(rows) == 8
+        r0 = {r.merchant_id: r for r in rows}[0]
+        # golden values for key '0' (pure function of md5 — stable forever)
+        import hashlib
+
+        h = hashlib.md5(b"loc:0").hexdigest()
+        assert r0.business_name == "Biz 0"
+        assert r0.overall_rating == round((10 + int(h[:4], 16) % 41) / 10.0, 1)
+        assert r0.review_count == int(h[4:8], 16) % 500
+        assert r0.profile_status in {
+            "suspended",
+            "processing",
+            "verified",
+            "duplicate",
+            "verification_required",
+        }
+        assert r0.total_actions == r0.CALL_CLICKS + r0.WEBSITE_CLICKS + r0.DIRECTIONS
+        assert r0.offer_count + r0.standard_count == 1 + int(h[:4], 16) % 4
+
+    def test_enrichment_pagination_merges_all_pages(self, spark):
+        # keys with n_posts > PAGE_SIZE force the nextPageToken loop
+        out = enrichment_pipeline(spark, SF, limit_keys=40)
+        mx = out.agg(
+            F.max(F.col("offer_count") + F.col("standard_count")).alias("m")
+        ).collect()[0].m
+        assert mx > 2  # saw a key with more posts than one page holds

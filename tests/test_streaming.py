@@ -1,0 +1,77 @@
+"""Structured Streaming tests (SURVEY.md §2.10, §7 Phase 6).
+
+Streaming has no reference ground truth; every job is validated against its
+batch equivalent on the same data (SURVEY §7 risk register).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_etl_scripts_showcase__spark.sources import load_table
+from data_etl_scripts_showcase__spark.streaming import (
+    events_stream,
+    run_to_memory,
+    sliding_counts,
+    tumbling_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def as_sorted_tuples(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+class TestStreamBatchEquivalence:
+    def test_tumbling_stream_equals_batch(self, spark):
+        stream_out = run_to_memory(tumbling_counts(events_stream(spark, SF)))
+        batch_out = tumbling_counts(load_table(spark, SF, "events"))
+        cols = ["window_start", "event_type", "n", "value_sum"]
+        assert as_sorted_tuples(stream_out, cols) == as_sorted_tuples(batch_out, cols)
+
+    def test_sliding_stream_equals_batch(self, spark):
+        stream_out = run_to_memory(sliding_counts(events_stream(spark, SF)))
+        batch_out = sliding_counts(load_table(spark, SF, "events"))
+        cols = ["window_start", "event_type", "n"]
+        assert as_sorted_tuples(stream_out, cols) == as_sorted_tuples(batch_out, cols)
+
+    def test_each_event_in_exactly_two_sliding_windows(self, spark):
+        n_events = load_table(spark, SF, "events").count()
+        total = (
+            sliding_counts(load_table(spark, SF, "events"))
+            .agg(F.sum("n").alias("t"))
+            .collect()[0]
+            .t
+        )
+        assert total == 2 * n_events
+
+
+class TestIncrementalSnapshot:
+    def test_available_now_incremental_snapshot(self, spark, tmp_path):
+        """§2.10 daily-incremental analog: availableNow → date partitions via
+        foreachBatch (the trigger(availableNow) batch-incremental job)."""
+        import tempfile
+
+        out = str(tmp_path / "events_snap")
+
+        def write_batch(df, epoch_id):
+            (
+                df.withColumn("ds", F.date_format("ts", "yyyy-MM-dd"))
+                .write.mode("append")
+                .partitionBy("ds")
+                .parquet(out)
+            )
+
+        q = (
+            events_stream(spark, SF)
+            .writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_snap_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        written = spark.read.parquet(out)
+        assert written.count() == load_table(spark, SF, "events").count()
+        n_days = written.select("ds").distinct().count()
+        assert n_days >= 28  # a month of dated partitions
