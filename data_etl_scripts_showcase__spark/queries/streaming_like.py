@@ -15,9 +15,11 @@ from pyspark.sql import functions as F
 from ..sources import load_table
 from ..streaming import (
     events_stream,
+    final_user_activity,
     run_to_memory,
     sessionize_batch,
     sliding_counts,
+    stateful_user_activity,
     stream_dedup_keys,
     tumbling_counts,
 )
@@ -110,3 +112,24 @@ def st4_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         stream_dedup_keys(events_stream(spark, sf_dir)), mode="append"
     )
+
+
+@register(
+    "st5_stateful_user_activity",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM events GROUP BY user_id
+    """,
+    survey="§2.11 (custom stateful operator — applyInPandasWithState, REAL readStream)",
+)
+def st5_stateful_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running activity via a custom applyInPandasWithState state
+    machine (count + first/last event time); emissions collapse to the final
+    state, which equals batch groupBy exactly."""
+    emissions = run_to_memory(
+        stateful_user_activity(events_stream(spark, sf_dir)), mode="append"
+    )
+    return final_user_activity(emissions)

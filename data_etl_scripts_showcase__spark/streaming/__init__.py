@@ -1,8 +1,10 @@
 from .jobs import (
     events_stream,
+    final_user_activity,
     run_to_memory,
     sessionize_batch,
     sliding_counts,
+    stateful_user_activity,
     stream_dedup_keys,
     tumbling_counts,
 )
@@ -13,5 +15,7 @@ __all__ = [
     "sliding_counts",
     "sessionize_batch",
     "stream_dedup_keys",
+    "stateful_user_activity",
+    "final_user_activity",
     "run_to_memory",
 ]

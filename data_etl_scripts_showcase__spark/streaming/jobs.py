@@ -120,6 +120,74 @@ def stream_dedup_keys(events: DataFrame, watermark: str = "1 hour") -> DataFrame
     )
 
 
+def stateful_user_activity(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``.
+
+    Per-user running activity state: (event count, first/last event time).
+    Each micro-batch updates the state and emits the user's running totals,
+    so the emission with the highest ``n_events`` per user IS the final
+    state — which equals batch ``groupBy(user_id).agg(count, min, max)``
+    regardless of how availableNow splits the input into batches.  That
+    batch-equivalence is the oracle (SURVEY §7: streaming has no reference
+    ground truth).
+
+    Scale design: state is 3 bigints per user key, partitioned by the
+    groupBy hash — state size is O(|users|), independent of event volume;
+    Arrow-batched pandas transfer keeps the Python boundary vectorized.
+    Timestamps cross the boundary as int64 micros (exact — no pandas
+    datetime coercion).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = events.select(F.col("user_id"), F.unix_micros("ts").alias("ts_us"))
+
+    out_schema = (
+        "user_id bigint, n_events bigint, first_ts_us bigint, last_ts_us bigint"
+    )
+    state_schema = "n bigint, first_us bigint, last_us bigint"
+
+    def update(key, pdfs, state: GroupState):
+        n, first_us, last_us = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            mn, mx = int(pdf["ts_us"].min()), int(pdf["ts_us"].max())
+            first_us = mn if first_us is None else min(first_us, mn)
+            last_us = mx if last_us is None else max(last_us, mx)
+        state.update((n, first_us, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "first_ts_us": [first_us],
+                "last_ts_us": [last_us],
+            }
+        )
+
+    return src.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def final_user_activity(emissions: DataFrame) -> DataFrame:
+    """Collapse stateful_user_activity emissions to the final per-user state.
+
+    ``n_events`` strictly increases per emission and first/last are running
+    min/max, so max/min/max over emissions equals the last state exactly.
+    """
+    return emissions.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.date_format(
+            F.timestamp_micros(F.min("first_ts_us")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("first_ts"),
+        F.date_format(
+            F.timestamp_micros(F.max("last_ts_us")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("last_ts"),
+    )
+
+
 def run_to_memory(
     sdf: DataFrame, mode: str = "complete", name: str | None = None
 ) -> DataFrame:

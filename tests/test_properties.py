@@ -1,0 +1,150 @@
+"""Property-based tests (SURVEY.md §5.4, hypothesis).
+
+Each example generates a whole DataFrame (not one row) so a property runs
+as one Spark job; max_examples is kept small because the properties are
+over sets of rows, not individual values.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from data_etl_scripts_showcase__spark.functions import bool_to_int, dsum2, lossy_int
+from data_etl_scripts_showcase__spark.operators.dedup import (
+    jaccard,
+    minhash_signature,
+    word_ngrams,
+)
+
+FAST = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@FAST
+@given(st.lists(st.one_of(st.booleans(), st.none()), min_size=1, max_size=50))
+def test_bool_to_int_total(spark, vals):
+    """F7: bool→int is total — every bool maps to exactly 0/1, null stays null."""
+    df = spark.createDataFrame([(v,) for v in vals], "b boolean")
+    got = [r.i for r in df.select(bool_to_int("b").alias("i")).collect()]
+    assert got == [None if v is None else int(v) for v in vals]
+
+
+@FAST
+@given(
+    st.lists(
+        st.one_of(
+            st.integers(-(2**31), 2**31 - 1).map(str),
+            st.text(max_size=8),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_lossy_int_skips_unparseable(spark, vals):
+    """F8: try_cast sum == Python sum over parseable ints, unparseables skipped
+    (the reference's swallow-ValueError loop, main.py:603-606)."""
+
+    def pyint(s):
+        try:
+            v = int(s)
+        except ValueError:
+            return None
+        return v if -(2**31) <= v < 2**31 else None
+
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = df.agg(F.sum(lossy_int("s")).alias("t")).collect()[0].t
+    want_vals = [pyint(v) for v in vals if pyint(v) is not None]
+    assert got == (sum(want_vals) if want_vals else None)
+
+
+@FAST
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),  # key
+            st.sampled_from(["A", "B", "C"]),  # status
+            st.integers(0, 1000),  # qty
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_pivot_parts_sum_to_total(spark, rows):
+    """A3/A4 identity: pivoted per-status sums add back up to the plain
+    per-key total (derived-totals columns are consistent)."""
+    df = spark.createDataFrame(rows, "k int, status string, qty int")
+    piv = (
+        df.groupBy("k")
+        .pivot("status", ["A", "B", "C"])
+        .sum("qty")
+        .na.fill(0, ["A", "B", "C"])
+        .withColumn("total", F.col("A") + F.col("B") + F.col("C"))
+    )
+    plain = df.groupBy("k").agg(F.sum("qty").alias("want"))
+    bad = (
+        piv.join(plain, "k")
+        .where(F.col("total") != F.col("want"))
+        .count()
+    )
+    assert bad == 0
+
+
+@FAST
+@given(
+    st.lists(
+        st.integers(-(10**6), 10**6).map(lambda c: c / 100.0),
+        min_size=1,
+        max_size=100,
+    ),
+    st.sampled_from([1, 3, 7]),
+)
+def test_dsum2_partition_independent(spark, vals, nparts):
+    """Numeric determinism: decimal-routed money sums are bit-identical under
+    any repartitioning (double sums are not — that's why dsum2 exists)."""
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    a = df.repartition(1).agg(dsum2("v").alias("s")).collect()[0].s
+    b = df.repartition(nparts).agg(dsum2("v").alias("s")).collect()[0].s
+    assert a == b
+    assert abs(a - round(sum(round(v * 100) for v in vals) / 100.0, 2)) < 1e-9
+
+
+WORDS = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]),
+    min_size=3,
+    max_size=30,
+).map(" ".join)
+
+
+@FAST
+@given(WORDS, WORDS)
+def test_jaccard_bounds_symmetry_identity(spark, t1, t2):
+    """Jaccard over shingle arrays: j(a,a)=1, 0<=j<=1, j(a,b)=j(b,a)."""
+    df = spark.createDataFrame([(t1, t2)], "a string, b string")
+    ga, gb = word_ngrams("a"), word_ngrams("b")
+    row = df.select(
+        jaccard(ga, ga).alias("jaa"),
+        jaccard(ga, gb).alias("jab"),
+        jaccard(gb, ga).alias("jba"),
+    ).collect()[0]
+    assert row.jaa == 1.0
+    assert 0.0 <= row.jab <= 1.0
+    assert row.jab == row.jba
+
+
+@FAST
+@given(WORDS)
+def test_minhash_identical_docs_identical_signatures(spark, text):
+    """MinHash: equal texts get equal signatures regardless of row identity
+    or partitioning (signatures are pure functions of the shingle set)."""
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id bigint, body string"
+    ).repartition(2)
+    sig = minhash_signature(df, "doc_id", "body").collect()
+    assert len(sig) == 2
+    a, b = (tuple(r)[1:] for r in sorted(sig, key=lambda r: r.doc_id))
+    assert a == b

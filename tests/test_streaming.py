@@ -11,8 +11,10 @@ from pyspark.sql import functions as F
 from data_etl_scripts_showcase__spark.sources import load_table
 from data_etl_scripts_showcase__spark.streaming import (
     events_stream,
+    final_user_activity,
     run_to_memory,
     sliding_counts,
+    stateful_user_activity,
     tumbling_counts,
 )
 
@@ -45,6 +47,27 @@ class TestStreamBatchEquivalence:
             .t
         )
         assert total == 2 * n_events
+
+
+class TestStatefulOperator:
+    def test_apply_in_pandas_with_state_equals_batch(self, spark):
+        """Custom stateful operator (applyInPandasWithState): final per-user
+        state equals batch groupBy(count, min(ts), max(ts))."""
+        emissions = run_to_memory(
+            stateful_user_activity(events_stream(spark, SF)), mode="append"
+        )
+        got = final_user_activity(emissions)
+        want = (
+            load_table(spark, SF, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+                F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            )
+        )
+        cols = ["user_id", "n_events", "first_ts", "last_ts"]
+        assert as_sorted_tuples(got, cols) == as_sorted_tuples(want, cols)
 
 
 class TestIncrementalSnapshot:
