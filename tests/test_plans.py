@@ -1,0 +1,86 @@
+"""Physical-plan regression tests (the 100 TB story, SURVEY.md §4).
+
+Correctness tests prove the answers; these prove the PLANS — broadcast
+where a side is small, predicate/projection pushdown into the parquet
+scan, map-side partial aggregation, no accidental sort-merge joins or
+extra shuffles.  A regression here is a regression at 1000 executors even
+when every oracle still passes.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from data_etl_scripts_showcase__spark.queries import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = load_all()[name].fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+class TestJoinStrategies:
+    def test_flagship_semi_join_is_broadcast(self, spark):
+        """J1: the id-list semi-join must be a broadcast hash join (the small
+        filtered id side ships to executors; the big fact side never shuffles)."""
+        plan = plan_of(spark, "flagship_active_customer_snapshot")
+        assert "BroadcastHashJoin LeftSemi" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_multiway_enrichment_broadcasts_all_dims(self, spark):
+        """J2: every dimension of the N-way left enrichment is broadcast —
+        the orders fact flows through zero shuffles."""
+        plan = plan_of(spark, "j2_multiway_left_enrichment")
+        assert plan.count("BroadcastHashJoin LeftOuter") == 3
+        assert "SortMergeJoin" not in plan
+        assert "Arguments: hashpartitioning" not in plan
+
+    def test_lsh_candidate_join_shuffles_on_bucket(self, spark):
+        """LSH candidate generation is an equality self-join — it must hash
+        partition on the bucket key, not fall back to a nested-loop join."""
+        plan = plan_of(spark, "d3_lsh_candidate_pairs")
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+
+class TestScanPushdown:
+    def test_q1_pushes_filter_and_prunes_columns(self, spark):
+        """TPC-H Q1: shipdate predicate reaches the parquet scan; the scan
+        reads only the 7 referenced columns (not l_orderkey etc.)."""
+        plan = plan_of(spark, "q1_pricing_summary")
+        assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+        assert "l_orderkey" not in plan  # column pruning reached the scan
+
+    def test_flagship_prunes_customer_scan(self, spark):
+        """Customer scan reads only (c_name, c_acctbal) out of 8 columns and
+        ships the acctbal predicate into the reader."""
+        plan = plan_of(spark, "flagship_active_customer_snapshot")
+        assert "ReadSchema: struct<c_name:string,c_acctbal:double>" in plan
+        assert "GreaterThan(c_acctbal,0.0)" in plan
+
+
+class TestAggregationShape:
+    def test_q1_partial_final_aggregation(self, spark):
+        """Q1 aggregates map-side (partial_sum) before its single shuffle —
+        shuffle volume is O(groups), not O(rows)."""
+        plan = plan_of(spark, "q1_pricing_summary")
+        assert "partial_sum" in plan
+        assert plan.count("Arguments: hashpartitioning") == 1
+
+    def test_exact_dedup_single_shuffle(self, spark):
+        """d1: exact dedup is ONE shuffle keyed on the md5 fingerprint."""
+        plan = plan_of(spark, "d1_exact_dedup")
+        assert plan.count("Arguments: hashpartitioning") == 1
+
+    def test_minhash_signature_single_shuffle(self, spark):
+        """d2: shingle explode + 16 permutation mins ride ONE groupBy shuffle
+        with map-side partial mins."""
+        plan = plan_of(spark, "d2_minhash_signature")
+        assert plan.count("Arguments: hashpartitioning") == 1
+        assert "partial_min" in plan
