@@ -32,6 +32,7 @@ HEADLINE = [
     "d3_lsh_candidate_pairs",
     "d5_simhash_signature",
     "v1_knn_bruteforce",
+    "v4_knn_ivf",
     "t2_quality_score",
     "mm2_decoded_features",
 ]

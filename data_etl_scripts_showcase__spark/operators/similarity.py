@@ -100,6 +100,103 @@ def sign_bucket(vec: Column | str, n_bits: int = 8) -> Column:
     return acc.cast("int")
 
 
+def assign_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    n_assign: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Assign each vector to its ``n_assign`` nearest centroids by cosine.
+
+    Returns (id, vec, cell, cell_rank).  Centroids are broadcast (they are
+    tiny by construction); assignment is one corpus pass — the IVF build
+    step.  Deterministic tie-break: sim desc (rounded), centroid id asc.
+    """
+    c = centroids.select(
+        F.col("centroid_id"), F.col("cent_vec")
+    )
+    scored = (
+        vectors.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(c))
+        .select(
+            id_col,
+            vec_col,
+            F.col("centroid_id"),
+            F.round(cosine(vec_col, "cent_vec"), round_to).alias("csim"),
+        )
+    )
+    w = W.partitionBy(id_col).orderBy(
+        F.col("csim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("cell_rank", F.row_number().over(w))
+        .where(F.col("cell_rank") <= n_assign)
+        .select(id_col, vec_col, F.col("centroid_id").alias("cell"), "cell_rank")
+    )
+
+
+def knn_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    round_to: int = 6,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k: partition the corpus into centroid
+    cells, probe only the query's ``nprobe`` nearest cells.
+
+    Centroid choice here is deterministic (the ``n_centroids`` lowest-id
+    vectors) so the DuckDB oracle can regenerate the exact index; a
+    production build swaps in k-means centroids — the probe/search plan is
+    identical either way.
+
+    Scale design: each corpus vector lands in exactly ONE cell (no
+    duplication), the cell id is a disk bucketing/partitioning key at
+    100 TB, and a probe reads nprobe/n_centroids of the corpus instead of
+    all of it.  Candidate generation is an equality join on the cell id
+    with the (small) probe set broadcast.
+    """
+    if parallelism:
+        corpus = corpus.repartition(parallelism)
+    cents = (
+        corpus.where(F.col(id_col) < n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+        )
+    )
+    cells = assign_cells(corpus, cents, 1, id_col, vec_col, round_to).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        "cell",
+    )
+    probes = assign_cells(queries, cents, nprobe, id_col, vec_col, round_to).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "cell"
+    )
+    scored = (
+        cells.join(F.broadcast(probes), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("q_vec", "c_vec"), round_to).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def knn_lsh_bucketed(
     queries: DataFrame,
     corpus: DataFrame,

@@ -343,3 +343,30 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.col("l_discount").cast("decimal(4,2)")).cast("double") / F.count("*")).alias("avg_disc"),
         F.count("*").alias("count_order"),
     )
+
+
+@register(
+    "x1_salted_agg_hot_keys",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+    survey="§4 skew (two-stage salted aggregation — value-identical to plain groupBy)",
+)
+def x1_salted_agg_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe aggregation: salt on event_id spreads each event_type's
+    rows over 16 reducers, partials combine in a second (tiny) shuffle.
+    Exact-decimal sums make the two-stage regrouping bit-identical to the
+    one-stage plan — which is precisely what the oracle checks."""
+    from ..operators.skew import salted_agg
+
+    return salted_agg(
+        load_table(spark, sf_dir, "events"),
+        keys=["event_type"],
+        salt_on="event_id",
+        sums={"value_sum": dec2("value")},
+        count_name="n",
+        n_salt=16,
+    ).withColumn("value_sum", F.col("value_sum").cast("double"))

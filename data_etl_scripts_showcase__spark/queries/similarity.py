@@ -83,6 +83,65 @@ def v2_knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASSIGN_CTE = f"""
+    cents AS (
+        SELECT vec_id AS centroid_id, embedding AS cent_vec
+        FROM embeddings WHERE vec_id < 8
+    ),
+    assign AS (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(c.cent_vec AS DOUBLE[])), 6) DESC,
+                   c.centroid_id ASC
+               ) AS cell_rank
+        FROM embeddings e, cents c
+    )
+"""
+
+_IVF_COS = (
+    "round(list_cosine_similarity(CAST(p.q_vec AS DOUBLE[]), "
+    "CAST(c.c_vec AS DOUBLE[])), 6)"
+)
+
+
+@register(
+    "v4_knn_ivf",
+    oracle=f"""
+    WITH {_ASSIGN_CTE},
+    cells AS (
+        SELECT vec_id AS neighbor_id, embedding AS c_vec, centroid_id AS cell
+        FROM assign WHERE cell_rank = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, embedding AS q_vec, centroid_id AS cell
+        FROM assign WHERE vec_id < 8 AND cell_rank <= 2
+    )
+    SELECT p.query_id, c.neighbor_id,
+           {_IVF_COS} AS sim,
+           CAST(row_number() OVER (
+               PARTITION BY p.query_id
+               ORDER BY {_IVF_COS} DESC, c.neighbor_id ASC
+           ) AS INTEGER) AS rank
+    FROM probes p JOIN cells c ON p.cell = c.cell AND p.query_id <> c.neighbor_id
+    QUALIFY rank <= 3
+    """,
+    survey="NS-sim (IVF inverted-file ANN — cell-partitioned probe)",
+)
+def v4_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: corpus partitioned into centroid cells (each vector in
+    exactly one cell — the disk bucketing key at scale), queries probe their
+    nprobe=2 nearest cells only.  Deterministic lowest-id centroids so the
+    oracle regenerates the index; swap in k-means for production."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.knn_ivf(
+        e.where(F.col("vec_id") < 8), e, k=3, n_centroids=8, nprobe=2,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
 @register(
     "v3_norm_stats",
     oracle="""

@@ -161,3 +161,33 @@ class TestMultimodalOps:
             range(0, out[1].n_frames, max(1, (out[1].n_frames + 3) // 4))
         )
         assert len(out[1].sampled_frames) <= 4
+
+
+class TestIVF:
+    def test_ivf_cells_partition_the_corpus(self, spark):
+        """IVF build invariant: every corpus vector lands in exactly one cell
+        (cells are a partition of the corpus, so probes never double-count)."""
+        from data_etl_scripts_showcase__spark.operators.similarity import (
+            assign_cells,
+        )
+        from data_etl_scripts_showcase__spark.sources import load_table
+        from pyspark.sql import functions as F
+
+        e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        cents = e.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("cent_vec"),
+        )
+        cells = assign_cells(e, cents, 1)
+        assert cells.count() == e.count()
+        assert cells.select("vec_id").distinct().count() == e.count()
+
+    def test_ivf_neighbors_subset_of_bruteforce_pool(self, spark):
+        """IVF returns real corpus neighbors with valid sims (recall vs the
+        exact baseline is the standard ANN trade — structure is what we pin)."""
+        from data_etl_scripts_showcase__spark.queries import load_all
+
+        got = load_all()["v4_knn_ivf"].fn(spark, "/root/testdata/sf0.001")
+        rows = got.collect()
+        assert rows, "IVF probe returned nothing"
+        assert all(-1.0 <= r.sim <= 1.0 and r.rank <= 3 for r in rows)

@@ -148,3 +148,40 @@ def test_minhash_identical_docs_identical_signatures(spark, text):
     assert len(sig) == 2
     a, b = (tuple(r)[1:] for r in sorted(sig, key=lambda r: r.doc_id))
     assert a == b
+
+
+@FAST
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 10**6),  # unique-ish id to salt on
+            st.sampled_from(["hot", "hot", "hot", "cold"]),  # skewed key
+            st.integers(-(10**4), 10**4).map(lambda c: c / 100.0),
+        ),
+        min_size=1,
+        max_size=80,
+        unique_by=lambda t: t[0],
+    ),
+    st.sampled_from([2, 16]),
+)
+def test_salted_agg_equals_plain_agg(spark, rows, n_salt):
+    """Skew salting is invisible in the result: two-stage (key, salt) then
+    (key) aggregation is value-identical to one-stage groupBy, for any salt
+    fan-out — including on a deliberately skewed key distribution."""
+    from data_etl_scripts_showcase__spark.functions import dec2
+    from data_etl_scripts_showcase__spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(rows, "id bigint, k string, v double")
+    got = {
+        r.k: (r.s, r.n)
+        for r in salted_agg(
+            df, ["k"], "id", {"s": dec2("v")}, "n", n_salt
+        ).collect()
+    }
+    want = {
+        r.k: (r.s, r.n)
+        for r in df.groupBy("k")
+        .agg(F.sum(dec2("v")).alias("s"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
