@@ -1,0 +1,61 @@
+"""CSV / JSON-archive source+sink tests (SURVEY.md §2.1 S4-S6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_etl_scripts_showcase__spark.functions import bool_to_int
+from data_etl_scripts_showcase__spark.sources import load_table
+from data_etl_scripts_showcase__spark.sources.files import (
+    read_csv,
+    read_json_archive,
+    write_csv,
+    write_json_archive,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestCsvRoundtrip:
+    def test_header_schema_roundtrip(self, spark, tmp_path):
+        """S4+S5: write with header, read back with DECLARED schema —
+        values and dtypes survive exactly (no inference)."""
+        path = str(tmp_path / "csv")
+        src = (
+            load_table(spark, SF, "region")
+            .select("r_regionkey", "r_name")
+            .orderBy("r_regionkey")
+        )
+        write_csv(src, path)
+        back = read_csv(spark, path, "r_regionkey int, r_name string")
+        assert back.schema.simpleString() == "struct<r_regionkey:int,r_name:string>"
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+    def test_bool_int_export_convention(self, spark, tmp_path):
+        """F7 at the sink: booleans export as 0/1 (the reference's
+        convert_boolean applied to every CSV cell)."""
+        path = str(tmp_path / "csvb")
+        df = spark.createDataFrame(
+            [(1, True), (2, False), (3, None)], "id int, flag boolean"
+        ).select("id", bool_to_int("flag").alias("flag"))
+        write_csv(df, path)
+        back = read_csv(spark, path, "id int, flag int")
+        assert {r.id: r.flag for r in back.collect()} == {1: 1, 2: 0, 3: None}
+
+
+class TestJsonArchive:
+    def test_partitioned_archive_replay(self, spark, tmp_path):
+        """S6: per-(run, endpoint) archive; replay of one run×endpoint is a
+        partition-pruned read, not a filename glob."""
+        base = str(tmp_path / "archive")
+        d1 = spark.createDataFrame([(1, '{"a":1}'), (2, '{"a":2}')], "k int, body string")
+        d2 = spark.createDataFrame([(3, '{"a":3}')], "k int, body string")
+        write_json_archive(d1, base, "2026-01-01", "location")
+        write_json_archive(d2, base, "2026-01-01", "reviews")
+        write_json_archive(d1, base, "2026-01-02", "location")
+
+        one = read_json_archive(spark, base, "k int, body string",
+                                run_ds="2026-01-01", endpoint="location")
+        assert sorted(r.k for r in one.collect()) == [1, 2]
+        everything = read_json_archive(spark, base, "k int, body string")
+        assert everything.count() == 5
