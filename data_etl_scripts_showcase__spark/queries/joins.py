@@ -179,3 +179,156 @@ def j6_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         (F.col("r_regionkey") == F.col("n_regionkey")).alias("is_home"),
     )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_ds,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+    survey="J-std,A2,W-std (TPC-H Q3 shape — join-order + top-k by revenue)",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, filtered fact + broadcast dims, grouped
+    exact-decimal revenue, global top-10.  Catalyst pushes both date filters
+    into the scans; the customer segment filter shrinks the broadcast side
+    before the join.  Tie-break (o_orderdate, l_orderkey) pins row identity
+    for the oracle."""
+    from ..functions import dec2
+
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    rev = dec2("l_extendedprice", 12) * (F.lit(1.0) - F.col("l_discount")).cast(
+        "decimal(4,2)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_ds"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("order_ds"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_regional_revenue",
+    oracle="""
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    survey="J-std,A2 (TPC-H Q5 shape — 6-way join, local-supplier predicate)",
+)
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with the c_nationkey = s_nationkey
+    'local supplier' predicate, region-filtered, per-nation exact-decimal
+    revenue.  All dims broadcast; the two facts (orders, lineitem) meet in
+    the single shuffled join."""
+    from ..functions import dec2
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rev = dec2("l_extendedprice", 12) * (F.lit(1.0) - F.col("l_discount")).cast(
+        "decimal(4,2)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "j7_asof_join",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id, ts, value
+        FROM events WHERE event_type = 'purchase'
+        QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+    )
+    SELECT c.event_id,
+           c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           p.value AS last_purchase_value
+    FROM clicks c
+    ASOF LEFT JOIN purchases p ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    survey="custom op (as-of / point-in-time join — union+window, no range join)",
+)
+def j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click, the value of the user's most recent purchase at or
+    before it (null if none yet) — the point-in-time feature-backfill join.
+    Union + last(ignorenulls) window: one shuffle, no candidate-pair
+    explosion; verified against DuckDB's native ASOF JOIN."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("value"))
+    )
+    return asof_join(clicks, purchases, on="ts", by=["user_id"]).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.col("value").alias("last_purchase_value"),
+    )

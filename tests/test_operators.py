@@ -191,3 +191,40 @@ class TestIVF:
         rows = got.collect()
         assert rows, "IVF probe returned nothing"
         assert all(-1.0 <= r.sim <= 1.0 and r.rank <= 3 for r in rows)
+
+
+class TestAsofJoin:
+    def test_asof_semantics_edges(self, spark):
+        """At-or-before matching: equal-ts matches, pre-first-right is null,
+        later rights never leak backward, keys don't cross."""
+        from data_etl_scripts_showcase__spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 10, "l1"), (1, 20, "l2"), (1, 35, "l3"), (2, 5, "l4")],
+            "k bigint, ts bigint, tag string",
+        )
+        right = spark.createDataFrame(
+            [(1, 20, 200.0), (1, 30, 300.0), (2, 50, 500.0)],
+            "k bigint, ts bigint, v double",
+        )
+        got = {
+            r.tag: r.v
+            for r in asof_join(left, right, on="ts", by=["k"]).collect()
+        }
+        assert got == {
+            "l1": None,   # before any right row for k=1
+            "l2": 200.0,  # equal ts counts (>= semantics)
+            "l3": 300.0,  # latest at-or-before 35
+            "l4": None,   # k=2's only right row is later
+        }
+
+    def test_asof_name_collision_suffix(self, spark):
+        """A right value column that collides with a left name is suffixed."""
+        from data_etl_scripts_showcase__spark.operators.asof import asof_join
+
+        left = spark.createDataFrame([(1, 10, 1.0)], "k bigint, ts bigint, v double")
+        right = spark.createDataFrame([(1, 5, 9.0)], "k bigint, ts bigint, v double")
+        out = asof_join(left, right, on="ts", by=["k"])
+        assert "v_asof" in out.columns and "v" in out.columns
+        row = out.collect()[0]
+        assert row.v == 1.0 and row.v_asof == 9.0
