@@ -1,0 +1,60 @@
+"""Interval (range-containment) join — banded, shuffle-friendly.
+
+The naive formulation `point.ts BETWEEN iv.start AND iv.end` is an
+inequality join: Spark can only execute it as a broadcast-nested-loop or
+cartesian plan — O(|P|·|I|) per key, which does not survive 100 TB.
+
+Banded formulation: quantize time into fixed buckets; each interval explodes
+to the buckets it covers, each point lands in exactly ONE bucket, and the
+join becomes an EQUALITY join on (key, bucket) followed by the exact
+containment filter.  Each (point, interval) pair can meet in at most one
+bucket (the point's), so no dedup pass is needed.  Cost is
+O(|P| + |I|·span/bucket + matches) with a plain hash shuffle — pick the
+bucket width near the typical interval span so each interval explodes to
+~1-3 rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(ts: Column, seconds: int) -> Column:
+    return F.floor(
+        F.unix_micros(ts.cast("timestamp")) / F.lit(seconds * 1_000_000)
+    )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    by: list[str],
+    bucket_seconds: int = 900,
+) -> DataFrame:
+    """Inner join: points falling inside [start, end] per key (inclusive).
+
+    Returns all columns of both sides (names must not collide outside
+    ``by``).  Equality-join plan — no nested-loop, no cartesian.
+    """
+    p = points.withColumn("_b", _bucket(F.col(point_ts), bucket_seconds))
+    iv = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                _bucket(F.col(start_col), bucket_seconds),
+                _bucket(F.col(end_col), bucket_seconds),
+            )
+        ),
+    )
+    return (
+        p.join(iv, on=by + ["_b"])
+        .where(
+            (F.col(point_ts) >= F.col(start_col))
+            & (F.col(point_ts) <= F.col(end_col))
+        )
+        .drop("_b")
+    )

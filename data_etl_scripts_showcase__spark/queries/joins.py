@@ -332,3 +332,47 @@ def j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
         F.col("value").alias("last_purchase_value"),
     )
+
+
+@register(
+    "j8_interval_join",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(epoch_us(c.ts) - epoch_us(p.ts) AS BIGINT) AS offset_us
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND c.ts >= p.ts - INTERVAL 15 MINUTE
+     AND c.ts <= p.ts + INTERVAL 15 MINUTE
+    """,
+    survey="custom op (interval/range join — time-bucket banding, equality-join plan)",
+)
+def j8_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks within ±15 min of a same-user purchase (attribution window).
+    Banded into 900s buckets: intervals explode to ~3 buckets, points join
+    by equality on (user, bucket), exact containment filtered after — the
+    plan a naive BETWEEN join could never produce (it would go
+    nested-loop).  Oracle is the naive inequality join in DuckDB."""
+    from ..operators.rangejoin import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    windows = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        (F.col("ts") - F.expr("INTERVAL 15 MINUTES")).alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("w_end"),
+    )
+    return interval_join(
+        clicks, windows, "ts", "w_start", "w_end", by=["user_id"]
+    ).select(
+        "click_id",
+        "purchase_id",
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.unix_micros(F.col("p_ts").cast("timestamp"))).alias("offset_us"),
+    )

@@ -228,3 +228,44 @@ class TestAsofJoin:
         assert "v_asof" in out.columns and "v" in out.columns
         row = out.collect()[0]
         assert row.v == 1.0 and row.v_asof == 9.0
+
+
+class TestIntervalJoin:
+    def test_boundaries_inclusive_and_keys_isolated(self, spark):
+        from data_etl_scripts_showcase__spark.operators.rangejoin import (
+            interval_join,
+        )
+
+        points = spark.createDataFrame(
+            [(1, 100, "in-lo"), (1, 200, "in-hi"), (1, 99, "below"),
+             (1, 201, "above"), (2, 150, "wrong-key")],
+            "k bigint, ts bigint, tag string",
+        )
+        ivs = spark.createDataFrame(
+            [(1, 100, 200, "w1")], "k bigint, lo bigint, hi bigint, wid string"
+        )
+        got = sorted(
+            r.tag
+            for r in interval_join(
+                points, ivs, "ts", "lo", "hi", by=["k"], bucket_seconds=7
+            ).collect()
+        )
+        assert got == ["in-hi", "in-lo"]
+
+    def test_interval_spanning_many_buckets(self, spark):
+        """A wide interval explodes across buckets but each contained point
+        matches exactly once (no dup pairs)."""
+        from data_etl_scripts_showcase__spark.operators.rangejoin import (
+            interval_join,
+        )
+
+        points = spark.createDataFrame(
+            [(1, t, f"p{t}") for t in range(0, 1000, 100)],
+            "k bigint, ts bigint, tag string",
+        )
+        ivs = spark.createDataFrame(
+            [(1, 0, 1000, "wide")], "k bigint, lo bigint, hi bigint, wid string"
+        )
+        out = interval_join(points, ivs, "ts", "lo", "hi", ["k"], bucket_seconds=3)
+        assert out.count() == 10
+        assert out.select("tag").distinct().count() == 10

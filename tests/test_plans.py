@@ -84,3 +84,20 @@ class TestAggregationShape:
         plan = plan_of(spark, "d2_minhash_signature")
         assert plan.count("Arguments: hashpartitioning") == 1
         assert "partial_min" in plan
+
+
+class TestCustomJoinOps:
+    def test_interval_join_is_equality_join(self, spark):
+        """The banded interval join must compile to a hash equality join —
+        the whole point is avoiding the nested-loop plan a raw BETWEEN
+        predicate forces."""
+        plan = plan_of(spark, "j8_interval_join")
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_asof_join_single_shuffle(self, spark):
+        """As-of join = union + window: exactly one hash shuffle on the key
+        (plus the window sort), never a range-join candidate explosion."""
+        plan = plan_of(spark, "j7_asof_join")
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
