@@ -73,9 +73,15 @@ def perm_hash(h: Column, seed: int) -> Column:
     return (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
 
 
-def word_ngrams(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles of the normalized text (distinct)."""
-    toks = tokens(col)
+def ngrams_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from an ALREADY-MATERIALIZED token array.
+
+    ``toks`` must be a plain column reference (not the tokenization
+    expression): the expression appears once per ``element_at`` inside the
+    transform lambda, and Spark re-evaluates it each time — inlining the
+    regex tokenizer here was measured 5× slower at sf0.1.  Hot paths
+    project ``tokens(text)`` first (see ``_shingles``).
+    """
     n_grams = F.size(toks) - (n - 1)
     # guard: sequence(1, 0) DESCENDS in Spark — short docs must yield [].
     idx = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
@@ -88,6 +94,26 @@ def word_ngrams(col: Column | str, n: int = 3) -> Column:
         ),
     )
     return F.array_distinct(grams)
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles of the normalized text (distinct).
+
+    Convenience single-expression form.  In hot paths prefer projecting
+    ``tokens(col)`` to a column first and calling ``ngrams_from_tokens``
+    on the reference (see that function's perf note).
+    """
+    return ngrams_from_tokens(tokens(col), n)
+
+
+def _shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, shingle) pairs with the token array materialized once per doc."""
+    return df.select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    ).select(
+        F.col(id_col),
+        F.explode(ngrams_from_tokens(F.col("_toks"))).alias("shingle"),
+    )
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -127,9 +153,7 @@ def minhash_signature(
     """
     if parallelism:
         df = df.repartition(parallelism)
-    sh = df.select(
-        F.col(id_col), F.explode(word_ngrams(text_col)).alias("shingle")
-    ).withColumn("h", base_hash("shingle"))
+    sh = _shingles(df, id_col, text_col).withColumn("h", base_hash("shingle"))
     aggs = [
         F.min(perm_hash(F.col("h"), s)).alias(f"mh{s}") for s in range(n_seeds)
     ]
@@ -191,9 +215,7 @@ def simhash32(
     """
     if parallelism:
         df = df.repartition(parallelism)
-    sh = df.select(
-        F.col(id_col), F.explode(word_ngrams(text_col)).alias("shingle")
-    ).withColumn("h", h32("shingle", 0))
+    sh = _shingles(df, id_col, text_col).withColumn("h", h32("shingle", 0))
     aggs = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)

@@ -132,7 +132,9 @@ def d4_jaccard_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-Jaccard over the LSH candidates only (bounded set),
     keeping pairs with J ≥ 0.5 — the verify stage of MinHash dedup."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select("doc_id", DD.word_ngrams("text").alias("grams"))
+    grams = docs.select("doc_id", DD.tokens("text").alias("_toks")).select(
+        "doc_id", DD.ngrams_from_tokens(F.col("_toks")).alias("grams")
+    )
     sig = DD.minhash_signature(
         docs, "doc_id", "text", parallelism=spark.sparkContext.defaultParallelism
     )
