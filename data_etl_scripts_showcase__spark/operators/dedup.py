@@ -116,12 +116,19 @@ def _shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def exact_dedup(
+    df: DataFrame, id_col: str, text_col: str, parallelism: int | None = None
+) -> DataFrame:
     """Exact duplicate groups by md5 fingerprint of normalized text.
 
     Returns (fingerprint, rep_id, dup_count): representative = min id.
     One shuffle on the digest; never compares full texts.
+    ``parallelism``: spread the md5+normalize work when the source scan
+    yields too few partitions (single-row-group local files); at 100 TB the
+    scan is already wide and this stays None (see minhash_signature).
     """
+    if parallelism:
+        df = df.repartition(parallelism)
     return (
         df.select(F.col(id_col), F.md5(normalize(text_col)).alias("fingerprint"))
         .groupBy("fingerprint")

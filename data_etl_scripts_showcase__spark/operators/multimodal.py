@@ -107,6 +107,15 @@ def decode_stub_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
         )
 
 
-def extract_features(assets: DataFrame) -> DataFrame:
-    """Run the decode/feature stage over an asset table."""
+def extract_features(
+    assets: DataFrame, parallelism: int | None = None
+) -> DataFrame:
+    """Run the decode/feature stage over an asset table.
+
+    ``parallelism``: spread the Python workers when the upstream scan has
+    too few partitions (local single-row-group files); a real 100 TB scan
+    is already wide — leave None and the decode inherits its partitioning.
+    """
+    if parallelism:
+        assets = assets.repartition(parallelism)
     return assets.mapInPandas(decode_stub_features, FEATURE_SCHEMA)

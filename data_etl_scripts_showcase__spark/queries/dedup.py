@@ -79,7 +79,12 @@ _CAND_SQL = """
 )
 def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate groups: md5(normalized text) → representative + count."""
-    return DD.exact_dedup(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    return DD.exact_dedup(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
 
 
 @register(

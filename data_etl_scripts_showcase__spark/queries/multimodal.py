@@ -79,4 +79,6 @@ def mm2_decoded_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-for-value against the SQL oracle.
     """
     assets = MM.to_assets(load_table(spark, sf_dir, "documents"), "doc_id", "text")
-    return MM.extract_features(assets)
+    return MM.extract_features(
+        assets, parallelism=spark.sparkContext.defaultParallelism
+    )
