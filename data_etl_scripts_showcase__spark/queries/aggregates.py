@@ -370,3 +370,60 @@ def x1_salted_agg_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_name="n",
         n_salt=16,
     ).withColumn("value_sum", F.col("value_sum").cast("double"))
+
+
+@register(
+    "a13_cube",
+    oracle="""
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(strftime(date_trunc('month', ts), '%Y-%m'), 'ALL') AS month,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY CUBE (event_type, date_trunc('month', ts))
+    """,
+    survey="A-std (CUBE — all grouping-set combinations in one pass)",
+)
+def a13_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, month): all four grouping sets in one shuffle
+    (Spark expands grouping sets map-side — no four separate scans)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "month", F.date_format(F.date_trunc("month", "ts"), "yyyy-MM")
+    )
+    return (
+        ev.cube("event_type", "month")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec2("value")).cast("double").alias("value_sum"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("month", F.lit("ALL")).alias("month"),
+            "n",
+            "value_sum",
+        )
+    )
+
+
+@register(
+    "a14_quantiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+    survey="A-std (exact interpolated quantiles; approx_percentile is the 100 TB path)",
+)
+def a14_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type p50/p95/p99 via exact interpolated percentile (matches
+    DuckDB quantile_cont).  At 100 TB swap `percentile` for
+    `approx_percentile` (t-digest, mergeable, no full sort) — same call
+    shape, bounded error instead of exact ranks."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )

@@ -133,3 +133,25 @@ def st5_stateful_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateful_user_activity(events_stream(spark, sf_dir)), mode="append"
     )
     return final_user_activity(emissions)
+
+
+@register(
+    "st6_stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_name AS user_name, e.event_type, e.value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    survey="§2.10 (stream-static enrichment join, REAL readStream)",
+)
+def st6_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming events enriched against a static dimension (the streaming
+    form of J2): the static side is broadcast into every micro-batch, no
+    stream-side shuffle and no state — the cheapest join a stream can do."""
+    ev = events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_name").alias("user_name")
+    )
+    joined = ev.join(
+        F.broadcast(cust), ev.user_id == cust.c_custkey, "inner"
+    ).select("event_id", "user_id", "user_name", "event_type", "value")
+    return run_to_memory(joined, mode="append")
