@@ -24,7 +24,12 @@ from data_etl_scripts_showcase__spark.session import get_session  # noqa: E402
 HEADLINE = [
     "flagship_active_customer_snapshot",
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
     "j2_multiway_left_enrichment",
+    "j7_asof_join",
+    "j8_interval_join",
+    "e1_enrichment_flagship",
     "a3_pivot_status_qty",
     "w1_topk_per_group",
     "a2_grouped_sum_shredded_json",
