@@ -1,5 +1,7 @@
 from .jobs import (
     events_stream,
+    incremental_rollup,
+    read_rollup,
     final_user_activity,
     run_to_memory,
     sessionize_batch,
@@ -11,6 +13,8 @@ from .jobs import (
 
 __all__ = [
     "events_stream",
+    "incremental_rollup",
+    "read_rollup",
     "tumbling_counts",
     "sliding_counts",
     "sessionize_batch",

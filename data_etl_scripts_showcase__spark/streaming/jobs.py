@@ -188,6 +188,57 @@ def final_user_activity(emissions: DataFrame) -> DataFrame:
     )
 
 
+def incremental_rollup(
+    events: DataFrame,
+    out_path: str,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> None:
+    """Hypertable-style continuous aggregate: maintain a date-partitioned
+    hourly rollup table incrementally from the event stream.
+
+    ``trigger(availableNow)`` + ``foreachBatch``: each micro-batch's
+    windowed partials land as date partitions (`ds=`), so (a) re-runs only
+    touch the dates present in the batch, (b) readers prune to the days
+    they ask for, and (c) a restart resumes from the checkpoint instead of
+    recomputing history.  Readers re-aggregate per window on read (partials
+    are additive: counts and decimal sums), which is what makes per-batch
+    appends safe without read-modify-write.
+    """
+    agg = tumbling_counts(events, window=window, watermark=watermark)
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        (
+            df.withColumn("ds", F.substring("window_start", 1, 10))
+            .write.mode("append")
+            .partitionBy("ds")
+            .parquet(out_path)
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="ckpt_rollup_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_rollup(spark: SparkSession, path: str) -> DataFrame:
+    """Read the continuous aggregate, merging per-batch partials."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum(dec2("value_sum")).cast("double").alias("value_sum"),
+        )
+    )
+
+
 def run_to_memory(
     sdf: DataFrame, mode: str = "complete", name: str | None = None
 ) -> DataFrame:

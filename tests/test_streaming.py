@@ -98,3 +98,22 @@ class TestIncrementalSnapshot:
         assert written.count() == load_table(spark, SF, "events").count()
         n_days = written.select("ds").distinct().count()
         assert n_days >= 28  # a month of dated partitions
+
+
+class TestIncrementalRollup:
+    def test_rollup_partials_merge_to_batch_aggregate(self, spark, tmp_path):
+        """Continuous hourly aggregate: per-batch partial appends, merged on
+        read, equal the one-shot batch aggregation (and partitions by ds)."""
+        from data_etl_scripts_showcase__spark.streaming import (
+            incremental_rollup,
+            read_rollup,
+        )
+
+        out = str(tmp_path / "rollup")
+        incremental_rollup(events_stream(spark, SF), out)
+        got = read_rollup(spark, out)
+        want = tumbling_counts(load_table(spark, SF, "events"))
+        cols = ["window_start", "event_type", "n", "value_sum"]
+        assert as_sorted_tuples(got, cols) == as_sorted_tuples(want, cols)
+        n_days = spark.read.parquet(out).select("ds").distinct().count()
+        assert n_days >= 28
