@@ -62,6 +62,7 @@ def load_all() -> dict[str, Query]:
         pipelines_q,
         relational,
         similarity,
+        statistics,
         streaming_like,
         text_analysis,
         windows,

@@ -1,0 +1,203 @@
+"""Statistical aggregate surface (beyond-reference A-std extensions).
+
+The reference computes only count/sum/avg/round (SURVEY.md §2.4); a real
+analytics engine needs the dispersion/association/shape family.  All of
+these are one-pass mergeable aggregates in Spark (Welford-style co-moment
+merging under partial aggregation) — a single shuffle on the group key,
+identical to the plan shape of `sum`, so they scale to 100 TB unchanged.
+
+Determinism notes (oracle gate):
+- stddev/variance/corr are accumulation-order-dependent in the last ~few
+  ulps; both engines use numerically stable co-moment merges, so rounding
+  to 6 dp (O(1)-magnitude results) / 2 dp (large-magnitude covariances)
+  pins the hash.
+- mode has no deterministic tie-break in either engine → implemented as
+  count + rank with an explicit (freq DESC, value ASC) order on BOTH sides.
+- approx_count_distinct (HLL++) can never hash-match DuckDB's sketch, so
+  the query *verifies the approximation contract instead*: it returns the
+  exact count plus a boolean "approx within 5%" — the oracle asserts TRUE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions import dec2
+from ..sources import load_table
+from . import register
+
+
+@register(
+    "a15_dispersion_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6) AS qty_stddev,
+           round(var_samp(l_quantity), 6) AS qty_var,
+           round(stddev_pop(l_quantity), 6) AS qty_stddev_pop,
+           round(var_pop(l_quantity), 6) AS qty_var_pop
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    survey="A-std (dispersion: stddev/variance, sample + population)",
+)
+def a15_dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group dispersion: one hash-agg pass, partials merge as
+    (n, mean, M2) triples — no second scan, no global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+        F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+        F.round(F.stddev_pop("l_quantity"), 6).alias("qty_stddev_pop"),
+        F.round(F.var_pop("l_quantity"), 6).alias("qty_var_pop"),
+    )
+
+
+@register(
+    "a16_corr_covar",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+           round(covar_pop(l_quantity, l_extendedprice), 2) AS qty_price_covar_pop
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    survey="A-std (association: corr / covariance)",
+)
+def a16_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation + covariance between quantity and price per return flag.
+    Covariances are O(1e5)-magnitude so they round to 2 dp; corr is unit-
+    scaled and rounds to 6 dp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr(q, p), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp(q, p), 2).alias("qty_price_covar"),
+        F.round(F.covar_pop(q, p), 2).alias("qty_price_covar_pop"),
+    )
+
+
+@register(
+    "a17_mode_deterministic",
+    oracle="""
+    SELECT l_returnflag, l_quantity AS modal_qty, freq
+    FROM (
+        SELECT l_returnflag, l_quantity,
+               CAST(count(*) AS BIGINT) AS freq,
+               row_number() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY count(*) DESC, l_quantity ASC
+               ) AS rn
+        FROM lineitem GROUP BY l_returnflag, l_quantity
+    )
+    WHERE rn = 1
+    """,
+    survey="A-std (mode with pinned tie-break — built-in mode() is nondeterministic on ties)",
+)
+def a17_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: value-level count then rank by (freq DESC, value
+    ASC).  Two shuffles, but the second input is one row per distinct value
+    — negligible at any scale (distinct quantities, not rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counted = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").alias("freq")
+    )
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.col("freq").desc(), F.col("l_quantity").asc()
+    )
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("modal_qty"), "freq")
+    )
+
+
+@register(
+    "a18_approx_distinct_check",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS approx_within_5pct
+    FROM events GROUP BY event_type
+    """,
+    survey="A-std (approx_count_distinct — HLL++; oracle asserts the error contract)",
+)
+def a18_approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct at rsd=0.01, verified against the exact
+    count to within 5% inside the query itself.  At 100 TB the exact side
+    disappears and only the mergeable O(kB)-state sketch remains — this
+    query exists to pin the accuracy contract under the oracle gate."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("_approx"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("approx_within_5pct"),
+        )
+    )
+
+
+@register(
+    "a19_histogram",
+    oracle="""
+    -- this DuckDB build has no width_bucket; the arithmetic below is its
+    -- exact definition on [0, 350) with 14 buckets (underflow→0, overflow→15)
+    SELECT CASE WHEN value < 0.0 THEN 0
+                WHEN value >= 350.0 THEN 15
+                ELSE CAST(floor(value * 14 / 350.0) AS INTEGER) + 1 END AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events GROUP BY 1
+    """,
+    survey="A-std (width_bucket histogram — fixed-width binning, one shuffle)",
+)
+def a19_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event values: width_bucket is a pure
+    expression (codegen'd), so the histogram is an ordinary hash aggregate
+    — no sort, no driver-side binning."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.width_bucket("value", F.lit(0.0), F.lit(350.0), F.lit(14))
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec2("value")).cast("double").alias("value_sum"),
+        )
+    )
+
+
+@register(
+    "x2_hash_sample",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS sample_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sample_spend
+    FROM orders
+    WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+    """,
+    survey="A-std (deterministic hash sampling — reproducible across engines & cluster sizes)",
+)
+def x2_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic sample by key hash (md5 bucket < 10).
+
+    TABLESAMPLE is partition-count-dependent and engine-specific; hashing
+    the key makes the sample reproducible on any engine, any partitioning,
+    any day — which is what a 100 TB pipeline needs for A/B-stable
+    downsampling.  The filter is a pure expression, evaluated scan-side."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    return o.where(bucket % 100 < 10).agg(
+        F.count("*").alias("sample_rows"),
+        F.sum(dec2("o_totalprice")).cast("double").alias("sample_spend"),
+    )
