@@ -65,6 +65,7 @@ def load_all() -> dict[str, Query]:
         statistics,
         streaming_like,
         text_analysis,
+        tpch_shapes,
         windows,
     )
 

@@ -1,0 +1,253 @@
+"""Decision-support query shapes (TPC-H Q4/Q6/Q10/Q14/Q18/Q19 adapted).
+
+The reference never composes multi-table analytics (its one join is the
+collected IN-list, SURVEY.md §2.3 J1), but an engine claiming its query
+surface must handle the canonical warehouse shapes: correlated EXISTS,
+scan-heavy filter-aggregates, top-k revenue joins, conditional ratio
+aggregates, HAVING-subquery joins, and disjunctive multi-column predicates.
+Adapted to the testdata schema (lineitem has no commitdate/receiptdate/
+shipmode — predicates use shipdate/orderdate instead).
+
+Every shape is written the way it should execute at 100 TB:
+- filters sit directly on the scan (predicate pushdown to parquet);
+- EXISTS / IN-subqueries are left-semi joins, never collected id lists;
+- small build sides (part at one row per ~250k lineitem) broadcast;
+- money math goes through exact decimals (bit-stable under AQE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import dec2
+from ..sources import load_table
+from . import register
+
+
+def _disc_price():
+    """l_extendedprice * (1 - l_discount) as an exact decimal."""
+    return dec2("l_extendedprice", 12) * (
+        (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+    )
+
+
+@register(
+    "q4_order_priority_check",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+    survey="J-std (TPC-H Q4 shape: correlated EXISTS → left-semi join)",
+)
+def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with at least one line shipped >30 days after order date,
+    counted per priority.  The correlated EXISTS becomes a left-semi join
+    with the correlation folded into the join condition — one shuffle on
+    orderkey, no duplicate-orders blowup, no DISTINCT needed."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (o["o_orderkey"] == li["l_orderkey"]) & (
+        li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 30 DAY")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q6_revenue_delta",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue_delta,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24.0
+    """,
+    survey="A-std (TPC-H Q6 shape: pure scan-filter-aggregate, full pushdown)",
+)
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue that would be forfeited by dropping small discounts: the
+    pure scan-side query — all four predicates push to the parquet reader,
+    the aggregate is a single global partial+final sum.  At 100 TB this is
+    bandwidth-bound and embarrassingly parallel; any plan with a shuffle
+    before the partial agg is wrong."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24.0)
+    )
+    return f.agg(
+        F.sum(dec2("l_extendedprice", 12) * F.col("l_discount").cast("decimal(4,2)"))
+        .cast("double")
+        .alias("revenue_delta"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "q10_returned_item_revenue",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    survey="J-std,W-std (TPC-H Q10 shape: 3-way join → agg → top-k)",
+)
+def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by returned-item revenue.  lineitem is filtered to
+    'R' at the scan before joining (quarter of the rows), the 3-way join
+    shuffles on orderkey then custkey, and the top-k is
+    TakeOrderedAndProject — no global sort.  The exact-decimal revenue makes
+    the ORDER BY deterministic (double sums would make rank 20/21 flap)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(_disc_price()).alias("_rev"))
+        .orderBy(F.col("_rev").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select("c_custkey", "c_name", F.col("_rev").cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    oracle="""
+    SELECT round(
+             100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                            * CAST(1 - l_discount AS DECIMAL(4,2)) END) AS DOUBLE)
+                   / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE),
+             6) AS promo_share_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+    survey="J-std,A5 (TPC-H Q14 shape: broadcast dim join + conditional ratio aggregate)",
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of one month's revenue from PROMO parts.  part is the small
+    dimension — broadcast explicitly so the month of lineitem never
+    shuffles; the conditional numerator and total denominator come out of
+    one aggregate pass."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    dp = _disc_price()
+    joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    return joined.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", dp)).cast("double")
+            / F.sum(dp).cast("double"),
+            6,
+        ).alias("promo_share_pct")
+    )
+
+
+@register(
+    "q18_large_volume_orders",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, sum_qty
+    FROM (
+        SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 140.0
+    ) big
+    JOIN orders   ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+    survey="J-std (TPC-H Q18 shape: HAVING subquery joined back to facts)",
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total quantity exceeds 140 units, with their customer.
+    The aggregate-then-join order matters at scale: grouping lineitem FIRST
+    shrinks it ~4× (one row per order) before any join, and the HAVING
+    filter cuts that to the rare heavy orders — the joins then move almost
+    no data.  (l_quantity is integral, so its double sum is exact.)"""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 140.0)
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select("c_custkey", "o_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+    """,
+    survey="J-std (TPC-H Q19 shape: disjunctive mixed-table predicates over a broadcast join)",
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from three disjunctive brand/size/quantity bands.  The OR
+    spans both tables so it can't fully push down — but its single-table
+    residuals can: Catalyst derives `p_brand IN (...)` on the part scan and
+    `l_quantity <= 30` on lineitem from the disjunction, and the join
+    itself broadcasts part."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+
+    def band(brand, size_hi, q_lo, q_hi):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, size_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+
+    return j.where(
+        band("Brand#12", 15, 1, 11)
+        | band("Brand#23", 25, 10, 20)
+        | band("Brand#34", 35, 20, 30)
+    ).agg(
+        F.sum(_disc_price()).cast("double").alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
