@@ -198,3 +198,69 @@ def m7_array_std_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(toks)).alias("n_unique"),
         F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x)).alias("head_upper"),
     )
+
+
+@register(
+    "m8_map_std_surface",
+    oracle="""
+    SELECT o_orderkey,
+           list_sort(map_keys(MAP(['status','priority'],[o_orderstatus,o_orderpriority]))) AS keys_sorted,
+           -- DuckDB map extraction yields a LIST; [1] unwraps to the scalar
+           (MAP(['status','priority'],[o_orderstatus,o_orderpriority])['status'])[1] AS status_val,
+           CAST(cardinality(MAP(['status','priority'],[o_orderstatus,o_orderpriority])) AS INTEGER) AS n_entries
+    FROM orders
+    """,
+    survey="M-std (MapType surface: create_map / map_keys / element_at / size)",
+)
+def m8_map_std_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType column surface (the reference's daywise_hours dict —
+    SURVEY §2.8 M2 — generalized): build, key-list, lookup, cardinality.
+    Map internals never cross engines — every output is projected to
+    sortable scalar/array form, which is also the right discipline for
+    parquet interop at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+        F.element_at(m, "status").alias("status_val"),
+        F.size(m).alias("n_entries"),
+    )
+
+
+@register(
+    "m9_higher_order_fold",
+    oracle="""
+    WITH per_order AS (
+        SELECT l_orderkey, list_sort(list(l_quantity)) AS qtys
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           CAST(list_sum(list_transform(qtys, x -> x * x)) AS DOUBLE) AS qty_sq_sum,
+           CAST(len(list_filter(qtys, x -> x > 25.0)) AS INTEGER) AS n_big,
+           CAST(list_sum(qtys) AS DOUBLE) AS qty_sum
+    FROM per_order
+    """,
+    survey="M-std (higher-order fold: transform → aggregate lambda, filter+size)",
+)
+def m9_higher_order_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array fold per order: transform (square), aggregate
+    (sum-fold), filter+size — all JVM lambda expressions inside codegen,
+    zero Python.  The array is sorted first so the fold order (and thus
+    any float accumulation) is identical on both engines; quantities are
+    integral so the sums are exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_quantity")).alias("qtys")
+    )
+    return per_order.select(
+        "l_orderkey",
+        F.aggregate(
+            F.transform("qtys", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        ).alias("qty_sq_sum"),
+        F.size(F.filter("qtys", lambda x: x > 25.0)).alias("n_big"),
+        F.aggregate("qtys", F.lit(0.0), lambda a, x: a + x).alias("qty_sum"),
+    )

@@ -219,3 +219,28 @@ def f_casts_and_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").try_cast("int").alias("seg_as_int"),
         F.col("c_nationkey").cast("double").alias("nation_dbl"),
     )
+
+
+@register(
+    "f_listagg_sorted",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(c_name, ',' ORDER BY c_name ASC) AS members_csv,
+           CAST(count(*) AS BIGINT) AS n_members
+    FROM customer
+    WHERE c_acctbal < 0.0
+    GROUP BY c_nationkey
+    """,
+    survey="A-std (ordered string aggregation — listagg with pinned element order)",
+)
+def f_listagg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered listagg: collect_list is partition-order-nondeterministic,
+    so the canonical deterministic form is array_sort before joining —
+    same contract as DuckDB's string_agg(... ORDER BY).  Bounded per-group
+    cardinality (negative-balance members) keeps the row width sane at
+    scale; unbounded listagg at 100 TB is a design smell."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") < 0.0)
+    return c.groupBy("c_nationkey").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("c_name"))).alias("members_csv"),
+        F.count("*").alias("n_members"),
+    )

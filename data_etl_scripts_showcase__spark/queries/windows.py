@@ -192,3 +192,135 @@ def w6_latest_by_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").alias("latest_price"),
         )
     )
+
+
+@register(
+    "w7_sessionize_batch",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), numbered AS (
+        SELECT user_id, ts, event_id,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS duration_us
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    survey="W-std (batch sessionization: gap-based session ids via lag + running sum)",
+)
+def w7_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity closes a session): the
+    classic lag → boundary-flag → running-sum-as-session-id composition.
+    One shuffle on user_id serves both windows AND the final per-session
+    aggregate (same partitioning — Catalyst reuses the exchange).  The
+    streaming twin is st3_session_windows; timestamps compare in exact
+    epoch micros (int64) for cross-engine determinism."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.lag(us).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(prev_us.isNull() | (us - prev_us > 1_800_000_000), 1).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (
+            F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+            - F.min(F.unix_micros(F.col("ts").cast("timestamp")))
+        ).alias("duration_us"),
+    )
+
+
+@register(
+    "w8_rolling_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts) ASC
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS hour_value_sum
+    FROM events
+    """,
+    survey="W-std (RANGE frame: time-based rolling window, value-bounded not row-bounded)",
+)
+def w8_rolling_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 1-hour value sum via a RANGE frame over epoch
+    micros.  RANGE (not ROWS) makes the frame a time interval — rows with
+    equal timestamps land in the same frame on both engines, so no
+    tie-break is needed for determinism (plus exact-decimal summation)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(us.asc())
+        .rangeBetween(-3_600_000_000, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(dec2("value")).over(w).cast("double").alias("hour_value_sum"),
+    )
+
+
+@register(
+    "w9_ntile_deciles",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ntile(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS INTEGER) AS price_decile
+    FROM orders
+    """,
+    survey="W-std (ntile bucketing)",
+)
+def w9_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global price deciles.  An unpartitioned window is a single-reducer
+    sort — fine for a bounded result like bucket boundaries, but at 100 TB
+    the same decile labels should come from approx_percentile boundaries
+    joined back (no global sort); this query pins the exact semantics."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return o.select(
+        "o_orderkey", F.ntile(10).over(w).alias("price_decile")
+    )
+
+
+@register(
+    "w10_distribution_ranks",
+    oracle="""
+    SELECT o_orderkey,
+           round(percent_rank() OVER w, 6) AS price_pct_rank,
+           round(cume_dist() OVER w, 6) AS price_cume_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+    survey="W-std (distribution functions: percent_rank / cume_dist)",
+)
+def w10_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist within order status.  The unique (price,
+    key) ordering makes every row its own peer group, so both engines
+    compute identical rational values; rounded to 6 dp only to guard the
+    final double division."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
+    )
