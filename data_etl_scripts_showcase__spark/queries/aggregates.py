@@ -427,3 +427,37 @@ def a14_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
         F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
     )
+
+
+@register(
+    "a20_grouping_sets",
+    oracle="""
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY GROUPING SETS ((event_type, date_trunc('day', ts)),
+                            (event_type), (date_trunc('day', ts)))
+    """,
+    survey="A-std (explicit GROUPING SETS via the SQL API — between rollup and cube)",
+)
+def a20_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through spark.sql — the third grouping-
+    analytics entry point next to rollup (a12) and cube (a13), and the
+    proof that the engine's SQL surface accepts ANSI grouping analytics
+    directly.  Spark expands the sets map-side: one scan, one shuffle,
+    regardless of how many sets are named."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    view = "events_gs_view"
+    ev.createOrReplaceTempView(view)
+    return spark.sql(f"""
+        SELECT coalesce(event_type, 'ALL') AS event_type,
+               coalesce(day, 'ALL') AS day,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        FROM {view}
+        GROUP BY GROUPING SETS ((event_type, day), (event_type), (day))
+    """)

@@ -155,3 +155,33 @@ def st6_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(cust), ev.user_id == cust.c_custkey, "inner"
     ).select("event_id", "user_id", "user_name", "event_type", "value")
     return run_to_memory(joined, mode="append")
+
+
+@register(
+    "st7_stream_stream_interval_join",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 DAY
+    """,
+    survey="§2.10 (stream-stream interval join with watermark state expiry, REAL readStream)",
+)
+def st7_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution as a REAL stream-stream join: two
+    readStream sources, watermarks on both sides, event-time bounds in the
+    join condition so buffered state expires instead of growing without
+    bound.  Oracle is the identical batch interval join."""
+    from ..streaming import click_purchase_attribution
+
+    clicks = events_stream(spark, sf_dir).where(F.col("event_type") == "click")
+    purchases = events_stream(spark, sf_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    return run_to_memory(
+        click_purchase_attribution(clicks, purchases), mode="append"
+    )

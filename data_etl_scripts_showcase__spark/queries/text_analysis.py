@@ -147,3 +147,47 @@ def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(TX.fingerprint_md5("text"), 1, 8).alias("fp_bucket"),
         TX.fingerprint_int("text").alias("fp_int"),
     )
+
+
+@register(
+    "t5_top_bigrams",
+    oracle="""
+    WITH toks AS (
+        SELECT string_split(text, ' ') AS t FROM documents
+    ), bg AS (
+        SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram
+        FROM toks WHERE len(t) >= 2
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS freq
+    FROM bg GROUP BY bigram
+    ORDER BY freq DESC, bigram ASC
+    LIMIT 20
+    """,
+    survey="NS-text (corpus n-gram frequency: zip_with bigrams → explode → count → top-k)",
+)
+def t5_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigrams.  Bigrams come from zip_with over the
+    token array and its 1-shifted self (pure JVM lambdas, no Python);
+    the count is one hash aggregate and the top-k is
+    TakeOrderedAndProject with a lexicographic tie-break.  The shape that
+    matters at 100 TB: tokenize → explode multiplies rows ~100×, so the
+    filter (len>=2) and the projection to ONLY the bigram column happen
+    before the explode."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    d2 = d.select(t.alias("t")).where(F.size("t") >= 2)
+    bigrams = d2.select(
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, F.size("t") - 1),
+                F.slice(F.col("t"), 2, F.size("t") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("bigram").asc())
+        .limit(20)
+    )

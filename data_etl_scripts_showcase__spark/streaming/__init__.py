@@ -1,4 +1,5 @@
 from .jobs import (
+    click_purchase_attribution,
     events_stream,
     incremental_rollup,
     read_rollup,
@@ -12,6 +13,7 @@ from .jobs import (
 )
 
 __all__ = [
+    "click_purchase_attribution",
     "events_stream",
     "incremental_rollup",
     "read_rollup",

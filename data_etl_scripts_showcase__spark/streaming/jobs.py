@@ -256,3 +256,48 @@ def run_to_memory(
     )
     q.awaitTermination()
     return spark.table(qname)
+
+
+def click_purchase_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 day",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to every click
+    by the same user in the preceding ``horizon``.
+
+    The event-time bound in the join condition is what lets Structured
+    Streaming expire buffered state: with both sides watermarked, a click
+    older than (watermark + horizon) can never match a future purchase and
+    is dropped from the state store — bounded memory at any stream length.
+    Without the time bound this would be an ever-growing unbounded join.
+    """
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    if c.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    if p.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return c.join(p, cond, "inner").select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        (
+            F.unix_micros(F.col("purchase_ts").cast("timestamp"))
+            - F.unix_micros(F.col("click_ts").cast("timestamp"))
+        ).alias("lag_us"),
+    )
