@@ -1,7 +1,10 @@
+from .bucketed import cobucketed_join, write_bucketed
 from .quality import ReconciliationError, reconcile, upsert_run_metrics
 from .snapshot import promote_view, read_snapshot, write_snapshot
 
 __all__ = [
+    "cobucketed_join",
+    "write_bucketed",
     "ReconciliationError",
     "reconcile",
     "upsert_run_metrics",

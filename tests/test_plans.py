@@ -101,3 +101,68 @@ class TestCustomJoinOps:
         plan = plan_of(spark, "j7_asof_join")
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestBucketedJoins:
+    def test_cobucketed_join_has_no_exchange(self, spark, tmp_path):
+        """Bucketed storage must make the recurring fact-to-fact join
+        shuffle-free: both scans expose their on-disk hash partitioning, so
+        the sort-merge join plan contains ZERO Exchange operators (and with
+        sortBy, zero sorts).  This is the 100 TB amortization story —
+        the shuffle is paid once at write time, never at read time."""
+        import contextlib
+        import io
+
+        from data_etl_scripts_showcase__spark.sinks import (
+            cobucketed_join,
+            write_bucketed,
+        )
+        from data_etl_scripts_showcase__spark.sources import load_table
+
+        o = load_table(spark, SF, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+        c = load_table(spark, SF, "customer").select(
+            "c_custkey", "c_mktsegment"
+        ).withColumnRenamed("c_custkey", "o_custkey")
+        write_bucketed(o, "b_orders", ["o_custkey"], 8, path=str(tmp_path / "bo"))
+        write_bucketed(c, "b_cust", ["o_custkey"], 8, path=str(tmp_path / "bc"))
+        try:
+            # force the big-big path: no broadcast allowed
+            prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            j = cobucketed_join(spark, "b_orders", "b_cust", on=["o_custkey"])
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                j.explain("formatted")
+            plan = buf.getvalue()
+            assert "Exchange" not in plan, plan
+            assert j.count() == o.count()  # inner join, FK complete
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS b_orders")
+            spark.sql("DROP TABLE IF EXISTS b_cust")
+
+    def test_bucketed_groupby_has_no_exchange(self, spark, tmp_path):
+        """A groupBy on the bucket key also rides the stored partitioning —
+        aggregation without a shuffle."""
+        import contextlib
+        import io
+
+        from data_etl_scripts_showcase__spark.sinks import write_bucketed
+        from data_etl_scripts_showcase__spark.sources import load_table
+        from pyspark.sql import functions as F
+
+        li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+        write_bucketed(li, "b_li", ["l_orderkey"], 8, path=str(tmp_path / "bl"))
+        try:
+            agg = (
+                spark.table("b_li")
+                .groupBy("l_orderkey")
+                .agg(F.sum("l_quantity").alias("q"))
+            )
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                agg.explain("formatted")
+            assert "Exchange" not in buf.getvalue()
+            assert agg.count() > 0
+        finally:
+            spark.sql("DROP TABLE IF EXISTS b_li")
