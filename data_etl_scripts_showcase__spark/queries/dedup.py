@@ -264,3 +264,59 @@ def d7_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", sim.alias("sim"))
         .where(F.col("sim") >= 0.35)
     )
+
+
+@register(
+    "d8_dedup_survivors",
+    oracle=f"""
+    WITH {_BANDS_CTE},
+    cand AS ({_CAND_SQL}),
+    verified AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN g ga ON ga.doc_id = c.id_a
+        JOIN g gb ON gb.doc_id = c.id_b
+        WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                  / len(list_distinct(ga.grams || gb.grams)) >= 0.5
+    ),
+    drops AS (SELECT DISTINCT id_b AS doc_id FROM verified)
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(dr.doc_id) AS BIGINT) AS n_dropped,
+           CAST(count(*) - count(dr.doc_id) AS BIGINT) AS n_kept
+    FROM documents d LEFT JOIN drops dr ON d.doc_id = dr.doc_id
+    GROUP BY d.source
+    """,
+    survey="NS-dedup (end-to-end dedup decision: LSH → verify → greedy min-id survivors)",
+)
+def d8_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup dedup pipeline as a drop decision: every document
+    that is the HIGHER id in any verified pair (J ≥ 0.5) is dropped; the
+    lower id survives as canonical.  This greedy min-id rule is the
+    standard one-pass approximation of connected-components dedup used in
+    training-data pipelines — no iteration, one anti-join, and at 100 TB
+    the drop list is a tiny broadcast side."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select("doc_id", DD.tokens("text").alias("_toks")).select(
+        "doc_id", DD.ngrams_from_tokens(F.col("_toks")).alias("grams")
+    )
+    sig = DD.minhash_signature(
+        docs, "doc_id", "text", parallelism=spark.sparkContext.defaultParallelism
+    )
+    cand = DD.candidate_pairs(DD.lsh_buckets(sig, "doc_id"), "doc_id")
+    ga = grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b"))
+    verified = (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .where(DD.jaccard(F.col("grams_a"), F.col("grams_b")) >= 0.5)
+    )
+    drops = verified.select(F.col("id_b").alias("doc_id")).distinct()
+    flagged = docs.join(
+        F.broadcast(drops.withColumn("_drop", F.lit(1))), "doc_id", "left"
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count("_drop").alias("n_dropped"),
+        (F.count("*") - F.count("_drop")).alias("n_kept"),
+    )

@@ -165,3 +165,33 @@ def v3_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min(n), 6).alias("min_norm"),
         F.round(F.max(n), 6).alias("max_norm"),
     )
+
+
+@register(
+    "v5_label_centroids",
+    oracle="""
+    SELECT label, (u).pos AS pos, round(avg((u).v), 6) AS centroid_val
+    FROM (
+        SELECT label,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                      i -> {'pos': i, 'v': CAST(embedding[i] AS DOUBLE)})) AS u
+        FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+    survey="NS-sim (per-label centroid: distributed vector mean — the IVF training step)",
+)
+def v5_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid computed positionally: posexplode the vector,
+    average per (label, dimension).  This is exactly how IVF coarse
+    centroids (k-means E-step means) are computed distributively — the
+    explode trades memory for a pure hash aggregate, so a 100 TB corpus of
+    vectors reduces with map-side partials and never concentrates on one
+    node.  (~50 float32 values per cell here; their double mean rounds
+    stably at 6 dp.)"""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_val"))
+    )

@@ -79,3 +79,26 @@ def read_json_archive(
     if endpoint:
         df = df.where(F.col("endpoint") == endpoint)
     return df
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — columnar with predicate pushdown, same contract as the
+    parquet path (vectorized reader, filter/column pruning reach the scan)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (snappy by default) — format parity for warehouses whose
+    canonical interchange is ORC rather than parquet."""
+    df.write.mode(mode).orc(path)
+
+
+def write_text(df: DataFrame, path: str, column: str, mode: str = "overwrite") -> None:
+    """Single-column raw text sink (one line per row) — the shape used for
+    plain-text corpus exports in training-data pipelines."""
+    df.select(F.col(column).cast("string").alias("value")).write.mode(mode).text(path)
+
+
+def read_text(spark: SparkSession, path: str, column: str = "value") -> DataFrame:
+    """Raw text source: one row per line, single string column."""
+    return spark.read.text(path).withColumnRenamed("value", column)

@@ -59,3 +59,42 @@ class TestJsonArchive:
         assert sorted(r.k for r in one.collect()) == [1, 2]
         everything = read_json_archive(spark, base, "k int, body string")
         assert everything.count() == 5
+
+
+class TestOrcAndText:
+    def test_orc_roundtrip_pushdown(self, spark, tmp_path):
+        """ORC sink/source round-trip preserves schema + values, and a
+        filtered read pushes the predicate to the ORC scan."""
+        from data_etl_scripts_showcase__spark.sources import load_table
+        from data_etl_scripts_showcase__spark.sources.files import read_orc, write_orc
+
+        o = load_table(spark, "/root/testdata/sf0.001", "orders")
+        p = str(tmp_path / "orders_orc")
+        write_orc(o, p)
+        back = read_orc(spark, p)
+        assert back.schema == o.schema
+        assert back.count() == o.count()
+        import contextlib
+        import io as _io
+
+        from pyspark.sql import functions as F
+
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            back.where(F.col("o_orderkey") == 7).explain("formatted")
+        assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,7)]" in buf.getvalue()
+
+    def test_text_roundtrip(self, spark, tmp_path):
+        """Raw-text corpus export: one line per document, read back intact."""
+        from data_etl_scripts_showcase__spark.sources import load_table
+        from data_etl_scripts_showcase__spark.sources.files import read_text, write_text
+
+        d = load_table(spark, "/root/testdata/sf0.001", "documents")
+        p = str(tmp_path / "corpus_txt")
+        write_text(d, p, "text")
+        back = read_text(spark, p, "text")
+        assert back.count() == d.count()
+        assert back.columns == ["text"]
+        src = {r.text for r in d.select("text").collect()}
+        got = {r.text for r in back.collect()}
+        assert got == src
