@@ -158,12 +158,15 @@ def enrichment_pipeline(
         keys = keys.where(F.col("merchant_id") < limit_keys)
     keys = keys.repartition(spark.sparkContext.defaultParallelism)
 
-    # Persist the enrichment output: three shred branches + the QA gate all
-    # consume it, and recomputing this stage means re-fetching the network.
+    # Persist the SHREDDED frame, not the raw enrichment: the QA gate and
+    # the final write both consume `wide`, so caching upstream of the shred
+    # would run the explode/parse branch once per consumer.  One pass
+    # through the (network-shaped) mapInPandas stage + shred fills the
+    # cache at the gate's count; the publish write reads it back.
     # (At cluster scale: MEMORY_AND_DISK, or checkpoint to the raw-response
     # archive — the reference's S6 JSON dump serves the same replay purpose.)
-    enriched = enrich(keys, "merchant_id", fetch_page).persist()
-    wide = shred_enriched(enriched, "merchant_id")
+    enriched = enrich(keys, "merchant_id", fetch_page)
+    wide = shred_enriched(enriched, "merchant_id").persist()
 
     reconcile(keys, wide, context="enrichment_pipeline")  # A9, raising
     if base_path:
