@@ -119,3 +119,56 @@ def extract_features(
     if parallelism:
         assets = assets.repartition(parallelism)
     return assets.mapInPandas(decode_stub_features, FEATURE_SCHEMA)
+
+
+# Output schema of the audio-chunking stage (one row per chunk — 1→N).
+CHUNK_SCHEMA = "asset_id bigint, chunk_idx int, start_sample int, end_sample int"
+
+CHUNK_LEN = 1024  # samples per chunk
+CHUNK_HOP = 512  # hop (50% overlap)
+
+
+def _pseudo_n_samples(payload: bytes) -> int:
+    """Deterministic fake sample count (STUB for the real audio decode —
+    a real implementation returns len(soundfile.read(payload))).
+    Reproducible in SQL: 2048 + byte_len % 8192."""
+    return 2048 + (len(payload) % 8192)
+
+
+def chunk_audio_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage with 1→N fan-out: each audio asset explodes into
+    overlapping fixed-length windows (the standard ASR/audio-embedding
+    preprocessing shape).  Unlike the 1→1 decode stage, the output row
+    count differs from the input's — mapInPandas is Spark's UDTF surface,
+    and the chunk grid is a pure function of the payload so the result is
+    partitioning-independent."""
+    for pdf in batches:
+        ids, idxs, starts, ends = [], [], [], []
+        for asset_id, payload in zip(pdf["asset_id"], pdf["content"]):
+            n = _pseudo_n_samples(bytes(payload))
+            k = 0
+            for start in range(0, n - CHUNK_LEN + 1, CHUNK_HOP):
+                ids.append(asset_id)
+                idxs.append(k)
+                starts.append(start)
+                ends.append(start + CHUNK_LEN)
+                k += 1
+        yield pd.DataFrame(
+            {
+                "asset_id": ids,
+                "chunk_idx": idxs,
+                "start_sample": starts,
+                "end_sample": ends,
+            }
+        )
+
+
+def chunk_audio(assets: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Window every AUDIO asset into overlapping chunks (1 row per chunk).
+
+    The media_type filter runs scan-side BEFORE the Python stage — at
+    100 TB only audio blobs ever cross the Arrow boundary."""
+    audio = assets.where(F.col("media_type") == "audio")
+    if parallelism:
+        audio = audio.repartition(parallelism)
+    return audio.mapInPandas(chunk_audio_stub, CHUNK_SCHEMA)

@@ -82,3 +82,29 @@ def mm2_decoded_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_features(
         assets, parallelism=spark.sparkContext.defaultParallelism
     )
+
+
+@register(
+    "mm3_audio_chunks",
+    oracle=f"""
+    WITH a AS (
+        SELECT doc_id AS asset_id,
+               2048 + octet_length(CAST(text AS BLOB)) % 8192 AS n_samples
+        FROM documents
+        WHERE {_MEDIA_CASE} = 'audio'
+    )
+    SELECT asset_id,
+           CAST(i AS INTEGER) AS chunk_idx,
+           CAST(i * 512 AS INTEGER) AS start_sample,
+           CAST(i * 512 + 1024 AS INTEGER) AS end_sample
+    FROM a, LATERAL (SELECT unnest(range(0, (n_samples - 1024) // 512 + 1)) AS i)
+    """,
+    survey="NS-mm (audio windowing: mapInPandas 1→N fan-out, UDTF shape)",
+)
+def mm3_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-length windows per audio asset (stub sample
+    counts) — the 1→N mapInPandas shape: output cardinality exceeds input,
+    the filter to audio runs scan-side, and every chunk boundary is a pure
+    function of the payload (oracle recomputes the grid in SQL)."""
+    assets = MM.to_assets(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    return MM.chunk_audio(assets, parallelism=spark.sparkContext.defaultParallelism)

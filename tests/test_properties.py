@@ -185,3 +185,116 @@ def test_salted_agg_equals_plain_agg(spark, rows, n_salt):
         .collect()
     }
     assert got == want
+
+
+@FAST
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),  # user_id
+            st.integers(0, 3_600_000),  # offset seconds within a window
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_sessionize_partitions_events(spark, rows):
+    """w7 invariants: sessions PARTITION each user's events (counts sum to
+    the user's event total) and no session spans a >30-min internal gap
+    (duration bounded by (n-1) * gap)."""
+    from data_etl_scripts_showcase__spark.queries import load_all  # noqa: F401
+    import pyspark.sql.functions as SF
+
+    df = spark.createDataFrame(
+        [(u, s) for u, s in rows], "user_id int, off bigint"
+    ).select(
+        "user_id",
+        SF.timestamp_seconds(SF.col("off") + 1_700_000_000).alias("ts"),
+        SF.monotonically_increasing_id().alias("event_id"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(SF.col("ts").asc(), SF.col("event_id").asc())
+    us = SF.unix_micros(SF.col("ts"))
+    prev = SF.lag(us).over(w)
+    sess = (
+        df.withColumn(
+            "new_s",
+            SF.when(prev.isNull() | (us - prev > 1_800_000_000), 1).otherwise(0),
+        )
+        .withColumn(
+            "sid", SF.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            SF.count("*").alias("n"),
+            (SF.max(us) - SF.min(us)).alias("dur_us"),
+        )
+        .collect()
+    )
+    per_user: dict[int, int] = {}
+    for r in sess:
+        per_user[r.user_id] = per_user.get(r.user_id, 0) + r.n
+        assert r.dur_us <= (r.n - 1) * 1_800_000_000, "gap leaked into a session"
+    want: dict[int, int] = {}
+    for u, _ in rows:
+        want[u] = want.get(u, 0) + 1
+    assert per_user == want, "sessions must partition the events"
+
+
+@FAST
+@given(st.lists(st.binary(min_size=0, max_size=64), min_size=1, max_size=30))
+def test_audio_chunk_grid_invariants(spark, payloads):
+    """mm3 invariants: every chunk is exactly CHUNK_LEN long, consecutive
+    chunks step by CHUNK_HOP, and the chunk count matches the closed form
+    (n_samples - LEN) // HOP + 1 for each asset."""
+    from data_etl_scripts_showcase__spark.operators.multimodal import (
+        CHUNK_HOP,
+        CHUNK_LEN,
+        _pseudo_n_samples,
+        chunk_audio,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "audio", p) for i, p in enumerate(payloads)],
+        "asset_id long, media_type string, content binary",
+    )
+    out = chunk_audio(df).collect()
+    by_asset: dict[int, list] = {}
+    for r in out:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    for i, p in enumerate(payloads):
+        n = _pseudo_n_samples(p)
+        want = (n - CHUNK_LEN) // CHUNK_HOP + 1
+        got = sorted(by_asset.get(i, []), key=lambda r: r.chunk_idx)
+        assert len(got) == want
+        for k, r in enumerate(got):
+            assert r.chunk_idx == k
+            assert r.start_sample == k * CHUNK_HOP
+            assert r.end_sample - r.start_sample == CHUNK_LEN
+
+
+@FAST
+@given(st.lists(st.lists(st.sampled_from("ab"), min_size=0, max_size=6), min_size=1, max_size=20))
+def test_bigram_total_identity(spark, docs):
+    """t5 invariant: total bigram occurrences == Σ max(len(doc)-1, 0)."""
+    import pyspark.sql.functions as SF
+
+    texts = [" ".join(d) for d in docs]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    t = SF.split("text", " ")
+    d2 = df.select(t.alias("t")).where(SF.size("t") >= 2)
+    bigrams = d2.select(
+        SF.explode(
+            SF.zip_with(
+                SF.slice("t", 1, SF.size("t") - 1),
+                SF.slice(SF.col("t"), 2, SF.size("t") - 1),
+                lambda a, b: SF.concat(a, SF.lit(" "), b),
+            )
+        ).alias("bigram")
+    )
+    total = bigrams.count()
+    # split(" ") on an empty string yields [""], a 1-token doc → 0 bigrams,
+    # matching max(len-1, 0) with len >= 1
+    want = sum(max(len(SFT.split(" ")) - 1, 0) for SFT in texts)
+    assert total == want
