@@ -56,6 +56,7 @@ def load_all() -> dict[str, Query]:
         arrays,
         conditional,
         dedup,
+        etl_ops,
         functions_scalar,
         joins,
         multimodal,

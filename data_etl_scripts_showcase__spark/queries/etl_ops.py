@@ -1,0 +1,159 @@
+"""Snapshot-maintenance ETL operators (SURVEY.md §2.1 S11-S13 extended).
+
+The reference's whole reason to exist is daily snapshot refresh: re-dump
+the full table, rename old blobs, CREATE OR REPLACE the warehouse copy
+(Gonukkad_Merchants.py:79-178).  A Spark-first engine does snapshot
+maintenance RELATIONALLY: diff two snapshots to see what changed (CDC),
+merge updates key-wise instead of rewriting history (SCD1 upsert), and
+profile the result before publishing.  All three are pure DataFrame plans
+— one shuffle each, no driver materialization — and each is oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import dec2
+from ..sources import load_table
+from . import register
+
+_CUT = "1998-01-01"
+
+
+@register(
+    "x3_snapshot_diff",
+    oracle=f"""
+    WITH prev AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderdate < TIMESTAMP '{_CUT} 00:00:00'
+    ),
+    curr AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders)
+    SELECT CASE WHEN p.o_orderkey IS NULL THEN 'added'
+                WHEN c.o_orderkey IS NULL THEN 'deleted'
+                WHEN p.o_orderstatus <> c.o_orderstatus
+                     OR p.o_totalprice <> c.o_totalprice THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM prev p FULL OUTER JOIN curr c ON p.o_orderkey = c.o_orderkey
+    GROUP BY 1
+    """,
+    survey="S11,S12 extended (snapshot diff / CDC: full outer join keyed change classification)",
+)
+def x3_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two snapshot versions: full outer join
+    on the key, classify added/deleted/changed/unchanged.  This replaces
+    the reference's re-dump-everything daily refresh with an incremental
+    view of what actually moved — at 100 TB the diff shuffles once on the
+    key and the downstream write touches only changed partitions."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    prev = o.where(F.col("o_orderdate") < F.lit(_CUT).cast("timestamp_ntz")).select(
+        *[F.col(c).alias(f"p_{c}") for c in cols]
+    )
+    curr = o.select(*[F.col(c).alias(f"c_{c}") for c in cols])
+    j = prev.join(
+        curr, prev["p_o_orderkey"] == curr["c_o_orderkey"], "full_outer"
+    )
+    change = (
+        F.when(F.col("p_o_orderkey").isNull(), "added")
+        .when(F.col("c_o_orderkey").isNull(), "deleted")
+        .when(
+            (F.col("p_o_orderstatus") != F.col("c_o_orderstatus"))
+            | (F.col("p_o_totalprice") != F.col("c_o_totalprice")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return j.groupBy(change.alias("change_type")).agg(F.count("*").alias("n"))
+
+
+@register(
+    "x4_merge_upsert",
+    oracle="""
+    WITH unioned AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS src FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'X' AS o_orderstatus, round(o_totalprice * 1.1, 2) AS o_totalprice, 1 AS src
+        FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    latest AS (
+        SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY src DESC) AS rn
+        FROM unioned
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+    FROM latest WHERE rn = 1
+    GROUP BY o_orderstatus
+    """,
+    survey="S13 extended (SCD1 merge/upsert: union + latest-wins window, no read-modify-write)",
+)
+def x4_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style upsert without a transactional table format: union base
+    with updates, keep the highest-precedence row per key via one window.
+    The reference's K/V state file (main.py:20-50) does exactly this for
+    one key; here it's the general keyed merge — one shuffle on the key,
+    and at 100 TB the same plan IS how Delta/Iceberg implement MERGE
+    under the hood (minus their transaction log).  Updates here are a
+    deterministic synthetic 10% slice with status 'X'."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", F.lit(0).alias("src")
+    )
+    updates = (
+        o.where(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("X").alias("o_orderstatus"),
+            F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+            F.lit(1).alias("src"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_orderkey").orderBy(F.col("src").desc())
+    merged = (
+        base.unionByName(updates)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(dec2("o_totalprice")).cast("double").alias("price_sum"),
+    )
+
+
+@register(
+    "x5_profile_columns",
+    oracle="""
+    SELECT 'o_orderstatus' AS column_name,
+           CAST(count(o_orderstatus) AS BIGINT) AS n_notnull,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+           min(o_orderstatus) AS min_val, max(o_orderstatus) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(count(o_orderpriority) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    """,
+    survey="A9 extended (pre-publish column profiling via unpivot — one scan, all columns)",
+)
+def x5_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile (null/distinct/min/max per column) computed in
+    ONE scan: unpivot the string columns to (column_name, value) rows,
+    then a single grouped aggregate.  The oracle's UNION ALL of per-column
+    scans is the naive form — at 100 TB the unpivot form reads the table
+    once instead of once per column."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderstatus", "o_orderpriority"]
+    long = o.unpivot(
+        ids=[], values=cols, variableColumnName="column_name", valueColumnName="value"
+    )
+    return long.groupBy("column_name").agg(
+        F.count("value").alias("n_notnull"),
+        F.countDistinct("value").alias("n_distinct"),
+        F.min("value").alias("min_val"),
+        F.max("value").alias("max_val"),
+    )
