@@ -166,3 +166,36 @@ class TestBucketedJoins:
             assert agg.count() > 0
         finally:
             spark.sql("DROP TABLE IF EXISTS b_li")
+
+
+class TestTpchShapePlans:
+    def test_q14_pushes_month_filter_and_broadcasts_part(self, spark):
+        """Q14: the one-month shipdate range must reach the parquet scan
+        (PushedFilters), and the part dimension must broadcast — the month
+        of lineitem never shuffles."""
+        plan = plan_of(spark, "q14_promo_revenue_share")
+        assert "GreaterThanOrEqual(l_shipdate,1996-09-01" in plan
+        assert "LessThan(l_shipdate,1996-10-01" in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_q18_aggregates_before_joining(self, spark):
+        """Q18: the lineitem quantity rollup must run BEFORE the joins (the
+        4× row reduction is the plan's whole value) — a partial aggregate
+        must appear under the first join's probe side."""
+        plan = plan_of(spark, "q18_large_volume_orders")
+        assert "partial_sum" in plan
+        # the HAVING filter on the aggregated sum_qty exists pre-join
+        assert "sum_qty" in plan
+
+    def test_q4_exists_is_semi_join(self, spark):
+        """Q4: correlated EXISTS must compile to a LeftSemi join (one
+        output row per order, no DISTINCT, no duplicate-row blowup)."""
+        plan = plan_of(spark, "q4_order_priority_check")
+        assert "LeftSemi" in plan
+
+    def test_x5_profile_scans_once(self, spark):
+        """x5: the unpivot profile must scan the orders file exactly once —
+        that is its advantage over the per-column UNION ALL oracle."""
+        plan = plan_of(spark, "x5_profile_columns")
+        # each scan node lists its file index once in the details section
+        assert plan.count("Location: InMemoryFileIndex") == 1
