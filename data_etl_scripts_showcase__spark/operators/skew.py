@@ -49,3 +49,30 @@ def salted_agg(
     if count_name:
         stage2_aggs.append(F.sum("_s__cnt").cast("bigint").alias(count_name))
     return partial.groupBy(*keys).agg(*stage2_aggs)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_on: Column | str,
+    n_salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof fact-to-dim equi-join: salt the FACT side, replicate the
+    DIM side ``n_salt``×, join on (key, salt).
+
+    AQE's skew-join split handles most skew automatically; this manual form
+    is for the residual case — a dimension too big to broadcast joined to a
+    fact where one key dominates an entire partition even after AQE's
+    split granularity.  The salt spreads that key's rows over ``n_salt``
+    reducers; replication multiplies only the DIM side (n_salt × |dim|),
+    which is the cheap side by assumption.  Value-identical to the plain
+    join (oracle-tested)."""
+    salt = F.pmod(F.xxhash64(salt_on), F.lit(n_salt))
+    f = fact.withColumn("_salt", salt.cast("int"))
+    d = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    out = f.join(d, on=[key, "_salt"], how=how)
+    return out.drop("_salt")

@@ -320,3 +320,61 @@ def d8_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("_drop").alias("n_dropped"),
         (F.count("*") - F.count("_drop")).alias("n_kept"),
     )
+
+
+@register(
+    "d9_neardup_components",
+    oracle=f"""
+    WITH RECURSIVE
+    {_BANDS_CTE},
+    cand AS ({_CAND_SQL}),
+    verified AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN g ga ON ga.doc_id = c.id_a
+        JOIN g gb ON gb.doc_id = c.id_b
+        WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                  / len(list_distinct(ga.grams || gb.grams)) >= 0.5
+    ),
+    sym AS (
+        SELECT id_a AS a, id_b AS b FROM verified
+        UNION
+        SELECT id_b AS a, id_a AS b FROM verified
+    ),
+    reach(id, r) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id
+    )
+    SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+    FROM reach GROUP BY id
+    """,
+    survey="NS-dedup (connected components over near-dup pairs — iterative label propagation)",
+)
+def d9_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT dedup clusters: connected components of the verified near-dup
+    graph via iterative min-label propagation (operators/graph.py) — the
+    transitive closure the greedy d8 rule approximates.  The oracle walks
+    the same graph with a recursive CTE; both sides converge to the unique
+    fixpoint labeling, so the comparison is exact."""
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select("doc_id", DD.tokens("text").alias("_toks")).select(
+        "doc_id", DD.ngrams_from_tokens(F.col("_toks")).alias("grams")
+    )
+    sig = DD.minhash_signature(
+        docs, "doc_id", "text", parallelism=spark.sparkContext.defaultParallelism
+    )
+    cand = DD.candidate_pairs(DD.lsh_buckets(sig, "doc_id"), "doc_id")
+    ga = grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b"))
+    verified = (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .where(DD.jaccard(F.col("grams_a"), F.col("grams_b")) >= 0.5)
+        .select("id_a", "id_b")
+    )
+    return connected_components(verified, "id_a", "id_b").select(
+        F.col("id").alias("doc_id"), "component"
+    )

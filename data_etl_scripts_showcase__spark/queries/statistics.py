@@ -201,3 +201,68 @@ def x2_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("sample_rows"),
         F.sum(dec2("o_totalprice")).cast("double").alias("sample_spend"),
     )
+
+
+@register(
+    "a21_approx_quantile_check",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS exact_p50,
+           round(quantile_cont(value, 0.95), 6) AS exact_p95,
+           TRUE AS approx_within_1pct
+    FROM events GROUP BY event_type
+    """,
+    survey="A-std (approx_percentile error contract — the t-digest 100 TB path, verified)",
+)
+def a21_approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approx_percentile accuracy contract, oracle-verified like a18:
+    the query returns exact p50/p95 plus a flag that the sketch estimate
+    (accuracy 10000) lands within 1% relative.  At 100 TB the exact
+    percentile's full sort disappears and only the mergeable sketch runs;
+    this query pins how much answer quality that trade costs."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("_e50"),
+        F.expr("percentile(value, 0.95)").alias("_e95"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("_a50"),
+        F.expr("approx_percentile(value, 0.95, 10000)").alias("_a95"),
+    )
+    ok = (
+        (F.abs(F.col("_a50") - F.col("_e50")) <= 0.01 * F.abs(F.col("_e50")))
+        & (F.abs(F.col("_a95") - F.col("_e95")) <= 0.01 * F.abs(F.col("_e95")))
+    )
+    return agg.select(
+        "event_type",
+        F.round("_e50", 6).alias("exact_p50"),
+        F.round("_e95", 6).alias("exact_p95"),
+        ok.alias("approx_within_1pct"),
+    )
+
+
+@register(
+    "x6_salted_join",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+    survey="§4 skew (salted fact-to-dim join — value-identical to the plain join)",
+)
+def x6_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof join: events salted on event_id, customer replicated 16×,
+    join on (user_id, salt).  The aggregate downstream proves value
+    identity with the unsalted plan — which is exactly what the oracle
+    (a plain join) checks."""
+    from ..operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, cust, key="user_id", salt_on="event_id", n_salt=16)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.sum(dec2("value")).cast("double").alias("value_sum"),
+    )
