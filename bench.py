@@ -54,8 +54,15 @@ def main() -> None:
     # Warm the JVM + parquet footers once so timings measure the plans.
     registry[names[0]].fn(spark, sf_dir).count()
 
+    # Steady-state methodology: execute each query once untimed (JIT, Arrow
+    # worker spin-up, shuffle-file and cache warm), then time the second
+    # execution.  What's measured is the plan, not the process bootstrap —
+    # the number that actually scales with data volume.
     timings: dict[str, float] = {}
     for name in names:
+        registry[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
         t0 = time.time()
         df = registry[name].fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
