@@ -244,3 +244,54 @@ def f_listagg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.array_sort(F.collect_list("c_name"))).alias("members_csv"),
         F.count("*").alias("n_members"),
     )
+
+
+@register(
+    "f_bitwise_aggs",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(bit_and(o_orderkey) AS BIGINT) AS key_and,
+           CAST(bit_or(o_orderkey) AS BIGINT) AS key_or,
+           CAST(bit_xor(o_orderkey) AS BIGINT) AS key_xor
+    FROM orders GROUP BY o_orderstatus
+    """,
+    survey="A-std (bitwise aggregates — flag-set folding / bitmap building blocks)",
+)
+def f_bitwise_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bit_and/bit_or/bit_xor grouped aggregates — associative+commutative,
+    so they fold map-side like sum; the primitive under roaring-bitmap-style
+    presence encodings."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bit_and("o_orderkey").alias("key_and"),
+        F.bit_or("o_orderkey").alias("key_or"),
+        F.bit_xor("o_orderkey").alias("key_xor"),
+    )
+
+
+@register(
+    "f_fuzzy_match",
+    oracle="""
+    SELECT c_custkey,
+           CAST(levenshtein(c_name, replace(c_name, '0', 'O')) AS INTEGER) AS edit_dist,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_translated
+    FROM customer
+    WHERE c_custkey <= 500
+    """,
+    survey="F-std (fuzzy matching: levenshtein edit distance + lpad/translate normalization)",
+)
+def f_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching plus key-padding/character-translation
+    normalizers — the record-linkage scalar kit.  levenshtein is O(len²)
+    per pair: at 100 TB it belongs AFTER a blocking join (as in d6's
+    SimHash blocks), never in a cross product."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 500)
+    return c.select(
+        "c_custkey",
+        F.levenshtein(
+            F.col("c_name"), F.regexp_replace("c_name", "0", "O")
+        ).alias("edit_dist"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_translated"),
+    )
