@@ -271,3 +271,45 @@ def x6_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(dec2("value")).cast("double").alias("value_sum"),
     )
+
+
+# Per-stratum keep rates in basis points (event_type → bp of 10000).
+STRATA_BP = {"purchase": 10000, "signup": 5000, "error": 2500, "click": 1000, "view": 500}
+
+
+@register(
+    "x7_stratified_sample",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS kept_rows,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS kept_value_sum
+    FROM events
+    WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+          < CASE event_type
+              {" ".join(f"WHEN '{k}' THEN {v}" for k, v in STRATA_BP.items())}
+              ELSE 0 END
+    GROUP BY event_type
+    """,
+    survey="A-std (stratified deterministic sampling — per-class keep rates, the data-curation mix knob)",
+)
+def x7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling with per-class rates (rare classes kept
+    whole, dominant classes thinned) — how training-data mixes are rebalanced.
+    The keep decision is a pure hash of the row key against a per-stratum
+    threshold: reproducible on any engine/partitioning, evaluated scan-side,
+    and changing the mix is a literal edit, not a reshuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint") % 10000
+    threshold = F.lit(0)
+    for k, v in STRATA_BP.items():
+        threshold = F.when(F.col("event_type") == k, v).otherwise(threshold)
+    return (
+        ev.where(bucket < threshold)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("kept_rows"),
+            F.sum(dec2("value")).cast("double").alias("kept_value_sum"),
+        )
+    )

@@ -324,3 +324,63 @@ def w10_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
     )
+
+
+@register(
+    "w11_resample_ffill",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+    grid AS (
+        SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        FROM span
+    ),
+    j AS (
+        SELECT g.user_id, g.day, d.v
+        FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    )
+    SELECT user_id,
+           strftime(day, '%Y-%m-%d') AS day,
+           CAST(last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS value_filled,
+           v IS NULL AS is_gap
+    FROM j
+    """,
+    survey="W-std (time-series resample to a daily grid + forward fill — gap-aware metrics)",
+)
+def w11_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize an irregular event stream: per-user daily grid over the
+    user's active span (sequence + explode — each user expands only their
+    own range), left-join the actual daily sums, forward-fill gaps with
+    last(ignorenulls).  The grid explode is data-proportional (no dense
+    cross join of all users × all days) and the fill is one window over
+    the same user_id shuffle the join already produced."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(dec2("value")).cast("double").alias("v"))
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    j = grid.join(daily, ["user_id", "day"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.last("v", ignorenulls=True).over(w).alias("value_filled"),
+        F.col("v").isNull().alias("is_gap"),
+    )
