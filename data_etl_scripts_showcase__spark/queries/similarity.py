@@ -195,3 +195,69 @@ def v5_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", (F.col("pos0") + 1).alias("pos"))
         .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_val"))
     )
+
+
+@register(
+    "v6_ivf_recall_contract",
+    oracle=f"""
+    WITH {_ASSIGN_CTE},
+    cells AS (
+        SELECT vec_id AS neighbor_id, embedding AS c_vec, centroid_id AS cell
+        FROM assign WHERE cell_rank = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, embedding AS q_vec, centroid_id AS cell
+        FROM assign WHERE vec_id < 8 AND cell_rank <= 2
+    ),
+    ivf AS (
+        SELECT p.query_id, c.neighbor_id,
+               row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY {_IVF_COS} DESC, c.neighbor_id ASC
+               ) AS rank
+        FROM probes p JOIN cells c ON p.cell = c.cell AND p.query_id <> c.neighbor_id
+        QUALIFY rank <= 3
+    ),
+    exact AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round({_COS}, 6) DESC, c.vec_id ASC
+               ) AS rank
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id
+        QUALIFY rank <= 3
+    )
+    SELECT e.query_id,
+           round(CAST(count(i.neighbor_id) AS DOUBLE) / 3.0, 6) AS recall_at_3
+    FROM exact e
+    LEFT JOIN ivf i ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+    GROUP BY e.query_id
+    """,
+    survey="NS-sim (ANN quality governance: exact recall@k of the IVF index, per query)",
+)
+def v6_ivf_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the IVF index against the brute-force ground truth, per
+    query — the governance metric every ANN deployment must publish.  Both
+    sides (and the oracle) are fully deterministic, so this pins the exact
+    recall the nprobe=2/8-cell configuration buys on this corpus; at
+    100 TB the same query runs over a hash-sampled (x2-style) query set
+    instead of every vector."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 8)
+    par = spark.sparkContext.defaultParallelism
+    exact = SIM.knn_bruteforce(q, e, k=3, parallelism=par).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = SIM.knn_ivf(q, e, k=3, n_centroids=8, nprobe=2, parallelism=par).select(
+        F.col("query_id").alias("i_qid"), F.col("neighbor_id").alias("i_nid")
+    )
+    j = exact.join(
+        ivf,
+        (F.col("query_id") == F.col("i_qid"))
+        & (F.col("neighbor_id") == F.col("i_nid")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.round(F.count("i_nid").cast("double") / 3.0, 6).alias("recall_at_3")
+    )

@@ -185,3 +185,36 @@ def st7_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFra
     return run_to_memory(
         click_purchase_attribution(clicks, purchases), mode="append"
     )
+
+
+@register(
+    "st8_stream_session_windows",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, ts,
+               sum(CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM o
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM m GROUP BY user_id, session_id
+    """,
+    survey="§2.10 (session windows on a REAL stream: session_window + watermark state)",
+)
+def st8_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st3's session windows executed as an actual streaming query
+    (readStream → availableNow → memory sink): session_window merges
+    overlapping per-user state across micro-batches, with the watermark
+    bounding how long an open session can stay in the store.  The oracle
+    is the identical batch gaps-and-islands SQL — stream/batch equivalence
+    is the correctness statement."""
+    return run_to_memory(sessionize_batch(events_stream(spark, sf_dir)))

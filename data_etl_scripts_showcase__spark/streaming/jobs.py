@@ -89,14 +89,18 @@ def sliding_counts(
     )
 
 
-def sessionize_batch(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+def sessionize_batch(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
     """Per-user session windows (session_window — dynamic-gap sessionization).
 
-    Works identically over a stream (with watermark) or a batch frame; the
-    oracle equivalent is the classic lag/cumsum gaps-and-islands SQL.
+    Works identically over a stream (watermark added automatically — it
+    bounds the open-session state) or a batch frame; the oracle equivalent
+    is the classic lag/cumsum gaps-and-islands SQL.
     """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
     return (
-        events.groupBy(F.session_window("ts", gap), "user_id")
+        src.groupBy(F.session_window("ts", gap), "user_id")
         .agg(F.count("*").alias("n_events"))
         .select(
             "user_id",
