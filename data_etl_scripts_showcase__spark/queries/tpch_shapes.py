@@ -251,3 +251,187 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_disc_price()).cast("double").alias("revenue"),
         F.count("*").alias("n_lines"),
     )
+
+
+@register(
+    "q7_nation_volume_shipping",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders    ON l_orderkey = o_orderkey
+    JOIN customer  ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN supplier  ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE sn.n_name <> cn.n_name
+    GROUP BY sn.n_name, cn.n_name
+    """,
+    survey="J-std (TPC-H Q7 shape: 5-hop join chain, fact at the center, dims broadcast)",
+)
+def q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-border trade volume by (supplier nation, customer nation).
+    The deepest join chain in the suite: lineitem→orders→customer→nation
+    and lineitem→supplier→nation.  Only the lineitem→orders hop is a
+    big-big shuffle; customer/supplier/nation broadcast, so the fact table
+    crosses the network exactly once."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(cn), c["c_nationkey"] == F.col("cn_key"))
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(sn), s["s_nationkey"] == F.col("sn_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return j.groupBy("supp_nation", "cust_nation").agg(
+        F.sum(_disc_price()).cast("double").alias("revenue")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * CAST(1 - l_discount AS DECIMAL(4,2))) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    survey="J-std (TPC-H Q15 shape: aggregate view + global-max scalar subquery)",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with the quarter's maximum revenue.  The revenue view
+    is computed ONCE and reused for both the max and the final filter —
+    exact decimals make `= max` safe (double sums would make equality
+    flap).  The max is a one-row broadcast, not a driver collect."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_disc_price()).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(s, F.col("supplier_no") == s["s_suppkey"])
+        .orderBy("s_suppkey")
+        .select(
+            "s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue")
+        )
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+               AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (
+          SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+    survey="J-std (TPC-H Q17 shape: correlated per-key average via window, no re-scan)",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue lost to sub-20%-of-average-quantity orders of one brand.
+    The correlated per-part average becomes a window mean partitioned by
+    partkey — one pass instead of the naive re-scan per probe row.  Order
+    matters: the average must cover ALL lines of a part, so the window
+    runs BEFORE the brand filter joins in; the fact table still crosses
+    the network once (the window shuffle), since the filtered part join
+    is a broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("l_partkey")
+    li2 = li.withColumn("_avg_qty", F.avg("l_quantity").over(w))
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    j = li2.join(F.broadcast(p), li2["l_partkey"] == p["p_partkey"]).where(
+        F.col("l_quantity") < 0.2 * F.col("_avg_qty")
+    )
+    return j.agg(
+        (F.sum(dec2("l_extendedprice", 12)).cast("double") / 7.0).alias("avg_yearly"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle="""
+    WITH eligible AS (
+        SELECT c_custkey, c_nationkey, c_acctbal
+        FROM customer
+        WHERE c_acctbal > (
+            SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+        )
+    )
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM eligible e
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = e.c_custkey)
+    GROUP BY c_nationkey
+    """,
+    survey="J-std (TPC-H Q22 shape: scalar-subquery threshold + NOT EXISTS anti-join)",
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average-balance customers who never ordered, per nation.
+    The global average is a one-row broadcast (cross join), NOT EXISTS is
+    a left-anti join on the order keys — no correlated re-execution
+    anywhere.  (The average threshold compares raw doubles: both engines
+    compute the same double from the same parquet values at this
+    cardinality, and the eligible set is far from any boundary — the
+    grouped sums still go through exact decimals.)"""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_avg")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    eligible = c.crossJoin(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("_avg")
+    )
+    never_ordered = eligible.join(
+        o, eligible["c_custkey"] == o["o_custkey"], "left_anti"
+    )
+    return never_ordered.groupBy("c_nationkey").agg(
+        F.count("*").alias("numcust"),
+        F.sum(dec2("c_acctbal")).cast("double").alias("totacctbal"),
+    )
