@@ -461,3 +461,41 @@ def a20_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM {view}
         GROUP BY GROUPING SETS ((event_type, day), (event_type), (day))
     """)
+
+
+@register(
+    "a22_pivot_multi_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS O_n,
+           CAST(sum(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS O_price,
+           CAST(count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS F_n,
+           CAST(sum(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS F_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    survey="A3 extended (pivot with MULTIPLE aggregates per pivot value)",
+)
+def a22_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot carrying two aggregates per value (count + exact-decimal
+    sum): Spark emits `<value>_<agg-alias>` columns from one shuffle —
+    still a single pass, the pivot values just fan the aggregation
+    buffers out horizontally."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(
+            # count("*") is rejected inside pivot aggregates — count a literal
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec2("l_extendedprice")).cast("double").alias("price"),
+        )
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("O_n"),
+        F.col("O_price"),
+        F.col("F_n"),
+        F.col("F_price"),
+    )

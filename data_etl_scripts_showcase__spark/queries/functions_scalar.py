@@ -295,3 +295,62 @@ def f_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
         F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_translated"),
     )
+
+
+@register(
+    "f_variant_shred",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+           json_extract_string(props, '$.k') AS k_str
+    FROM events
+    WHERE event_id < 1000
+    """,
+    survey="F16 extended (VariantType: schema-on-read semi-structured access, Spark 4)",
+)
+def f_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    try_parse_json once, then typed variant_get paths.  Versus
+    get_json_object, variant parses the document ONCE into a binary
+    columnar encoding — repeated field access at 100 TB doesn't re-parse
+    the JSON text per extraction."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 1000)
+    v = F.try_parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+    )
+
+
+@register(
+    "f_null_surface",
+    oracle="""
+    SELECT o_orderkey,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+           CASE WHEN o_totalprice IS NOT NULL THEN 'priced' ELSE 'unpriced' END AS nvl2_price,
+           CASE WHEN isnan(o_totalprice / nullif(o_totalprice - o_totalprice, 0.0))
+                THEN -1.0 ELSE o_totalprice END AS nan_guarded
+    FROM orders WHERE o_orderkey < 2000
+    """,
+    survey="F10 extended (null/NaN surface: nullif / nvl2 / nanvl guards)",
+)
+def f_null_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The null-algebra kit: nullif sentinel-to-null, nvl2 presence
+    branching, NaN guarding for 0/0 divisions (NaN poisons comparisons
+    and aggregates silently — at scale you guard at the expression, not
+    in post-hoc cleaning)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    zero = F.col("o_totalprice") - F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias(
+            "status_or_open"
+        ),
+        F.nvl2("o_totalprice", F.lit("priced"), F.lit("unpriced")).alias("nvl2_price"),
+        F.when(
+            F.isnan(F.col("o_totalprice") / F.nullif(zero, F.lit(0.0))), -1.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("nan_guarded"),
+    )
