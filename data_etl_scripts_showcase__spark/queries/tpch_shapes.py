@@ -1,10 +1,12 @@
-"""Decision-support query shapes (TPC-H Q4/Q6/Q10/Q14/Q18/Q19 adapted).
+"""Decision-support query shapes (TPC-H Q4/Q6/Q7/Q10/Q14/Q15/Q17/Q18/Q19/Q22 adapted).
 
 The reference never composes multi-table analytics (its one join is the
 collected IN-list, SURVEY.md §2.3 J1), but an engine claiming its query
 surface must handle the canonical warehouse shapes: correlated EXISTS,
 scan-heavy filter-aggregates, top-k revenue joins, conditional ratio
-aggregates, HAVING-subquery joins, and disjunctive multi-column predicates.
+aggregates, HAVING-subquery joins, disjunctive multi-column predicates,
+multi-hop join chains, aggregate-view maxima, correlated per-key averages,
+and scalar-subquery thresholds with anti-joins.
 Adapted to the testdata schema (lineitem has no commitdate/receiptdate/
 shipmode — predicates use shipdate/orderdate instead).
 

@@ -298,3 +298,67 @@ def test_bigram_total_identity(spark, docs):
     # matching max(len-1, 0) with len >= 1
     want = sum(max(len(SFT.split(" ")) - 1, 0) for SFT in texts)
     assert total == want
+
+
+@FAST
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 1000)),  # (key, value)
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(2, 8),
+)
+def test_salted_join_equals_plain_join(spark, rows, n_salt):
+    """x6 invariant: the salted fact-to-dim join returns exactly the plain
+    join's rows for any data and salt width."""
+    from data_etl_scripts_showcase__spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(k, i, v) for i, (k, v) in enumerate(rows)], "k int, rid int, v int"
+    )
+    dim = spark.createDataFrame([(k, f"d{k}") for k in range(6)], "k int, name string")
+    plain = {(r.rid, r.name) for r in fact.join(dim, "k").collect()}
+    salted = {
+        (r.rid, r.name)
+        for r in salted_join(fact, dim, key="k", salt_on="rid", n_salt=n_salt).collect()
+    }
+    assert salted == plain
+
+
+@FAST
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """d9 invariant: the DataFrame label-propagation loop produces exactly
+    the components a driver-side union-find computes."""
+    from data_etl_scripts_showcase__spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        r.id: r.component for r in connected_components(df, "src", "dst").collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {v: find(v) for v in parent}
+    assert got == want
