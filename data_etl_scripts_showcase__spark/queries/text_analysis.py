@@ -191,3 +191,35 @@ def t5_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), F.col("bigram").asc())
         .limit(20)
     )
+
+
+@register(
+    "t6_vocabulary_stats",
+    oracle=f"""
+    WITH tok AS (
+        SELECT d.source, unnest({_TOKS}) AS token
+        FROM documents d
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS total_tokens,
+           CAST(count(DISTINCT token) AS BIGINT) AS vocab_size,
+           round(CAST(count(DISTINCT token) AS DOUBLE) / count(*), 6) AS type_token_ratio
+    FROM tok GROUP BY source
+    """,
+    survey="NS-text (vocabulary growth: type/token ratio per corpus slice)",
+)
+def t6_vocabulary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary statistics (total tokens, distinct vocab,
+    type/token ratio) — the Heaps-law monitoring metric for corpus
+    diversity.  One explode + one two-function aggregate; at 100 TB the
+    distinct count swaps to approx_count_distinct (a18's verified
+    contract) and the plan shape is unchanged."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(TX.tokens("text")).alias("token"))
+    return tok.groupBy("source").agg(
+        F.count("*").alias("total_tokens"),
+        F.countDistinct("token").alias("vocab_size"),
+        F.round(
+            F.countDistinct("token").cast("double") / F.count("*"), 6
+        ).alias("type_token_ratio"),
+    )

@@ -384,3 +384,40 @@ def w11_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).alias("value_filled"),
         F.col("v").isNull().alias("is_gap"),
     )
+
+
+@register(
+    "w12_value_frames",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_price,
+           nth_value(o_totalprice, 2) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+    survey="W-std (value frames: first/last/nth_value with explicit full-partition frames)",
+)
+def w12_value_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth order value per customer.  last_value and nth_value
+    take an EXPLICIT unbounded-following frame — the default frame stops at
+    the current row, the classic silent-wrong-answer; pinning the frame is
+    the portability contract (identical defaults trap exists in DuckDB)."""
+    o = load_table(spark, sf_dir, "orders")
+    base = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    full = base.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(base).alias("first_price"),
+        F.last("o_totalprice").over(full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(full).alias("second_price"),
+    )
