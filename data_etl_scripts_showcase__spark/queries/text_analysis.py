@@ -223,3 +223,34 @@ def t6_vocabulary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("token").cast("double") / F.count("*"), 6
         ).alias("type_token_ratio"),
     )
+
+
+_URL_RE = "https?://[^ ]+"
+
+
+@register(
+    "t7_boilerplate_strip",
+    oracle=f"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(text, '{_URL_RE}', '', 'g'),
+                               '\\s+', ' ', 'g')) AS clean_text,
+           CAST(len(regexp_extract_all(text, '{_URL_RE}')) AS INTEGER) AS n_urls,
+           CAST(length(text) - length(regexp_replace(text, '{_URL_RE}', '', 'g'))
+                AS INTEGER) AS chars_removed
+    FROM documents
+    """,
+    survey="NS-text (boilerplate stripping: URL removal + whitespace renormalization, audited)",
+)
+def t7_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data cleaning pass: strip URLs, re-normalize whitespace,
+    and AUDIT the removal (count + chars removed per doc) — curation
+    changes must be measurable, not silent.  Pure regexp expressions in
+    codegen; the same shape extends to emails/markup with more patterns."""
+    d = load_table(spark, sf_dir, "documents")
+    stripped = F.regexp_replace("text", _URL_RE, "")
+    return d.select(
+        "doc_id",
+        F.trim(F.regexp_replace(stripped, r"\s+", " ")).alias("clean_text"),
+        F.size(F.regexp_extract_all("text", F.lit(_URL_RE), 0)).alias("n_urls"),
+        (F.length("text") - F.length(stripped)).alias("chars_removed"),
+    )

@@ -437,3 +437,51 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("numcust"),
         F.sum(dec2("c_acctbal")).cast("double").alias("totacctbal"),
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+        SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey FROM lineitem
+    ),
+    ranked AS (
+        SELECT ps.partkey, ps.suppkey, s.s_acctbal, s.s_name,
+               row_number() OVER (
+                   PARTITION BY ps.partkey
+                   ORDER BY s.s_acctbal ASC, ps.suppkey ASC
+               ) AS rn
+        FROM ps JOIN supplier s ON ps.suppkey = s.s_suppkey
+    )
+    SELECT partkey, suppkey, s_acctbal, s_name
+    FROM ranked WHERE rn = 1 AND partkey < 2000
+    """,
+    survey="J-std (TPC-H Q2 shape: per-key argmin across a join — correlated-min subquery as window)",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest supplier per part (Q2's correlated MIN subquery, adapted:
+    lineitem's distinct part-supplier pairs stand in for partsupp).  The
+    correlated `= (SELECT min(...))` becomes one window rank over the
+    joined relation — one shuffle on partkey, no per-row re-execution,
+    and the tie-break (lowest suppkey) makes the winner deterministic."""
+    from pyspark.sql import Window as W
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+        )
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_acctbal", "s_name"
+    )
+    j = li.join(F.broadcast(s), li["suppkey"] == s["s_suppkey"])
+    w = W.partitionBy("partkey").orderBy(
+        F.col("s_acctbal").asc(), F.col("suppkey").asc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("partkey") < 2000))
+        .select("partkey", "suppkey", "s_acctbal", "s_name")
+    )

@@ -421,3 +421,57 @@ def w12_value_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(full).alias("last_price"),
         F.nth_value("o_totalprice", 2).over(full).alias("second_price"),
     )
+
+
+@register(
+    "w13_funnel_conversion",
+    oracle="""
+    WITH first_signup AS (
+        SELECT user_id, min(ts) AS signup_ts FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    first_purchase AS (
+        SELECT s.user_id, min(e.ts) AS purchase_ts
+        FROM first_signup s
+        JOIN events e ON e.user_id = s.user_id
+         AND e.event_type = 'purchase' AND e.ts >= s.signup_ts
+        GROUP BY s.user_id
+    )
+    SELECT s.user_id,
+           strftime(s.signup_ts, '%Y-%m-%d %H:%M:%S') AS signup_at,
+           CASE WHEN p.user_id IS NOT NULL THEN 'converted' ELSE 'pending' END AS funnel_state,
+           CAST(epoch_us(p.purchase_ts) - epoch_us(s.signup_ts) AS BIGINT) AS lag_us
+    FROM first_signup s LEFT JOIN first_purchase p ON s.user_id = p.user_id
+    """,
+    survey="W-std (funnel analysis: stage anchoring + conversion lag, the product-analytics shape)",
+)
+def w13_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase funnel: anchor each user at first signup, find the
+    first purchase at-or-after it, classify converted/pending with the
+    conversion lag.  Two min-aggregates and a left join — every step
+    shuffles on user_id, so Catalyst reuses one exchange; no window over
+    the raw event stream is needed (min-by-filter beats sort-based
+    sessionizing when only stage boundaries matter)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    signup = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchase = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(signup, "user_id")
+        .where(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    j = signup.join(purchase, "user_id", "left")
+    return j.select(
+        "user_id",
+        F.date_format("signup_ts", "yyyy-MM-dd HH:mm:ss").alias("signup_at"),
+        F.when(F.col("purchase_ts").isNotNull(), "converted")
+        .otherwise("pending")
+        .alias("funnel_state"),
+        (us("purchase_ts") - us("signup_ts")).alias("lag_us"),
+    )
