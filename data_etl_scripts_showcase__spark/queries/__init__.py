@@ -67,6 +67,7 @@ def load_all() -> dict[str, Query]:
         streaming_like,
         text_analysis,
         tpch_shapes,
+        tpch_shapes2,
         windows,
     )
 
