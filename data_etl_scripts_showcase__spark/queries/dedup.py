@@ -378,3 +378,91 @@ def d9_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(verified, "id_a", "id_b").select(
         F.col("id").alias("doc_id"), "component"
     )
+
+
+# d10: benchmark-contamination check — word-5-gram shingles.
+_GRAMS5_CTE = f"""
+    n5 AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g5 AS (
+        SELECT doc_id,
+               list_distinct(
+                   list_transform(
+                       range(1, greatest(len(toks) - 4, 0) + 1),
+                       i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2],
+                                   ' ', toks[i+3], ' ', toks[i+4])
+                   )
+               ) AS grams
+        FROM n5 WHERE len(toks) >= 5
+    ),
+    e5 AS (SELECT doc_id, unnest(grams) AS shingle FROM g5)
+"""
+
+
+@register(
+    "d10_ngram_contamination",
+    oracle=f"""
+    WITH {_GRAMS5_CTE},
+    bench AS (SELECT doc_id AS bench_doc_id, shingle FROM e5 WHERE doc_id % 20 = 0),
+    corpus AS (SELECT doc_id AS corpus_doc_id, shingle FROM e5 WHERE doc_id % 20 <> 0),
+    bn AS (SELECT bench_doc_id, count(*) AS bench_shingles FROM bench GROUP BY bench_doc_id),
+    ov AS (
+        SELECT corpus_doc_id, bench_doc_id, CAST(count(*) AS BIGINT) AS overlap
+        FROM corpus JOIN bench USING (shingle)
+        GROUP BY corpus_doc_id, bench_doc_id
+    )
+    SELECT o.corpus_doc_id, o.bench_doc_id, o.overlap,
+           round(CAST(o.overlap AS DOUBLE) / b.bench_shingles, 6) AS contamination
+    FROM ov o JOIN bn b USING (bench_doc_id)
+    """,
+    survey="NS-dedup (benchmark-contamination check: n-gram overlap vs held-out eval set)",
+)
+def d10_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: for every training document, the count
+    and fraction of a held-out eval document's distinct word-5-grams that
+    it contains (eval set stands in as `doc_id % 20 = 0`).  The standard
+    decontamination pass run before any corpus ships to training.
+
+    Scale shape: the eval side is always tiny relative to the corpus
+    (thousands of benchmark docs vs billions of training docs), so its
+    exploded shingle table is BROADCAST — the corpus-side shingle stream
+    never shuffles, and contamination is a map-side join + one aggregate
+    keyed by (corpus_doc, bench_doc).  Shingles stay distinct-per-doc so
+    `overlap / bench_shingles` is a true containment fraction."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", DD.tokens("text").alias("t"))
+        .where(F.size("t") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("t") - 4),
+                        lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, F.lit(5))),
+                    )
+                )
+            ).alias("shingle"),
+        )
+    )
+    bench = sh.where(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("bench_doc_id"), "shingle"
+    )
+    corpus = sh.where(F.col("doc_id") % 20 != 0).select(
+        F.col("doc_id").alias("corpus_doc_id"), "shingle"
+    )
+    bench_sizes = bench.groupBy("bench_doc_id").agg(
+        F.count("*").alias("bench_shingles")
+    )
+    ov = (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("corpus_doc_id", "bench_doc_id")
+        .agg(F.count("*").alias("overlap"))
+    )
+    return ov.join(F.broadcast(bench_sizes), "bench_doc_id").select(
+        "corpus_doc_id",
+        "bench_doc_id",
+        "overlap",
+        F.round(F.col("overlap").cast("double") / F.col("bench_shingles"), 6).alias(
+            "contamination"
+        ),
+    )

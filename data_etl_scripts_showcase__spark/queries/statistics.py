@@ -313,3 +313,61 @@ def x7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec2("value")).cast("double").alias("kept_value_sum"),
         )
     )
+
+
+# x8: token-budget sampling over documents.
+_BUDGET_TOKENS = 1000
+_NORM_DOC = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "x8_token_budget_sample",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, doc_id,
+               CAST(len(string_split({_NORM_DOC}, ' ')) AS INTEGER) AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) AS rand_key
+        FROM documents
+    ),
+    c AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY rand_key, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens
+        FROM t
+    )
+    SELECT source, doc_id, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= {_BUDGET_TOKENS}
+    """,
+    survey="A-std (token-budget sampling — deterministic per-source cut at a target token count)",
+)
+def x8_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sampling: take documents per source, in a deterministic
+    pseudo-random order (md5 of the doc key), until the source's token
+    budget is reached — how a training mix hits an exact per-domain token
+    count instead of a row count.
+
+    The order key is a content-independent hash, so the selection is
+    reproducible on any engine and any partitioning.  The running sum is
+    one window per source partition; at 100 TB the same cut runs
+    hierarchically (per-partition partial sums, then offsets — the plan
+    shape of w2_running_total) without changing the selected set."""
+    from ..operators.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("rand_key"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("rand_key", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = t.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+    return c.where(F.col("cum_tokens") <= _BUDGET_TOKENS).select(
+        "source", "doc_id", "n_tokens", "cum_tokens"
+    )

@@ -8,7 +8,7 @@ same md5-derived hashes and ratio formulas.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..operators import text as TX
@@ -253,4 +253,144 @@ def t7_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.regexp_replace(stripped, r"\s+", " ")).alias("clean_text"),
         F.size(F.regexp_extract_all("text", F.lit(_URL_RE), 0)).alias("n_urls"),
         (F.length("text") - F.length(stripped)).alias("chars_removed"),
+    )
+
+
+@register(
+    "t8_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source, unnest({_TOKS}) AS term FROM documents
+    ),
+    tf AS (
+        SELECT source, term, CAST(count(*) AS BIGINT) AS tf_sum
+        FROM tok GROUP BY source, term
+    ),
+    dfreq AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.source, tf.term,
+               round(tf.tf_sum * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT source, term, tfidf, rk FROM (
+        SELECT source, term, tfidf,
+               CAST(row_number() OVER (
+                   PARTITION BY source ORDER BY tfidf DESC, term ASC
+               ) AS INTEGER) AS rk
+        FROM scored
+    ) WHERE rk <= 5
+    """,
+    survey="NS-text (TF-IDF salient terms per corpus slice — corpus-relative term weighting)",
+)
+def t8_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per source by aggregated TF-IDF — the corpus-diagnostics
+    view ("what is this slice about, relative to the whole corpus").
+
+    Plan shape: one explode, two hash aggregates (term frequency per
+    source; document frequency per term), then idf applied as a SINGLE
+    multiplication on the already-summed tf (no order-dependent float
+    accumulation — the rounded value is bit-stable on any partitioning).
+    The df table and the 1-row corpus count are broadcast, so the only
+    shuffles are the two aggregates; top-k is a per-source window over the
+    small (source × vocab) result with a pinned (score, term) tie-break."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "source", F.explode(TX.tokens("text")).alias("term"))
+    tf = tok.groupBy("source", "term").agg(F.count("*").alias("tf_sum"))
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "term",
+            F.round(F.col("tf_sum") * idf, 6).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("source").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("source", "term", "tfidf", "rk")
+    )
+
+
+# PII patterns (RE2/Java-compatible — identical semantics in both engines).
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+_IP_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+# The synthetic corpus is wordlist-only text, so the PII scrub is exercised
+# on a deterministic contact string derived from existing columns — both
+# engines build the identical raw string, then redact it.
+_RAW_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@' || source"
+    " || '.example.com or +1-555-' ||"
+    " lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')"
+    " || ' from ' || CAST(doc_id % 223 + 1 AS VARCHAR) || '.0.0.'"
+    " || CAST(doc_id % 254 + 1 AS VARCHAR)"
+)
+
+
+@register(
+    "t9_pii_scrub",
+    oracle=f"""
+    WITH raw AS (SELECT doc_id, {_RAW_SQL} AS raw_text FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw_text, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(raw_text, '{_PHONE_RE}')) AS INTEGER) AS n_phones,
+           CAST(len(regexp_extract_all(raw_text, '{_IP_RE}')) AS INTEGER) AS n_ips,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(raw_text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_PHONE_RE}', '<PHONE>', 'g'),
+               '{_IP_RE}', '<IP>', 'g') AS redacted
+    FROM raw
+    """,
+    survey="NS-text (PII detection + redaction with per-doc audit counts)",
+)
+def t9_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: detect and redact emails / phone numbers / IPv4 addresses,
+    emitting per-document audit counts alongside the redacted text —
+    curation must be measurable (cf. t7's audited boilerplate strip).
+
+    All three passes are regexp expressions in whole-stage codegen (no
+    Python in the hot path); redaction order is pinned (email → phone →
+    ip) so later patterns can never match inside earlier placeholders.
+    At 100 TB this is a pure map stage: no shuffle, scan-partition
+    parallel, and the audit counts roll up with one small aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@"),
+        F.col("source"),
+        F.lit(".example.com or +1-555-"),
+        F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+        F.lit(" from "),
+        (F.col("doc_id") % 223 + 1).cast("string"),
+        F.lit(".0.0."),
+        (F.col("doc_id") % 254 + 1).cast("string"),
+    )
+    r = d.select("doc_id", raw.alias("raw_text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("raw_text", _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ),
+        _IP_RE,
+        "<IP>",
+    )
+    return r.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("raw_text", F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("raw_text", F.lit(_PHONE_RE), 0)).alias("n_phones"),
+        F.size(F.regexp_extract_all("raw_text", F.lit(_IP_RE), 0)).alias("n_ips"),
+        redacted.alias("redacted"),
     )
