@@ -172,3 +172,57 @@ def chunk_audio(assets: DataFrame, parallelism: int | None = None) -> DataFrame:
     if parallelism:
         audio = audio.repartition(parallelism)
     return audio.mapInPandas(chunk_audio_stub, CHUNK_SCHEMA)
+
+
+# Output schema of the image-resize planning stage.
+RESIZE_SCHEMA = (
+    "asset_id bigint, src_w int, src_h int, out_w int, out_h int, "
+    "n_pixels_in bigint, n_pixels_out bigint, downscaled boolean"
+)
+
+RESIZE_TARGET = 224  # fit the long edge into this box; never upscale
+
+
+def resize_plan_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: aspect-preserving resize plan per image.
+
+    Source dims come from the stub decode (``_pseudo_dims`` — the seam
+    where a real PIL ``Image.open(...).size`` goes); the resize arithmetic
+    is ALL-INTEGER (``(w * target) // long_edge``) so the planned output
+    dims are bit-identical on any engine — the oracle recomputes them in
+    SQL.  No upscaling: images already inside the box pass through."""
+    for pdf in batches:
+        rows: dict[str, list] = {k: [] for k in (
+            "asset_id", "src_w", "src_h", "out_w", "out_h",
+            "n_pixels_in", "n_pixels_out", "downscaled",
+        )}
+        for asset_id, payload in zip(pdf["asset_id"], pdf["content"]):
+            w, h, _ = _pseudo_dims(bytes(payload))
+            m = max(w, h)
+            if m > RESIZE_TARGET:
+                ow = max(1, (w * RESIZE_TARGET) // m)
+                oh = max(1, (h * RESIZE_TARGET) // m)
+                down = True
+            else:
+                ow, oh, down = w, h, False
+            rows["asset_id"].append(asset_id)
+            rows["src_w"].append(w)
+            rows["src_h"].append(h)
+            rows["out_w"].append(ow)
+            rows["out_h"].append(oh)
+            rows["n_pixels_in"].append(w * h)
+            rows["n_pixels_out"].append(ow * oh)
+            rows["downscaled"].append(down)
+        yield pd.DataFrame(rows)
+
+
+def plan_resizes(assets: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Plan aspect-preserving resizes for every IMAGE asset.
+
+    Like ``chunk_audio``, the media_type filter runs scan-side so only
+    image blobs cross the Arrow boundary; the stage is 1→1 and stateless,
+    so it inherits (or widens to) the scan's partitioning."""
+    images = assets.where(F.col("media_type") == "image")
+    if parallelism:
+        images = images.repartition(parallelism)
+    return images.mapInPandas(resize_plan_stub, RESIZE_SCHEMA)

@@ -157,3 +157,69 @@ def x5_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("min_val"),
         F.max("value").alias("max_val"),
     )
+
+
+@register(
+    "x9_scd2_history",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, event_type AS status, ts AS valid_from, event_id
+        FROM ordered
+        WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, status, valid_from,
+           lead(valid_from) OVER (
+               PARTITION BY user_id ORDER BY valid_from, event_id
+           ) AS valid_to,
+           CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY valid_from, event_id
+           ) AS INTEGER) AS version_n,
+           lead(valid_from) OVER (
+               PARTITION BY user_id ORDER BY valid_from, event_id
+           ) IS NULL AS is_current
+    FROM changes
+    """,
+    survey="A-std (SCD type-2 dimension build: change-log → validity intervals)",
+)
+def x9_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from a change log: collapse
+    each user's event stream into status VERSIONS — a row per change with
+    `[valid_from, valid_to)` validity, version number, and is_current flag.
+    The warehouse-history operator the reference's daily full snapshots
+    (SURVEY.md §2.1 S11/S12) approximate by rewriting everything.
+
+    Two windows over the SAME (user_id → ts, event_id) sort: the
+    change-detection lag and the interval-closing lead reuse one shuffle +
+    one sort (Catalyst collapses same-spec windows), and at 100 TB the
+    partition key is the entity id so state never crosses executors.
+    Ordering ties are pinned by event_id."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w_in = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w_in))
+        .where(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .select(
+            "user_id",
+            F.col("event_type").alias("status"),
+            F.col("ts").alias("valid_from"),
+            "event_id",
+        )
+    )
+    w_out = W.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return changes.select(
+        "user_id",
+        "status",
+        "valid_from",
+        F.lead("valid_from").over(w_out).alias("valid_to"),
+        F.row_number().over(w_out).alias("version_n"),
+        F.lead("valid_from").over(w_out).isNull().alias("is_current"),
+    )

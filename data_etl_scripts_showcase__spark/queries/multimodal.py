@@ -108,3 +108,54 @@ def mm3_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     function of the payload (oracle recomputes the grid in SQL)."""
     assets = MM.to_assets(load_table(spark, sf_dir, "documents"), "doc_id", "text")
     return MM.chunk_audio(assets, parallelism=spark.sparkContext.defaultParallelism)
+
+
+@register(
+    "mm4_image_resize_plan",
+    oracle=f"""
+    WITH a AS (
+        SELECT doc_id AS asset_id,
+               octet_length(CAST(text AS BLOB)) AS blen,
+               md5(text) AS h
+        FROM documents
+        WHERE {_MEDIA_CASE} = 'image'
+    ),
+    d AS (
+        SELECT asset_id,
+               16 + blen % 624 AS src_w,
+               16 + ('0x' || substr(h, 1, 4))::BIGINT % 624 AS src_h
+        FROM a
+    ),
+    r AS (
+        SELECT asset_id, src_w, src_h,
+               greatest(src_w, src_h) AS long_edge,
+               CASE WHEN greatest(src_w, src_h) > {MM.RESIZE_TARGET}
+                    THEN greatest(1, (src_w * {MM.RESIZE_TARGET}) // greatest(src_w, src_h))
+                    ELSE src_w END AS out_w,
+               CASE WHEN greatest(src_w, src_h) > {MM.RESIZE_TARGET}
+                    THEN greatest(1, (src_h * {MM.RESIZE_TARGET}) // greatest(src_w, src_h))
+                    ELSE src_h END AS out_h
+        FROM d
+    )
+    SELECT asset_id,
+           CAST(src_w AS INTEGER) AS src_w,
+           CAST(src_h AS INTEGER) AS src_h,
+           CAST(out_w AS INTEGER) AS out_w,
+           CAST(out_h AS INTEGER) AS out_h,
+           CAST(src_w * src_h AS BIGINT) AS n_pixels_in,
+           CAST(out_w * out_h AS BIGINT) AS n_pixels_out,
+           long_edge > {MM.RESIZE_TARGET} AS downscaled
+    FROM r
+    """,
+    survey="NS-mm (image preprocessing: aspect-preserving resize plan, integer-exact)",
+)
+def mm4_image_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize plan for every image asset — fit the long
+    edge into a 224-pixel box, never upscale, report the pixel-count
+    savings.  The standard vision-model preprocessing step, planned as a
+    1→1 mapInPandas stage over the binary column (the stub decode stands
+    in for PIL; the resize arithmetic is all-integer so the oracle
+    recomputes it exactly).  Scan-side media_type filter means only image
+    blobs ever reach Python."""
+    assets = MM.to_assets(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    return MM.plan_resizes(assets, parallelism=spark.sparkContext.defaultParallelism)
