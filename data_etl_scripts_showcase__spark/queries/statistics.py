@@ -371,3 +371,61 @@ def x8_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.where(F.col("cum_tokens") <= _BUDGET_TOKENS).select(
         "source", "doc_id", "n_tokens", "cum_tokens"
     )
+
+
+@register(
+    "x10_winsorized_stats",
+    oracle="""
+    WITH p AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS p05,
+               quantile_cont(value, 0.95) AS p95
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           round(p.p05, 6) AS p05,
+           round(p.p95, 6) AS p95,
+           CAST(sum(CASE WHEN e.value < p.p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+           CAST(sum(CASE WHEN e.value > p.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+           round(avg(least(greatest(e.value, p.p05), p.p95)), 6) AS winsorized_mean,
+           round(avg(e.value), 6) AS raw_mean
+    FROM events e JOIN p USING (event_type)
+    GROUP BY e.event_type, p.p05, p.p95
+    """,
+    survey="A-std (winsorization: exact-percentile clipping — outlier-robust metric cleaning)",
+)
+def x10_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p05/p95-clipped) mean per event type, with clip counts
+    and the raw mean for comparison — the outlier-robust cleaning pass for
+    metric columns (a value column with sensor spikes or billing glitches
+    shouldn't drag the training-mix statistics).
+
+    Two passes by design: an exact-percentile aggregate per group (tiny:
+    one row per event_type), broadcast back onto the fact scan for the
+    clip + re-aggregate.  At 100 TB the first pass swaps to
+    approx_percentile (a21's verified error contract) and the plan shape —
+    small-side broadcast join, one fact shuffle — is unchanged.  Both
+    engines use linear-interpolated exact percentiles here, so the
+    rounded values hash-match."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("p05"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return (
+        ev.join(F.broadcast(p), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("p05"), 6).alias("p05"),
+            F.round(F.first("p95"), 6).alias("p95"),
+            F.sum(F.when(F.col("value") < F.col("p05"), 1).otherwise(0)).alias(
+                "n_clipped_low"
+            ),
+            F.sum(F.when(F.col("value") > F.col("p95"), 1).otherwise(0)).alias(
+                "n_clipped_high"
+            ),
+            F.round(F.avg(clipped), 6).alias("winsorized_mean"),
+            F.round(F.avg("value"), 6).alias("raw_mean"),
+        )
+    )

@@ -394,3 +394,61 @@ def t9_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("raw_text", F.lit(_IP_RE), 0)).alias("n_ips"),
         redacted.alias("redacted"),
     )
+
+
+@register(
+    "t10_repetition_score",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term),
+    n AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, max(c) AS max_c
+        FROM tf GROUP BY doc_id
+    ),
+    top AS (
+        SELECT tf.doc_id, min(tf.term) AS top_term
+        FROM tf JOIN n ON tf.doc_id = n.doc_id AND tf.c = n.max_c
+        GROUP BY tf.doc_id
+    )
+    SELECT n.doc_id, n.n_tokens,
+           CAST(n.max_c AS BIGINT) AS top_freq,
+           round(CAST(n.max_c AS DOUBLE) / n.n_tokens, 6) AS top_ratio,
+           top.top_term,
+           round(CAST(n.max_c AS DOUBLE) / n.n_tokens, 6) > 0.2 AS flagged
+    FROM n JOIN top ON n.doc_id = top.doc_id
+    """,
+    survey="NS-text (intra-document repetition filter — Gopher-style quality rule)",
+)
+def t10_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition score: the most frequent token's share of
+    the document, with the doc flagged when it exceeds 20% — the
+    Gopher/C4-family quality rule that drops boilerplate- and
+    spam-repetitive pages before training.
+
+    The argmax term is pinned deterministically (max count, then
+    lexicographically smallest term) — `max_by` alone is tie-ambiguous.
+    All three aggregates key on doc_id, so the plan is one explode and a
+    chain of same-key hash aggregates: a single logical shuffle at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    n = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"), F.max("c").alias("max_c")
+    )
+    top = (
+        tf.join(n, ["doc_id"])
+        .where(F.col("c") == F.col("max_c"))
+        .groupBy("doc_id")
+        .agg(F.min("term").alias("top_term"))
+    )
+    ratio = F.round(F.col("max_c").cast("double") / F.col("n_tokens"), 6)
+    return n.join(top, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.col("max_c").alias("top_freq"),
+        ratio.alias("top_ratio"),
+        "top_term",
+        (ratio > 0.2).alias("flagged"),
+    )
