@@ -269,3 +269,60 @@ class TestIntervalJoin:
         out = interval_join(points, ivs, "ts", "lo", "hi", ["k"], bucket_seconds=3)
         assert out.count() == 10
         assert out.select("tag").distinct().count() == 10
+
+
+class TestResizePlan:
+    def test_resize_invariants(self, spark):
+        """Aspect-preserving, never upscales, long edge fits the box."""
+        payloads = [(i, "x" * (7 + i * 131)) for i in range(1, 40, 3)]
+        assets = MM.to_assets(docs(spark, payloads), "doc_id", "text")
+        # force everything to image so every row gets a plan
+        assets = assets.withColumn("media_type", F.lit("image"))
+        rows = MM.plan_resizes(assets).collect()
+        assert rows
+        for r in rows:
+            long_in = max(r.src_w, r.src_h)
+            long_out = max(r.out_w, r.out_h)
+            if r.downscaled:
+                assert long_in > MM.RESIZE_TARGET
+                assert long_out <= MM.RESIZE_TARGET
+            else:
+                assert (r.out_w, r.out_h) == (r.src_w, r.src_h)
+            assert r.out_w >= 1 and r.out_h >= 1
+            assert r.n_pixels_out <= r.n_pixels_in
+            # integer-rounding aspect bound: |ow*sh - oh*sw| <= long edge
+            assert abs(r.out_w * r.src_h - r.out_h * r.src_w) <= long_in
+
+    def test_resize_filters_to_images(self, spark):
+        assets = MM.to_assets(docs(spark, [(i, f"p{i}") for i in range(9)]),
+                              "doc_id", "text")
+        planned = MM.plan_resizes(assets)
+        n_images = assets.where(F.col("media_type") == "image").count()
+        assert planned.count() == n_images == 3
+
+
+class TestPiiScrub:
+    def test_redaction_is_idempotent_and_counts_match(self, spark):
+        from data_etl_scripts_showcase__spark.queries.text_analysis import (
+            _EMAIL_RE, _IP_RE, _PHONE_RE,
+        )
+
+        d = docs(spark, [(1, "mail a.b+c@ex-1.example.org or +91-800-1234 "
+                             "and +1-555-0000 at 10.0.255.3 end")])
+        def scrub(col):
+            return F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(col, _EMAIL_RE, "<EMAIL>"),
+                    _PHONE_RE, "<PHONE>"),
+                _IP_RE, "<IP>")
+
+        row = d.select(
+            scrub(F.col("text")).alias("once"),
+            scrub(scrub(F.col("text"))).alias("twice"),
+            F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)).alias("e"),
+            F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), 0)).alias("p"),
+            F.size(F.regexp_extract_all("text", F.lit(_IP_RE), 0)).alias("i"),
+        ).collect()[0]
+        assert row.once == row.twice  # placeholders never re-match
+        assert (row.e, row.p, row.i) == (1, 2, 1)
+        assert "<EMAIL>" in row.once and "<PHONE>" in row.once and "<IP>" in row.once

@@ -199,3 +199,39 @@ class TestTpchShapePlans:
         plan = plan_of(spark, "x5_profile_columns")
         # each scan node lists its file index once in the details section
         assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+class TestPipelineOpPlans:
+    def test_contamination_broadcasts_benchmark_side(self, spark):
+        """d10: the eval-set shingle table must be broadcast — the corpus
+        shingle stream (the 100 TB side) must never shuffle for the join."""
+        plan = plan_of(spark, "d10_ngram_contamination")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_tfidf_broadcasts_df_and_corpus_count(self, spark):
+        """t8: document-frequency table and the 1-row corpus count are
+        broadcast; no sort-merge join anywhere in the plan."""
+        plan = plan_of(spark, "t8_tfidf_top_terms")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_pii_scrub_is_shuffle_free(self, spark):
+        """t9: redaction is a pure map stage — zero Exchange operators."""
+        plan = plan_of(spark, "t9_pii_scrub")
+        assert "Exchange" not in plan
+
+    def test_scd2_windows_share_one_shuffle(self, spark):
+        """x9: the lag and lead/row_number windows sort on the same
+        (user_id → ts) spec, so the plan has exactly one hashpartitioning
+        Exchange (AQE may add nothing else)."""
+        plan = plan_of(spark, "x9_scd2_history")
+        assert plan.count("Exchange (") == 1  # one tree node
+        assert plan.count("Sort (") == 1  # second window reuses the sort
+
+    def test_winsorize_broadcasts_percentiles(self, spark):
+        """x10: the per-group percentile table (rows == |event types|) is
+        broadcast back onto the fact scan."""
+        plan = plan_of(spark, "x10_winsorized_stats")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan

@@ -362,3 +362,41 @@ def test_connected_components_matches_union_find(spark, edges):
         union(a, b)
     want = {v: find(v) for v in parent}
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 500), st.sampled_from(["a", "b"]), st.integers(1, 80)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 7),
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_token_budget_sample_partition_independent(spark, rows, nparts):
+    """x8's selection is a pure function of (source, doc hash, n_tokens) —
+    the chosen doc set must not change with the input partitioning."""
+    from pyspark.sql import Window as W
+
+    budget = 200
+    df = spark.createDataFrame(
+        [(i, s, "w " * n) for i, s, n in rows], "doc_id long, source string, text string"
+    )
+
+    def pick(d):
+        t = d.select(
+            "source",
+            "doc_id",
+            F.size(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")).alias("n_tokens"),
+            F.md5(F.col("doc_id").cast("string")).alias("rand_key"),
+        )
+        w = (
+            W.partitionBy("source")
+            .orderBy("rand_key", "doc_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        c = t.withColumn("cum", F.sum("n_tokens").over(w))
+        return sorted((r.source, r.doc_id, r.cum) for r in c.where(F.col("cum") <= budget).collect())
+
+    assert pick(df.repartition(1)) == pick(df.repartition(nparts))
