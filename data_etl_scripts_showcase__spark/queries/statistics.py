@@ -429,3 +429,50 @@ def x10_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 6).alias("raw_mean"),
         )
     )
+
+
+@register(
+    "x11_heavy_hitters",
+    oracle="""
+    WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+    t AS (SELECT sum(n) AS total, count(*) AS n_keys FROM c),
+    r AS (
+        SELECT c.user_id, c.n, t.total, t.n_keys,
+               row_number() OVER (ORDER BY c.n DESC, c.user_id ASC) AS rk
+        FROM c, t
+    )
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(rk AS INTEGER) AS rk,
+           round(CAST(n AS DOUBLE) / total, 6) AS frac_of_total,
+           round(CAST(n AS DOUBLE) * n_keys / total, 6) AS skew_vs_uniform
+    FROM r WHERE rk <= 10
+    """,
+    survey="A-std (heavy-hitter / skew diagnostics — the salting-decision input for x1/x6)",
+)
+def x11_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 heaviest join/group keys with their share of all rows and
+    their skew factor vs a uniform key distribution — the diagnostic that
+    decides WHEN the x1/x6 salting strategies are worth their extra pass.
+    One key-count aggregate (map-side partials), a broadcast 1-row total,
+    and a top-k rank with a pinned (count desc, key asc) tie-break; at
+    100 TB the rank input is |distinct keys| rows, not |rows|."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    t = c.agg(
+        F.sum("n").alias("total"), F.count("*").alias("n_keys")
+    )
+    r = c.crossJoin(F.broadcast(t)).withColumn(
+        "rk", F.row_number().over(W.orderBy(F.col("n").desc(), F.col("user_id").asc()))
+    )
+    return r.where(F.col("rk") <= 10).select(
+        "user_id",
+        F.col("n").alias("n_rows"),
+        "rk",
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("frac_of_total"),
+        F.round(F.col("n").cast("double") * F.col("n_keys") / F.col("total"), 6).alias(
+            "skew_vs_uniform"
+        ),
+    )

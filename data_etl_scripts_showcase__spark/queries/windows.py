@@ -475,3 +475,71 @@ def w13_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("funnel_state"),
         (us("purchase_ts") - us("signup_ts")).alias("lag_us"),
     )
+
+
+@register(
+    "w14_cohort_retention",
+    oracle="""
+    WITH cohort AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    csize AS (SELECT cohort_day, count(*) AS cohort_size FROM cohort GROUP BY cohort_day),
+    act AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+        SELECT c.cohort_day, datediff('day', c.cohort_day, a.day) AS day_offset, a.user_id
+        FROM act a JOIN cohort c USING (user_id)
+    )
+    SELECT strftime(j.cohort_day, '%Y-%m-%d') AS cohort_ds,
+           CAST(j.day_offset AS INTEGER) AS day_offset,
+           CAST(count(DISTINCT j.user_id) AS BIGINT) AS active_users,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           round(CAST(count(DISTINCT j.user_id) AS DOUBLE) / s.cohort_size, 6) AS retention_rate
+    FROM j JOIN csize s USING (cohort_day)
+    WHERE j.day_offset BETWEEN 0 AND 14
+    GROUP BY j.cohort_day, j.day_offset, s.cohort_size
+    """,
+    survey="W-std (cohort retention matrix: signup cohorts × day-offset purchase activity)",
+)
+def w14_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention matrix: users grouped by signup date, and for each
+    day offset 0–14 the count and fraction of the cohort making a
+    purchase — the product-analytics companion to the w13 funnel.
+
+    Shape at scale: the cohort assignment is one user-keyed aggregate;
+    activity days dedupe map-side (distinct on user+day); the join keys on
+    user_id so it co-partitions with the cohort aggregate, and the final
+    matrix is tiny (cohorts × offsets).  The cohort-size table is
+    broadcast back onto it."""
+    ev = load_table(spark, sf_dir, "events")
+    cohort = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    )
+    csize = cohort.groupBy("cohort_day").agg(F.count("*").alias("cohort_size"))
+    act = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    j = act.join(cohort, "user_id").withColumn(
+        "day_offset", F.datediff("day", "cohort_day")
+    )
+    m = (
+        j.where(F.col("day_offset").between(0, 14))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+    return m.join(F.broadcast(csize), "cohort_day").select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_ds"),
+        "day_offset",
+        "active_users",
+        "cohort_size",
+        F.round(
+            F.col("active_users").cast("double") / F.col("cohort_size"), 6
+        ).alias("retention_rate"),
+    )
