@@ -466,3 +466,61 @@ def d10_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contamination"
         ),
     )
+
+
+@register(
+    "d11_editdistance_verified_pairs",
+    oracle=f"""
+    WITH {_BANDS_CTE},
+    cand AS ({_CAND_SQL}),
+    nt AS (SELECT doc_id, {_NORM} AS ntext FROM documents)
+    SELECT c.id_a, c.id_b,
+           CAST(levenshtein(na.ntext, nb.ntext) AS INTEGER) AS edit_dist,
+           round(1.0 - CAST(levenshtein(na.ntext, nb.ntext) AS DOUBLE)
+                     / greatest(length(na.ntext), length(nb.ntext), 1), 6) AS ed_sim,
+           round(1.0 - CAST(levenshtein(na.ntext, nb.ntext) AS DOUBLE)
+                     / greatest(length(na.ntext), length(nb.ntext), 1), 6) >= 0.8
+               AS is_neardup
+    FROM cand c
+    JOIN nt na ON na.doc_id = c.id_a
+    JOIN nt nb ON nb.doc_id = c.id_b
+    """,
+    survey="NS-dedup (edit-distance verification over LSH candidates — char-level fuzzy dedup)",
+)
+def d11_editdistance_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup verification: Levenshtein distance and
+    normalized similarity over the LSH candidate pairs, flagging pairs
+    with ≥0.8 similarity.  Complements d4's token-set Jaccard — edit
+    distance catches character-level edits (typos, small insertions) that
+    token-set overlap under-weights.
+
+    Levenshtein is O(len²) per pair, which is exactly why it runs ONLY on
+    the LSH-bounded candidate set (25 pairs here, ~|near-dups| at scale)
+    and never on the full corpus cross-product; the candidate list is the
+    small side, so both text joins broadcast it."""
+    docs = load_table(spark, sf_dir, "documents")
+    nt = docs.select("doc_id", DD.normalize("text").alias("ntext"))
+    sig = DD.minhash_signature(
+        docs, "doc_id", "text", parallelism=spark.sparkContext.defaultParallelism
+    )
+    cand = DD.candidate_pairs(DD.lsh_buckets(sig, "doc_id"), "doc_id")
+    na = nt.select(F.col("doc_id").alias("id_a"), F.col("ntext").alias("ntext_a"))
+    nb = nt.select(F.col("doc_id").alias("id_b"), F.col("ntext").alias("ntext_b"))
+    dist = F.levenshtein("ntext_a", "ntext_b")
+    sim = F.round(
+        1.0
+        - dist.cast("double")
+        / F.greatest(F.length("ntext_a"), F.length("ntext_b"), F.lit(1)),
+        6,
+    )
+    return (
+        cand.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            dist.cast("int").alias("edit_dist"),
+            sim.alias("ed_sim"),
+            (sim >= 0.8).alias("is_neardup"),
+        )
+    )
