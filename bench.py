@@ -40,6 +40,13 @@ HEADLINE = [
     "v4_knn_ivf",
     "t2_quality_score",
     "mm2_decoded_features",
+    "t8_tfidf_top_terms",
+    "t10_repetition_score",
+    "d10_ngram_contamination",
+    "x8_token_budget_sample",
+    "x9_scd2_history",
+    "x10_winsorized_stats",
+    "w14_cohort_retention",
 ]
 
 
