@@ -68,6 +68,7 @@ def load_all() -> dict[str, Query]:
         text_analysis,
         tpch_shapes,
         tpch_shapes2,
+        udfs,
         windows,
     )
 

@@ -1,0 +1,82 @@
+"""§2.11 user-extensible compute: the UDF surfaces as oracle-checked queries.
+
+mapInPandas (enrichment, multimodal) and applyInPandasWithState (streaming)
+are exercised elsewhere; this module pins the remaining three surfaces —
+scalar pandas_udf, grouped-agg pandas_udf, and applyInPandas grouped map —
+each against a plain-SQL oracle, proving the Python stages are pure,
+partitioning-independent functions of their inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.udfs import format_address, weighted_avg, zscore_groups
+from ..sources import load_table
+from . import register
+
+
+@register(
+    "udf1_pandas_scalar_address",
+    oracle="""
+    SELECT c.c_custkey,
+           c.c_name || ', ' || c.c_mktsegment || ', ' || n.n_name AS label
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+    survey="§2.11 (scalar pandas_udf — the extract_address shape, Arrow-vectorized)",
+)
+def udf1_pandas_scalar_address(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's extract_address (main.py:439-456) as a VECTORIZED
+    scalar pandas_udf over a broadcast dim join — Arrow batches in/out,
+    never row-at-a-time.  (The same logic is expressible as concat_ws —
+    the preferred form; this query exists to verify the udf surface.)"""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    return j.select(
+        "c_custkey",
+        format_address("c_name", "c_mktsegment", "n_name").alias("label"),
+    )
+
+
+@register(
+    "udf2_grouped_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6)
+               AS wavg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    survey="§2.11 (grouped-agg pandas_udf — the UDAF surface)",
+)
+def udf2_grouped_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted mean price per return flag via a grouped-agg
+    pandas_udf — the user-defined-aggregate surface (the reference's
+    metric-sum loop shape, main.py:588-607).  Note the scale caveat in
+    ``functions/udfs.py``: grouped-agg pandas UDFs materialize each
+    group, so built-in sum/sum is preferred where expressible."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(weighted_avg("l_extendedprice", "l_quantity"), 6).alias("wavg_price")
+    )
+
+
+@register(
+    "udf3_applyinpandas_zscore",
+    oracle="""
+    SELECT event_id, event_type, value,
+           round((value - avg(value) OVER (PARTITION BY event_type))
+                 / stddev_samp(value) OVER (PARTITION BY event_type), 6) AS zscore
+    FROM events
+    """,
+    survey="§2.11 (applyInPandas grouped map — per-group normalization)",
+)
+def udf3_applyinpandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score normalization via applyInPandas (grouped
+    map) — each group arrives as one pandas DataFrame, is normalized
+    whole, and returns with the same cardinality.  The oracle recomputes
+    the identical math with window aggregates; agreement proves the
+    Python stage is a pure per-group function."""
+    ev = load_table(spark, sf_dir, "events")
+    return zscore_groups(ev, key="event_type")

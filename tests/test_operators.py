@@ -326,3 +326,18 @@ class TestPiiScrub:
         assert row.once == row.twice  # placeholders never re-match
         assert (row.e, row.p, row.i) == (1, 2, 1)
         assert "<EMAIL>" in row.once and "<PHONE>" in row.once and "<IP>" in row.once
+
+
+class TestUdfSurface:
+    def test_plain_udf_agrees_with_expression(self, spark):
+        """py_bool_to_int (row-at-a-time udf, the documented slow path)
+        must agree with the Column-expression form on all inputs."""
+        from data_etl_scripts_showcase__spark.functions import bool_to_int
+        from data_etl_scripts_showcase__spark.functions.udfs import py_bool_to_int
+
+        d = spark.createDataFrame(
+            [(True,), (False,), (None,)], "v boolean"
+        ).select(
+            py_bool_to_int("v").alias("u"), bool_to_int("v").alias("e")
+        )
+        assert all(r.u == r.e for r in d.collect())
