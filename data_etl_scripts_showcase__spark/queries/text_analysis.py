@@ -452,3 +452,33 @@ def t10_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_term",
         (ratio > 0.2).alias("flagged"),
     )
+
+
+@register(
+    "t11_inverted_index",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents
+    )
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS df,
+           list_sort(list(doc_id))[1:20] AS postings_head
+    FROM tok GROUP BY term
+    """,
+    survey="NS-text (inverted-index build: term → document-frequency + sorted posting list)",
+)
+def t11_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: per term, the document frequency and the
+    first 20 doc ids of the sorted posting list — the search-infrastructure
+    companion to t8's TF-IDF.  Dedup to (doc, term) pairs happens
+    map-side (distinct before the term aggregate), and the posting list is
+    SORTED then truncated so the output is deterministic; at 100 TB
+    posting lists shard by (term, doc_id range) rather than collecting
+    unbounded arrays — the head-truncation here is that discipline in
+    miniature."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(TX.tokens("text")).alias("term")).distinct()
+    return tok.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20).alias("postings_head"),
+    )

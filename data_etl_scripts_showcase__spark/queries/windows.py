@@ -543,3 +543,49 @@ def w14_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("active_users").cast("double") / F.col("cohort_size"), 6
         ).alias("retention_rate"),
     )
+
+
+@register(
+    "w15_time_weighted_avg",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, value, epoch_us(ts) AS us, event_id,
+               lead(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS next_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(next_us - us) AS BIGINT) AS span_us,
+           round(sum(value * (next_us - us)) / sum(next_us - us), 6) AS twa_value
+    FROM o WHERE next_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    survey="W-std (time-weighted average over an irregular series — each value held until the next observation)",
+)
+def w15_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user over an irregularly-sampled series:
+    each value is weighted by how long it was 'current' (until the next
+    event) — the correct mean for sensor/price/state series where plain
+    avg() over-weights bursts.  Pairs with the as-of join (j7) as the
+    time-series surface.
+
+    One (user_id → ts) window for the interval close, then a same-key
+    aggregate — the shuffle co-locates with the window's.  Weights are
+    exact integer microseconds (epoch_us convention), so only the final
+    ratio is floating point."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    o = (
+        ev.select("user_id", "value", us.alias("us"), "event_id")
+        .withColumn("next_us", F.lead("us").over(w))
+        .where(F.col("next_us").isNotNull())
+    )
+    dt = F.col("next_us") - F.col("us")
+    return o.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum(dt).alias("span_us"),
+        F.round(F.sum(F.col("value") * dt) / F.sum(dt), 6).alias("twa_value"),
+    )
