@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import similarity as SIM
+from .text_analysis import QUALITY_SQL
 from ..sources import load_table
 from . import register
 
@@ -260,4 +261,54 @@ def v6_ivf_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.groupBy("query_id").agg(
         F.round(F.count("i_nid").cast("double") / 3.0, 6).alias("recall_at_3")
+    )
+
+
+@register(
+    "v7_quality_filtered_knn",
+    oracle=f"""
+    WITH q AS ({QUALITY_SQL}),
+    corpus AS (
+        SELECT e.* FROM embeddings e
+        JOIN q ON e.vec_id = q.doc_id
+        WHERE round(q.quality_score, 6) >= 0.6
+    )
+    SELECT qv.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(CAST(qv.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])), 6) AS sim,
+           CAST(row_number() OVER (
+               PARTITION BY qv.vec_id
+               ORDER BY round(list_cosine_similarity(CAST(qv.embedding AS DOUBLE[]),
+                                                     CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                        c.vec_id ASC
+           ) AS INTEGER) AS rank
+    FROM embeddings qv, corpus c
+    WHERE qv.vec_id < 8 AND qv.vec_id <> c.vec_id
+    QUALIFY rank <= 3
+    """,
+    survey="NS-sim + NS-text (composite curation: quality-gate the corpus, then ANN over survivors)",
+)
+def v7_quality_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite curation shape: quality-score the text corpus (t2's
+    formula), keep only documents scoring ≥ 0.6, and run exact top-3
+    cosine retrieval against the SURVIVING embeddings — how a real
+    pipeline retrieves exemplars from the cleaned pool rather than the
+    raw crawl.
+
+    The quality gate is a text-side scan (no shuffle) whose surviving id
+    set joins the embedding table on the shared key; retrieval then
+    follows v1's broadcast-queries × one-corpus-pass shape.  Filter-first
+    ordering matters at 100 TB: scoring is cheap per row, cosine is not,
+    so the gate cuts the expensive stage's input, never the reverse."""
+    from ..operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    ok = docs.select(
+        "doc_id", F.round(quality_score("text"), 6).alias("qs")
+    ).where(F.col("qs") >= 0.6)
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.join(ok, e.vec_id == ok.doc_id).select(e["*"])
+    queries = e.where(F.col("vec_id") < 8)
+    return SIM.knn_bruteforce(
+        queries, corpus, k=3, parallelism=spark.sparkContext.defaultParallelism
     )

@@ -82,6 +82,20 @@ def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Reusable oracle fragment: doc_id → quality_score (t2's exact formula) —
+# shared with the quality-filtered ANN query (v7).
+QUALITY_SQL = f"""
+    SELECT doc_id,
+           least(CAST(len({_TOKS}) AS DOUBLE) / 100.0, 1.0) * 0.4
+             + (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+                           ELSE CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / length(text) END) * 0.3
+             + least((CASE WHEN len({_TOKS}) = 0 THEN 0.0
+                           ELSE CAST(len(list_filter({_TOKS}, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE) / len({_TOKS}) END) * 5.0, 1.0) * 0.3
+           AS quality_score
+    FROM documents
+"""
+
+
 def _hits_sql(lang: str) -> str:
     markers = "['" + "','".join(TX.LANG_MARKERS[lang]) + "']"
     return f"len(list_filter({_TOKS}, x -> list_contains({markers}, x)))"
@@ -481,4 +495,49 @@ def t11_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tok.groupBy("term").agg(
         F.count("*").alias("df"),
         F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20).alias("postings_head"),
+    )
+
+
+@register(
+    "t12_zipf_fit",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS term FROM documents),
+    tf AS (SELECT term, count(*) AS freq FROM tok GROUP BY term),
+    r AS (
+        SELECT term, freq,
+               row_number() OVER (ORDER BY freq DESC, term ASC) AS rank
+        FROM tf
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(freq) AS BIGINT) AS total_tokens,
+           round(regr_slope(ln(freq), ln(rank)), 6) AS zipf_slope,
+           round(regr_intercept(ln(freq), ln(rank)), 6) AS zipf_intercept,
+           round(regr_r2(ln(freq), ln(rank)), 6) AS zipf_r2
+    FROM r
+    """,
+    survey="NS-text (Zipf rank-frequency fit — log-log regression over the term distribution)",
+)
+def t12_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law diagnostic: regress ln(frequency) on ln(rank) over the
+    corpus term distribution — natural text fits slope ≈ -1, and large
+    deviations flag synthetic/spammy/templated corpora slices (exactly
+    what this wordlist corpus shows).  One term-count aggregate, a
+    global rank with pinned tie-break (|vocab| rows, tiny), and a
+    single-row regression aggregate — the regr_* family merges as
+    constant-size co-moment state, the same single-shuffle shape as
+    corr (a16)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(TX.tokens("text")).alias("term"))
+    tf = tok.groupBy("term").agg(F.count("*").alias("freq"))
+    r = tf.withColumn(
+        "rank",
+        F.row_number().over(W.orderBy(F.col("freq").desc(), F.col("term").asc())),
+    )
+    ln_f, ln_r = F.log(F.col("freq")), F.log(F.col("rank"))
+    return r.agg(
+        F.count("*").alias("n_terms"),
+        F.sum("freq").alias("total_tokens"),
+        F.round(F.regr_slope(ln_f, ln_r), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(ln_f, ln_r), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(ln_f, ln_r), 6).alias("zipf_r2"),
     )
