@@ -223,3 +223,56 @@ def x9_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_out).alias("version_n"),
         F.lead("valid_from").over(w_out).isNull().alias("is_current"),
     )
+
+
+@register(
+    "x12_malformed_json_quarantine",
+    oracle="""
+    WITH raw AS (
+        SELECT event_id, event_type,
+               CASE WHEN event_id % 10 = 0
+                    THEN substr(props, 1, length(props) - 1)
+                    ELSE props END AS payload
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN json_valid(payload) THEN 0 ELSE 1 END) AS BIGINT) AS n_quarantined,
+           CAST(sum(CASE WHEN json_valid(payload)
+                         THEN CAST(payload ->> 'k' AS INTEGER) END) AS BIGINT) AS k_sum_good
+    FROM raw
+    GROUP BY event_type
+    """,
+    survey="A-std (malformed-record quarantine: PERMISSIVE parse + dead-letter accounting)",
+)
+def x12_malformed_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter accounting for semi-structured ingest: parse a JSON
+    payload PERMISSIVEly (every 10th row is deterministically truncated to
+    simulate upstream corruption), count quarantined rows per group, and
+    aggregate only the cleanly-parsed values.  The pattern the reference's
+    swallow-errors-and-print scans (SURVEY.md §5) should have been: bad
+    records are COUNTED and excluded, never silently dropped or fatal.
+
+    `from_json` in PERMISSIVE mode yields a struct of NULL fields for
+    unparseable input (every valid payload carries `k`, so `k IS NULL` is
+    the quarantine predicate), and the whole pass is one scan + one
+    aggregate — no Python, no second parse."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    payload = F.when(
+        F.col("event_id") % 10 == 0,
+        F.expr("substr(props, 1, length(props) - 1)"),
+    ).otherwise(F.col("props"))
+    parsed = F.from_json(payload, "k int")
+    return (
+        ev.select("event_type", parsed.alias("p"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col("p.k").isNull(), 1).otherwise(0)).alias(
+                "n_quarantined"
+            ),
+            F.sum(F.col("p.k")).cast("bigint").alias("k_sum_good"),
+        )
+    )

@@ -541,3 +541,54 @@ def t12_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(ln_f, ln_r), 6).alias("zipf_intercept"),
         F.round(F.regr_r2(ln_f, ln_r), 6).alias("zipf_r2"),
     )
+
+
+@register(
+    "t13_token_entropy",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term),
+    n AS (SELECT doc_id, sum(c) AS n_tok FROM tf GROUP BY doc_id)
+    SELECT tf.doc_id,
+           CAST(n.n_tok AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(-sum((CAST(tf.c AS DOUBLE) / n.n_tok)
+                      * ln(CAST(tf.c AS DOUBLE) / n.n_tok)), 6) AS entropy_nats,
+           round(ln(count(*)), 6) AS max_entropy_nats
+    FROM tf JOIN n ON tf.doc_id = n.doc_id
+    GROUP BY tf.doc_id, n.n_tok
+    """,
+    survey="NS-text (token-distribution Shannon entropy — information-density quality signal)",
+)
+def t13_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution (nats), with
+    the uniform-distribution ceiling ln(n_distinct) for normalization —
+    low entropy relative to the ceiling means repetitive/templated text
+    (the continuous form of t10's max-frequency rule).
+
+    Same single-logical-shuffle shape as t10: term counts, totals, and
+    the entropy sum all key on doc_id.  The per-doc float sum spans at
+    most |vocab| terms, so the 6-dp round is stable."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    n = tf.groupBy("doc_id").agg(F.sum("c").alias("n_tok"))
+    p = F.col("c").cast("double") / F.col("n_tok")
+    return (
+        tf.join(n, "doc_id")
+        .groupBy("doc_id", "n_tok")
+        .agg(
+            F.count("*").alias("n_distinct"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+            F.round(F.log(F.count("*")), 6).alias("max_entropy_nats"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tok").alias("n_tokens"),
+            "n_distinct",
+            "entropy_nats",
+            "max_entropy_nats",
+        )
+    )
