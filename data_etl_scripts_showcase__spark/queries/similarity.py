@@ -312,3 +312,73 @@ def v7_quality_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.knn_bruteforce(
         queries, corpus, k=3, parallelism=spark.sparkContext.defaultParallelism
     )
+
+
+_KM_DIST = (
+    "round(list_sum(list_transform(range(1, len(e.vec) + 1), "
+    "i -> (e.vec[i] - c.cvec[i]) * (e.vec[i] - c.cvec[i]))), 6)"
+)
+
+
+def _km_assign(cent_cte: str) -> str:
+    return f"""
+    SELECT vec_id, cluster, vec FROM (
+        SELECT e.vec_id, c.cluster, e.vec,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_KM_DIST} ASC, c.cluster ASC
+               ) AS rn
+        FROM corpus e, {cent_cte} c
+    ) WHERE rn = 1
+    """
+
+
+# FROM-clause range() can't be lateral in DuckDB, so the oracle pins the
+# testdata embedding dimensionality (64); the Spark side is dim-agnostic.
+_KM_UPDATE = """
+    SELECT cluster, i AS pos, round(avg(vec[i]), 6) AS cv
+    FROM {a}, range(1, 65) t(i)
+    GROUP BY cluster, i
+"""
+
+
+@register(
+    "v8_kmeans_lloyd",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ),
+    c0 AS (
+        SELECT CAST(vec_id AS INTEGER) AS cluster, vec AS cvec
+        FROM corpus WHERE vec_id < 4
+    ),
+    a1 AS ({_km_assign("c0")}),
+    m1 AS ({_KM_UPDATE.format(a="a1")}),
+    c1 AS (SELECT cluster, list(cv ORDER BY pos) AS cvec FROM m1 GROUP BY cluster),
+    a2 AS ({_km_assign("c1")}),
+    m2 AS ({_KM_UPDATE.format(a="a2")}),
+    sizes AS (
+        SELECT cluster, CAST(count(*) AS BIGINT) AS n_members FROM a2 GROUP BY cluster
+    )
+    SELECT m2.cluster, CAST(m2.pos AS INTEGER) AS pos,
+           m2.cv AS centroid_val, s.n_members
+    FROM m2 JOIN sizes s USING (cluster)
+    """,
+    survey="NS-sim (k-means Lloyd iterations — the iterative-algorithm archetype, exact oracle)",
+)
+def v8_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled Lloyd iterations of k-means (k=4, lowest-id seeding)
+    over the embedding corpus, returning the final centroids per dimension
+    plus cluster sizes — the iterative-ML archetype run as pure DataFrame
+    stages, with the oracle replaying the IDENTICAL recurrence in SQL
+    (rounded distances + rounded means at every boundary make the
+    fixpoint engine-independent, so this iterative op gets a FULL value
+    check, not a rows-only one).
+
+    Per iteration: assign = broadcast(k·dim centroid floats) evaluated
+    scan-side, update = one (cluster, dim)-keyed mean — ONE shuffle per
+    iteration at any corpus size."""
+    from ..operators.kmeans import kmeans_centroids
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return kmeans_centroids(e, "vec_id", "embedding", k=4, iters=2)
