@@ -476,3 +476,49 @@ def x11_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "skew_vs_uniform"
         ),
     )
+
+
+@register(
+    "x13_train_val_test_split",
+    oracle=f"""
+    WITH t AS (
+        SELECT source,
+               CAST(len(string_split({_NORM_DOC}, ' ')) AS INTEGER) AS n_tokens,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+                   AS bucket
+        FROM documents
+    )
+    SELECT source,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM t GROUP BY source, split
+    """,
+    survey="A-std (deterministic train/val/test split — hash-bucketed 80/10/10, leakage-free)",
+)
+def x13_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by hashing the document KEY —
+    membership is a pure function of doc_id, so the split is identical on
+    any engine, any partitioning, and any later re-run over a grown
+    corpus (no leakage when new docs arrive: old docs never move).  Same
+    hash-mod machinery as x2/x7; reported as per-(source, split) doc and
+    token counts — the mix report that ships with a training set."""
+    from ..operators.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint") % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select("source", split.alias("split"), token_count("text").alias("n_tokens"))
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
