@@ -226,3 +226,63 @@ def plan_resizes(assets: DataFrame, parallelism: int | None = None) -> DataFrame
     if parallelism:
         images = images.repartition(parallelism)
     return images.mapInPandas(resize_plan_stub, RESIZE_SCHEMA)
+
+
+# Output schema of the video frame-sampling stage (one row per kept frame).
+FRAME_SCHEMA = "asset_id bigint, frame_idx int, pts_ms int, fps int, n_frames int"
+
+MAX_SAMPLED_FRAMES = 8  # keep ≤8 evenly-spaced frames per video
+
+
+def _pseudo_fps(payload: bytes) -> int:
+    """Deterministic fake frame rate 6..30 (STUB for the real container
+    probe — ffprobe's r_frame_rate).  Reproducible in SQL:
+    6 + ('0x' || substr(md5, 5, 2))::BIGINT % 25."""
+    h = hashlib.md5(payload).hexdigest()
+    return 6 + (int(h[4:6], 16) % 25)
+
+
+def sample_video_frames_stub(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage with 1→N fan-out: each video asset emits ≤8
+    evenly-spaced frames with integer-exact presentation timestamps
+    (``pts_ms = frame_idx * 1000 // fps``) — the frame-sampling shape
+    every video-training pipeline needs before the (stubbed) decoder.
+    All arithmetic is integer, so the frame grid is engine- and
+    partitioning-independent and the oracle recomputes it in SQL."""
+    for pdf in batches:
+        ids, idxs, ptss, fpss, nfs = [], [], [], [], []
+        for asset_id, payload in zip(pdf["asset_id"], pdf["content"]):
+            raw = bytes(payload)
+            _, _, n_frames = _pseudo_dims(raw)
+            fps = _pseudo_fps(raw)
+            step = max(1, (n_frames + MAX_SAMPLED_FRAMES - 1) // MAX_SAMPLED_FRAMES)
+            for idx in range(0, n_frames, step):
+                ids.append(asset_id)
+                idxs.append(idx)
+                ptss.append(idx * 1000 // fps)
+                fpss.append(fps)
+                nfs.append(n_frames)
+        yield pd.DataFrame(
+            {
+                "asset_id": ids,
+                "frame_idx": idxs,
+                "pts_ms": ptss,
+                "fps": fpss,
+                "n_frames": nfs,
+            }
+        )
+
+
+def sample_video_frames(assets: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Sample presentation-timestamped frames from every VIDEO asset.
+
+    The media_type filter runs scan-side BEFORE the Python stage — at
+    100 TB only video blobs cross the Arrow boundary, and the ≤8-frame cap
+    bounds output cardinality at 8× the video count regardless of clip
+    length."""
+    video = assets.where(F.col("media_type") == "video")
+    if parallelism:
+        video = video.repartition(parallelism)
+    return video.mapInPandas(sample_video_frames_stub, FRAME_SCHEMA)

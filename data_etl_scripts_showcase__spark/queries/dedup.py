@@ -524,3 +524,109 @@ def d11_editdistance_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFra
             (sim >= 0.8).alias("is_neardup"),
         )
     )
+
+
+@register(
+    "d12_semantic_dedup",
+    oracle="""
+    WITH dims AS (
+        SELECT label, vec_id, i, CAST(embedding[i] AS DOUBLE) AS val
+        FROM embeddings, LATERAL (
+            SELECT unnest(range(1, len(embedding) + 1)) AS i
+        )
+    ),
+    cent AS (
+        SELECT label, list(cm ORDER BY i) AS cvec
+        FROM (
+            SELECT label, i, round(avg(val), 6) AS cm
+            FROM dims GROUP BY label, i
+        )
+        GROUP BY label
+    ),
+    cc AS (
+        SELECT e.vec_id, e.label,
+               round(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]), c.cvec), 6) AS cos_centroid
+        FROM embeddings e JOIN cent c USING (label)
+    ),
+    prs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+    ),
+    losers AS (
+        SELECT DISTINCT CASE
+                   WHEN ca.cos_centroid > cb.cos_centroid THEN p.id_a
+                   WHEN cb.cos_centroid > ca.cos_centroid THEN p.id_b
+                   ELSE greatest(p.id_a, p.id_b) END AS vec_id
+        FROM prs p
+        JOIN cc ca ON ca.vec_id = p.id_a
+        JOIN cc cb ON cb.vec_id = p.id_b
+    )
+    SELECT cc.vec_id, cc.label, cc.cos_centroid,
+           cc.vec_id IN (SELECT vec_id FROM losers) AS is_dropped
+    FROM cc
+    """,
+    survey="NS-dedup (SemDeDup-style semantic dedup: cluster-blocked cosine pairs, keep the centroid-farthest)",
+)
+def d12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication in the SemDeDup (Abbas et al. 2023, public)
+    shape: block embeddings by cluster (the label column stands in for a
+    k-means assignment — v8 provides the real one), compute each member's
+    cosine to its CLUSTER CENTROID, find within-cluster near-dup pairs
+    (cos ≥ 0.35), and from every pair DROP the member closer to the
+    centroid — keeping the diverse outliers, which is what makes semantic
+    dedup different from plain near-dup removal (d8 keeps min-id).
+    Ties drop the higher vec_id.  Output: every vector with its
+    cos-to-centroid and drop verdict.
+
+    Scale shape: centroids are a (cluster × dim)-keyed mean — one shuffle,
+    k·dim floats out, broadcast back onto the scan; pairwise cosine runs
+    only WITHIN clusters (the LSH/cluster blocking discipline of d3/d7),
+    so cost is Σ cluster_size², bounded by capping cluster size at
+    assignment time, never corpus².  Centroid components round to 6 dp so
+    the mean's accumulation order can't leak into the verdict."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("cm"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cm"))).alias("ps"))
+        .select("label", F.expr("transform(ps, x -> x.cm)").alias("cvec"))
+    )
+    cc = e.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        F.round(cosine("embedding", "cvec"), 6).alias("cos_centroid"),
+    )
+    a = e.select("label", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select("label", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    prs = (
+        a.join(b, "label")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(cosine("va", "vb"), 6) >= 0.35)
+        .select("id_a", "id_b")
+    )
+    ca = cc.select(F.col("vec_id").alias("id_a"), F.col("cos_centroid").alias("cca"))
+    cb = cc.select(F.col("vec_id").alias("id_b"), F.col("cos_centroid").alias("ccb"))
+    losers = (
+        prs.join(ca, "id_a")
+        .join(cb, "id_b")
+        .select(
+            F.when(F.col("cca") > F.col("ccb"), F.col("id_a"))
+            .when(F.col("ccb") > F.col("cca"), F.col("id_b"))
+            .otherwise(F.greatest("id_a", "id_b"))
+            .alias("vec_id")
+        )
+        .distinct()
+        .withColumn("__drop", F.lit(True))
+    )
+    return cc.join(F.broadcast(losers), "vec_id", "left").select(
+        "vec_id",
+        "label",
+        "cos_centroid",
+        F.coalesce("__drop", F.lit(False)).alias("is_dropped"),
+    )

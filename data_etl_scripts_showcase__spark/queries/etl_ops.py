@@ -276,3 +276,127 @@ def x12_malformed_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum(F.col("p.k")).cast("bigint").alias("k_sum_good"),
         )
     )
+
+
+@register(
+    "x14_incremental_agg_maintenance",
+    oracle=f"""
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1998-02-01 00:00:00'
+    GROUP BY o_custkey
+    """,
+    survey="S12,S13 extended (incremental aggregate maintenance: base + delta merge == full recompute)",
+)
+def x14_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a per-customer revenue aggregate: the
+    pre-existing BASE aggregate (orders before the cutoff) is merged with
+    the new day's DELTA aggregate (one month of arrivals) via a keyed
+    full-outer coalesce — WITHOUT rescanning history.  The oracle is the
+    full recompute over the union window, which is exactly the correctness
+    statement of incremental view maintenance.
+
+    This is the scale-out replacement for the reference's daily
+    CREATE-OR-REPLACE full refresh (Gonukkad_Merchants.py:162-178): at
+    100 TB the base aggregate is a stored table ~1000× smaller than the
+    fact history, the delta scan touches only the new partition, and the
+    merge shuffles only the aggregate keys.  Sums are DECIMAL(18,2) so
+    base+delta addition is exact — merged output is bit-equal to the
+    recompute on any partitioning."""
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp_ntz")
+    upper = F.lit("1998-02-01").cast("timestamp_ntz")
+    base = (
+        o.where(F.col("o_orderdate") < cut)
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n0"),
+            F.sum(dec2("o_totalprice")).alias("s0"),
+        )
+    )
+    delta = (
+        o.where((F.col("o_orderdate") >= cut) & (F.col("o_orderdate") < upper))
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n1"),
+            F.sum(dec2("o_totalprice")).alias("s1"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(28,2)")
+    return base.join(delta, "o_custkey", "full_outer").select(
+        "o_custkey",
+        (F.coalesce("n0", F.lit(0)) + F.coalesce("n1", F.lit(0))).alias("n_orders"),
+        (F.coalesce(F.col("s0").cast("decimal(28,2)"), zero)
+         + F.coalesce(F.col("s1").cast("decimal(28,2)"), zero))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+# The FK edges of the testdata star schema: (child, fk, parent, pk).
+_FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+@register(
+    "x15_fk_orphan_audit",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{child}' AS child_table, '{fk}' AS fk_column,
+           CAST(count(*) AS BIGINT) AS n_child_rows,
+           CAST(sum(CASE WHEN c.{fk} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_fk,
+           CAST(sum(CASE WHEN c.{fk} IS NOT NULL AND p.{pk} IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+    FROM {child} c LEFT JOIN {parent} p ON c.{fk} = p.{pk}
+    """
+        for child, fk, parent, pk in _FK_EDGES
+    ),
+    survey="A9 extended (referential-integrity audit: per-FK-edge orphan accounting)",
+)
+def x15_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over every FK edge of the star schema:
+    one row per edge with child cardinality, NULL-FK count, and orphan
+    count (non-null FK with no parent).  The generalization of the
+    reference's row-count reconciliation gate (A9, main.py:717-741) from
+    'same number of rows' to 'every pointer resolves'.
+
+    Each edge is a LEFT join to the parent's key projection: dimension
+    parents broadcast, and the two fact-to-fact edges (lineitem→orders,
+    orders→customer) shuffle only (key, key) pairs — at 100 TB each edge
+    is one key-projected shuffle, and AQE picks broadcast vs sort-merge
+    per edge.  NULL FKs are counted separately, not as orphans (SQL RI
+    semantics: NULL can't dangle)."""
+    out = None
+    for child, fk, parent, pk in _FK_EDGES:
+        c = load_table(spark, sf_dir, child).select(F.col(fk))
+        p = load_table(spark, sf_dir, parent).select(
+            F.col(pk).alias("__pk"), F.lit(True).alias("__hit")
+        )
+        audit = (
+            c.join(p, c[fk] == F.col("__pk"), "left")
+            .agg(
+                F.count("*").alias("n_child_rows"),
+                F.sum(F.when(F.col(fk).isNull(), 1).otherwise(0)).alias("n_null_fk"),
+                F.sum(
+                    F.when(F.col(fk).isNotNull() & F.col("__hit").isNull(), 1).otherwise(0)
+                ).alias("n_orphans"),
+            )
+            .select(
+                F.lit(child).alias("child_table"),
+                F.lit(fk).alias("fk_column"),
+                "n_child_rows",
+                "n_null_fk",
+                "n_orphans",
+            )
+        )
+        out = audit if out is None else out.unionByName(audit)
+    return out

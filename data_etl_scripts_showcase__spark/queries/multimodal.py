@@ -159,3 +159,42 @@ def mm4_image_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs ever reach Python."""
     assets = MM.to_assets(load_table(spark, sf_dir, "documents"), "doc_id", "text")
     return MM.plan_resizes(assets, parallelism=spark.sparkContext.defaultParallelism)
+
+
+@register(
+    "mm5_video_frame_sample",
+    oracle=f"""
+    WITH a AS (
+        SELECT doc_id AS asset_id,
+               octet_length(CAST(text AS BLOB)) AS blen,
+               md5(text) AS h
+        FROM documents
+        WHERE {_MEDIA_CASE} = 'video'
+    ),
+    p AS (
+        SELECT asset_id,
+               1 + blen % 32 AS n_frames,
+               6 + ('0x' || substr(h, 5, 2))::BIGINT % 25 AS fps
+        FROM a
+    )
+    SELECT asset_id,
+           CAST(i AS INTEGER) AS frame_idx,
+           CAST(i * 1000 // fps AS INTEGER) AS pts_ms,
+           CAST(fps AS INTEGER) AS fps,
+           CAST(n_frames AS INTEGER) AS n_frames
+    FROM p, LATERAL (
+        SELECT unnest(range(0, n_frames, greatest(1, (n_frames + 7) // 8))) AS i
+    )
+    """,
+    survey="NS-mm (video frame sampling: 1→N mapInPandas with integer-exact PTS grid)",
+)
+def mm5_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evenly-spaced frame sampling per video asset with integer-exact
+    presentation timestamps — the video-side companion to mm3's audio
+    windows: 1→N mapInPandas fan-out, scan-side media filter, stubbed
+    container probe (fps/frame count derived from the bytes), and a ≤8
+    frames/clip cap that bounds output cardinality at any corpus size."""
+    assets = MM.to_assets(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    return MM.sample_video_frames(
+        assets, parallelism=spark.sparkContext.defaultParallelism
+    )

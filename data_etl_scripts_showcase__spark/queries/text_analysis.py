@@ -592,3 +592,77 @@ def t13_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_entropy_nats",
         )
     )
+
+
+@register(
+    "t14_bigram_lm_score",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    t AS (SELECT doc_id, unnest(toks) AS tok FROM n),
+    v AS (SELECT count(DISTINCT tok) AS vsz FROM t),
+    bgt AS (
+        SELECT doc_id, concat(toks[i], ' ', toks[i+1]) AS bg, toks[i] AS w1
+        FROM n, LATERAL (
+            SELECT unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS i
+        )
+        WHERE len(toks) >= 2
+    ),
+    c12 AS (SELECT bg, count(*) AS c12 FROM bgt GROUP BY bg),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bgt GROUP BY w1)
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((c12.c12 + 1.0) / (c1.c1 + v.vsz))), 6) AS avg_logprob
+    FROM bgt b
+    JOIN c12 USING (bg)
+    JOIN c1 USING (w1)
+    CROSS JOIN v
+    GROUP BY b.doc_id
+    """,
+    survey="NS-text (bigram language-model scoring — perplexity-style fluency/quality signal)",
+)
+def t14_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model score per document: train
+    add-one-smoothed bigram/context counts over the WHOLE corpus in one
+    pass, then score each document by its mean conditional log-probability
+    ``avg ln((c(w1,w2)+1) / (c(w1)+|V|))`` — the classic perplexity-style
+    fluency signal used to quality-filter LLM training data (low scores =
+    disfluent/TEMPLATED/wrong-language text relative to the corpus).
+    Documents with fewer than two tokens carry no bigram and are excluded
+    (matching the oracle's WHERE).
+
+    Scale shape: the LM "training" is two hash aggregates over the exploded
+    bigram stream (map-side partial combine does most of the work), and
+    scoring re-joins those counts back onto the same stream by key — at
+    100 TB the count tables are orders of magnitude smaller than the corpus
+    and shard by key; nothing ever collects to the driver.  The per-doc
+    average is the only float accumulation, bounded by doc length and
+    rounded to 6 dp."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", TX.tokens("text").alias("t")).where(F.size("t") >= 2)
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(concat(element_at(t, i), ' ', element_at(t, i + 1)) AS bg,"
+                "             element_at(t, i) AS w1))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.bg", "p.w1")
+    c12 = bg.groupBy("bg").agg(F.count("*").alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        d.select(F.explode(TX.tokens("text")).alias("tok"))
+        .agg(F.countDistinct("tok").alias("vsz"))
+    )
+    logp = F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("vsz")))
+    return (
+        bg.join(c12, "bg")
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(logp), 6).alias("avg_logprob"),
+        )
+    )

@@ -589,3 +589,61 @@ def w15_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dt).alias("span_us"),
         F.round(F.sum(F.col("value") * dt) / F.sum(dt), 6).alias("twa_value"),
     )
+
+
+@register(
+    "w16_activity_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    islands AS (
+        SELECT user_id, d,
+               d - CAST(row_number() OVER (
+                       PARTITION BY user_id ORDER BY d
+                   ) AS INTEGER) AS anchor
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, anchor,
+               CAST(count(*) AS BIGINT) AS streak_len,
+               min(d) AS streak_start
+        FROM islands GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(max(streak_len) AS BIGINT) AS longest_streak,
+           CAST(sum(streak_len) AS BIGINT) AS active_days,
+           strftime(min(streak_start), '%Y-%m-%d') AS first_active_ds
+    FROM streaks GROUP BY user_id
+    """,
+    survey="W-std (gaps-and-islands: consecutive-day activity streaks via the date-minus-rank anchor)",
+)
+def w16_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks per user (gaps-and-islands): every
+    run of adjacent active days collapses to one island keyed by the
+    classic ``date - row_number()`` anchor (constant within a run, distinct
+    across runs), then per-user streak stats.
+
+    Engagement-cohort shape the reference's daily active-mid counter
+    (main.py:20-50) only approximates with one global number per day.
+    Scale: the distinct, the window, and both aggregates all key on
+    user_id — Catalyst runs the whole chain on ONE user-keyed shuffle
+    (the distinct's day key is a strict superset), and per-user state is
+    bounded by the calendar, not the event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "anchor").agg(
+        F.count("*").alias("streak_len"),
+        F.min("d").alias("streak_start"),
+    )
+    return streaks.groupBy("user_id").agg(
+        F.count("*").alias("n_streaks"),
+        F.max("streak_len").alias("longest_streak"),
+        F.sum("streak_len").alias("active_days"),
+        F.date_format(F.min("streak_start"), "yyyy-MM-dd").alias("first_active_ds"),
+    )

@@ -341,3 +341,37 @@ class TestUdfSurface:
             py_bool_to_int("v").alias("u"), bool_to_int("v").alias("e")
         )
         assert all(r.u == r.e for r in d.collect())
+
+
+class TestVideoFrameSample:
+    def test_frame_grid_invariants(self, spark):
+        """≤8 frames/clip, even spacing, integer PTS, video-only."""
+        assets = MM.to_assets(
+            docs(spark, [(i, "v" * (5 + i * 97)) for i in range(12)]),
+            "doc_id", "text",
+        )
+        sampled = MM.sample_video_frames(assets)
+        rows = sampled.collect()
+        assert rows
+        n_videos = assets.where(F.col("media_type") == "video").count()
+        by_asset: dict[int, list] = {}
+        for r in rows:
+            by_asset.setdefault(r.asset_id, []).append(r)
+        assert len(by_asset) == n_videos
+        for frames in by_asset.values():
+            assert 1 <= len(frames) <= MM.MAX_SAMPLED_FRAMES
+            frames.sort(key=lambda r: r.frame_idx)
+            step = max(1, (frames[0].n_frames + 7) // 8)
+            for k, r in enumerate(frames):
+                assert r.frame_idx == k * step
+                assert r.pts_ms == r.frame_idx * 1000 // r.fps
+                assert 6 <= r.fps <= 30
+
+    def test_partitioning_independent(self, spark):
+        assets = MM.to_assets(
+            docs(spark, [(i, f"clip {i} " * (i + 1)) for i in range(9)]),
+            "doc_id", "text",
+        )
+        one = {tuple(r) for r in MM.sample_video_frames(assets, parallelism=1).collect()}
+        many = {tuple(r) for r in MM.sample_video_frames(assets, parallelism=8).collect()}
+        assert one == many
