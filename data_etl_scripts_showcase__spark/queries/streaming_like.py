@@ -218,3 +218,70 @@ def st8_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the identical batch gaps-and-islands SQL — stream/batch equivalence
     is the correctness statement."""
     return run_to_memory(sessionize_batch(events_stream(spark, sf_dir)))
+
+
+@register(
+    "st9_incremental_rollup",
+    oracle=_TUMBLING_ORACLE,
+    survey="§2.10 (availableNow + foreachBatch continuous aggregate: date-partitioned hourly rollup)",
+)
+def st9_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate, driven end-to-end: the event
+    stream lands windowed partials as date partitions via
+    ``trigger(availableNow)`` + ``foreachBatch``, and the reader merges the
+    additive partials (counts, exact-decimal sums) back to final values —
+    oracle-checked against the batch aggregate of the same data.  Re-runs
+    touch only the dates present in a batch; readers prune to the days
+    they ask for."""
+    import tempfile
+
+    from ..streaming import incremental_rollup, read_rollup
+
+    out = tempfile.mkdtemp(prefix="rollup_q_")
+    incremental_rollup(events_stream(spark, sf_dir), out)
+    return read_rollup(spark, out)
+
+
+@register(
+    "st10_incremental_user_snapshot",
+    oracle="""
+    WITH latest AS (
+        SELECT user_id, event_type, ts, value, event_id,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ),
+    cnt AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY user_id)
+    SELECT l.user_id,
+           l.event_type AS last_type,
+           strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS last_ts_s,
+           l.value AS last_value,
+           c.n_events
+    FROM latest l JOIN cnt c USING (user_id)
+    WHERE l.rn = 1
+    """,
+    survey="§2.10 (streaming SCD1 snapshot: foreachBatch latest-wins merge + versioned publish, the S11/S12 replacement)",
+)
+def st10_incremental_user_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD1 snapshot maintenance: each micro-batch merges its
+    per-user delta (latest event fields + additive count) into the prior
+    snapshot version and publishes a new immutable version directory —
+    the Structured Streaming replacement for the reference's rename-sweep
+    "latest pointer" + CREATE OR REPLACE promote (S11/S12).  The merge is
+    associative, so any micro-batch slicing converges to the same
+    snapshot; the oracle is the batch latest-per-user recompute."""
+    import tempfile
+
+    from ..streaming import incremental_user_snapshot, read_latest_snapshot
+
+    base = tempfile.mkdtemp(prefix="usersnap_q_")
+    incremental_user_snapshot(events_stream(spark, sf_dir), base)
+    snap = read_latest_snapshot(spark, base)
+    return snap.select(
+        "user_id",
+        "last_type",
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts_s"),
+        "last_value",
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )

@@ -117,3 +117,44 @@ class TestIncrementalRollup:
         assert as_sorted_tuples(got, cols) == as_sorted_tuples(want, cols)
         n_days = spark.read.parquet(out).select("ds").distinct().count()
         assert n_days >= 28
+
+
+class TestIncrementalUserSnapshot:
+    def test_multibatch_merge_equals_batch_recompute(self, spark):
+        """Slicing the stream into micro-batches and merging sequentially
+        converges to the one-shot per-user snapshot (merge associativity)."""
+        from data_etl_scripts_showcase__spark.streaming import (
+            merge_snapshots,
+            user_snapshot,
+        )
+
+        ev = load_table(spark, SF, "events")
+        snap = None
+        for k in range(3):  # three arbitrary micro-batch slices
+            batch = ev.where(F.col("event_id") % 3 == k)
+            delta = user_snapshot(batch)
+            snap = delta if snap is None else merge_snapshots(snap, delta)
+        want = user_snapshot(ev)
+        cols = ["user_id", "last_type", "last_ts", "last_value",
+                "last_event_id", "n_events"]
+        assert as_sorted_tuples(snap, cols) == as_sorted_tuples(want, cols)
+
+    def test_versioned_publish_and_latest_pointer(self, spark, tmp_path):
+        """The foreachBatch driver publishes immutable version dirs and the
+        reader picks the highest version."""
+        from data_etl_scripts_showcase__spark.streaming import (
+            incremental_user_snapshot,
+            read_latest_snapshot,
+        )
+
+        base = str(tmp_path / "snap")
+        incremental_user_snapshot(events_stream(spark, SF), base)
+        got = read_latest_snapshot(spark, base)
+        want = (
+            load_table(spark, SF, "events")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_events"))
+        )
+        assert as_sorted_tuples(got, ["user_id", "n_events"]) == as_sorted_tuples(
+            want, ["user_id", "n_events"]
+        )
