@@ -94,3 +94,31 @@ def py_bool_to_int(v):  # pragma: no cover - exercised via tests only
     expression); exists so the engine demonstrably supports plain udfs
     while the library routes hot paths through expressions."""
     return None if v is None else (1 if v else 0)
+
+
+# Characters Python's str.strip() removes — pinned explicitly so the SQL
+# oracle can strip the identical set.
+_STRIP_WS = " \t\n\r\f\v"
+
+
+@F.udtf(returnType="sent_idx int, sentence string, n_chars int")
+class SplitSentencesUdtf:
+    """Python UDTF (Spark 4 table-function surface): one input text row →
+    N sentence rows.  Sentences split on ``[.!?]+`` runs, whitespace
+    stripped, empties dropped, 0-based index assigned in document order.
+
+    Row-at-a-time Python — the documented slow path next to the
+    Arrow-batched mapInPandas UDTF shape (mm3/mm5); exists to pin the
+    ``CREATE FUNCTION``-style lateral-join surface end-to-end."""
+
+    def eval(self, text):  # pragma: no cover - exercised via queries/tests
+        import re
+
+        if text is None:
+            return
+        i = 0
+        for part in re.split(r"[.!?]+", text):
+            part = part.strip(_STRIP_WS)
+            if part:
+                yield i, part, len(part)
+                i += 1

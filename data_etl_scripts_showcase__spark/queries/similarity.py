@@ -382,3 +382,173 @@ def v8_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return kmeans_centroids(e, "vec_id", "embedding", k=4, iters=2)
+
+
+_PAIR_COS = (
+    "list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), "
+    "CAST(eb.embedding AS DOUBLE[]))"
+)
+
+
+@register(
+    "v9_mmr_diversified_topk",
+    oracle=f"""
+    WITH cand AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid, round({_COS}, 6) AS qsim,
+               CAST(round(round({_COS}, 6) * 1000000) AS BIGINT) AS qs6
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id
+        QUALIFY row_number() OVER (
+            PARTITION BY q.vec_id ORDER BY round({_COS}, 6) DESC, c.vec_id ASC
+        ) <= 10
+    ),
+    pair AS (
+        SELECT a.qid, a.cid AS ca, b.cid AS cb,
+               CAST(round(round({_PAIR_COS}, 6) * 1000000) AS BIGINT) AS s6
+        FROM cand a
+        JOIN cand b ON a.qid = b.qid AND a.cid <> b.cid
+        JOIN embeddings ea ON ea.vec_id = a.cid
+        JOIN embeddings eb ON eb.vec_id = b.cid
+    ),
+    p1 AS (
+        SELECT qid, cid AS c1, (7 * qs6) / 10000000.0 AS score FROM cand
+        QUALIFY row_number() OVER (
+            PARTITION BY qid ORDER BY qsim DESC, cid ASC) = 1
+    ),
+    m2 AS (
+        SELECT c.qid, c.cid, 7 * c.qs6 - 3 * p.s6 AS mmr_i
+        FROM cand c
+        JOIN p1 ON p1.qid = c.qid AND c.cid <> p1.c1
+        JOIN pair p ON p.qid = c.qid AND p.ca = c.cid AND p.cb = p1.c1
+    ),
+    p2 AS (
+        SELECT qid, cid AS c2, mmr_i / 10000000.0 AS score FROM m2
+        QUALIFY row_number() OVER (
+            PARTITION BY qid ORDER BY mmr_i DESC, cid ASC) = 1
+    ),
+    m3 AS (
+        SELECT c.qid, c.cid, 7 * c.qs6 - 3 * greatest(pa.s6, pb.s6) AS mmr_i
+        FROM cand c
+        JOIN p1 ON p1.qid = c.qid
+        JOIN p2 ON p2.qid = c.qid
+        JOIN pair pa ON pa.qid = c.qid AND pa.ca = c.cid AND pa.cb = p1.c1
+        JOIN pair pb ON pb.qid = c.qid AND pb.ca = c.cid AND pb.cb = p2.c2
+        WHERE c.cid <> p1.c1 AND c.cid <> p2.c2
+    ),
+    p3 AS (
+        SELECT qid, cid AS c3, mmr_i / 10000000.0 AS score FROM m3
+        QUALIFY row_number() OVER (
+            PARTITION BY qid ORDER BY mmr_i DESC, cid ASC) = 1
+    )
+    SELECT qid AS query_id, 1 AS pick_rank, c1 AS vec_id, score FROM p1
+    UNION ALL
+    SELECT qid, 2, c2, score FROM p2
+    UNION ALL
+    SELECT qid, 3, c3, score FROM p3
+    """,
+    survey="NS-sim (MMR-diversified retrieval: greedy λ-tradeoff re-rank over the top-k pool)",
+)
+def v9_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998, public)
+    re-ranking: from each query's top-10 cosine pool, greedily pick 3
+    results maximizing ``0.7·sim(q,d) − 0.3·max sim(d, selected)`` —
+    relevance traded against redundancy, the standard diversification
+    step for retrieval-augmented data curation (don't feed the model 3
+    copies of the same fact).  Similarities round to 6 dp and convert to
+    integer micro-units, so every MMR score is exact BIGINT arithmetic
+    (7·qs6 − 3·s6) — no float-rounding boundary can flip an argmax — and
+    ties break on vec_id: the greedy trajectory is engine-exact, and the
+    oracle unrolls the same three steps in SQL (v8's iterative-oracle
+    discipline).
+
+    Scale shape: the corpus-wide work is ONE brute-force (or v2/v4 ANN)
+    top-k pass; the MMR iterations then touch only k²-sized per-query
+    pools — tiny keyed joins, never the corpus.  λ and k are literals
+    here to keep the oracle exact."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cand = (
+        SIM.knn_bruteforce(
+            e.where(F.col("vec_id") < 8), e, k=10,
+            parallelism=spark.sparkContext.defaultParallelism,
+        )
+        .select(
+            F.col("query_id").alias("qid"),
+            F.col("neighbor_id").alias("cid"),
+            F.col("sim").alias("qsim"),
+            F.round(F.col("sim") * 1000000, 0).cast("bigint").alias("qs6"),
+        )
+    )
+    ids = cand.select("qid", "cid")
+    ea = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("va"))
+    eb = e.select(F.col("vec_id").alias("cb"), F.col("embedding").alias("vb"))
+    pair = (
+        ids.join(
+            ids.select(F.col("qid"), F.col("cid").alias("cb")), "qid"
+        )
+        .where(F.col("cid") != F.col("cb"))
+        .join(F.broadcast(ea), "cid")
+        .join(F.broadcast(eb), "cb")
+        .select(
+            "qid",
+            F.col("cid").alias("ca"),
+            "cb",
+            F.round(F.round(SIM.cosine("va", "vb"), 6) * 1000000, 0)
+            .cast("bigint")
+            .alias("s6"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    def argmax(df, score_col, id_col):
+        w = W.partitionBy("qid").orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        return df.withColumn("__rn", F.row_number().over(w)).where(
+            F.col("__rn") == 1
+        ).drop("__rn")
+
+    p1 = argmax(
+        cand.withColumn("score", (7 * F.col("qs6")) / F.lit(10000000.0)),
+        "qsim", "cid",
+    ).select("qid", F.col("cid").alias("c1"), "score")
+    m2 = (
+        cand.join(p1.select("qid", "c1"), "qid")
+        .where(F.col("cid") != F.col("c1"))
+        .join(
+            pair.select("qid", F.col("ca").alias("cid"), F.col("cb").alias("c1"), "s6"),
+            ["qid", "cid", "c1"],
+        )
+        .select("qid", "cid", (7 * F.col("qs6") - 3 * F.col("s6")).alias("mmr_i"))
+    )
+    p2 = argmax(m2, "mmr_i", "cid").select(
+        "qid",
+        F.col("cid").alias("c2"),
+        (F.col("mmr_i") / F.lit(10000000.0)).alias("score"),
+    )
+    m3 = (
+        cand.join(p1.select("qid", "c1"), "qid")
+        .join(p2.select("qid", "c2"), "qid")
+        .where((F.col("cid") != F.col("c1")) & (F.col("cid") != F.col("c2")))
+        .join(
+            pair.select("qid", F.col("ca").alias("cid"), F.col("cb").alias("c1"), F.col("s6").alias("sa6")),
+            ["qid", "cid", "c1"],
+        )
+        .join(
+            pair.select("qid", F.col("ca").alias("cid"), F.col("cb").alias("c2"), F.col("s6").alias("sb6")),
+            ["qid", "cid", "c2"],
+        )
+        .select(
+            "qid",
+            "cid",
+            (7 * F.col("qs6") - 3 * F.greatest("sa6", "sb6")).alias("mmr_i"),
+        )
+    )
+    p3 = argmax(m3, "mmr_i", "cid").select(
+        "qid",
+        F.col("cid").alias("c3"),
+        (F.col("mmr_i") / F.lit(10000000.0)).alias("score"),
+    )
+    out = (
+        p1.select(F.col("qid").alias("query_id"), F.lit(1).alias("pick_rank"), F.col("c1").alias("vec_id"), "score")
+        .unionByName(p2.select(F.col("qid").alias("query_id"), F.lit(2).alias("pick_rank"), F.col("c2").alias("vec_id"), "score"))
+        .unionByName(p3.select(F.col("qid").alias("query_id"), F.lit(3).alias("pick_rank"), F.col("c3").alias("vec_id"), "score"))
+    )
+    return out

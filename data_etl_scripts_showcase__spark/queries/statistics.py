@@ -522,3 +522,86 @@ def x13_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "x16_source_mixture_resample",
+    oracle="""
+    WITH per AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    tot AS (
+        SELECT CAST(sum(n_docs) AS DOUBLE) AS n_total,
+               CAST(count(*) AS DOUBLE) AS n_sources
+        FROM per
+    ),
+    p AS (
+        SELECT source, n_docs,
+               least(1.0, (n_total / n_sources) / n_docs) AS p_keep
+        FROM per, tot
+    ),
+    kept AS (
+        SELECT d.source, count(*) AS n_kept
+        FROM documents d JOIN p USING (source)
+        WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+              < CAST(floor(p.p_keep * 1000000) AS BIGINT)
+        GROUP BY d.source
+    ),
+    tk AS (SELECT CAST(sum(n_kept) AS DOUBLE) AS total_kept FROM kept)
+    SELECT p.source,
+           CAST(p.n_docs AS BIGINT) AS n_docs,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           round(p.p_keep, 6) AS p_keep,
+           round(coalesce(k.n_kept, 0) / tk.total_kept, 6) AS achieved_share
+    FROM p LEFT JOIN kept k USING (source), tk
+    """,
+    survey="A-std extended (source-mixture resampling: hash-thresholded downsample to target corpus weights)",
+)
+def x16_source_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus toward TARGET source weights (uniform here) by
+    hash-thresholded downsampling: each over-represented source keeps a
+    deterministic md5-bucketed fraction p = min(1, quota/n_s) of its
+    documents — the static form of the mixture-weighting step every LLM
+    training-data pipeline runs before tokenization.  Output: per-source
+    kept counts, keep probability, and the achieved post-sample share.
+
+    The keep decision is a pure expression of (doc_id, p_s): reproducible
+    on any engine, partitioning, or day (same property as x2's hash
+    sample), so the sampled corpus is stable across reruns — no RNG state,
+    no TABLESAMPLE partition dependence.  The per-source stats are two
+    tiny aggregates broadcast back onto the scan; the corpus itself
+    shuffles zero times."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = per.agg(
+        F.sum("n_docs").cast("double").alias("n_total"),
+        F.count("*").cast("double").alias("n_sources"),
+    )
+    p = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.least(
+            F.lit(1.0), (F.col("n_total") / F.col("n_sources")) / F.col("n_docs")
+        ).alias("p_keep"),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    kept = (
+        d.join(F.broadcast(p.select("source", "p_keep")), "source")
+        .where(bucket % 1000000 < F.floor(F.col("p_keep") * 1000000).cast("bigint"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    tk = kept.agg(F.sum("n_kept").cast("double").alias("total_kept"))
+    return (
+        p.join(kept, "source", "left")
+        .crossJoin(F.broadcast(tk))
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.round("p_keep", 6).alias("p_keep"),
+            F.round(
+                F.coalesce("n_kept", F.lit(0)).cast("double") / F.col("total_kept"), 6
+            ).alias("achieved_share"),
+        )
+    )

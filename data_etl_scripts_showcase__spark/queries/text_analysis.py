@@ -666,3 +666,67 @@ def t14_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(logp), 6).alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "t15_readability",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id,
+               len({_TOKS}) AS n_words,
+               greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+               len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+        FROM documents
+        WHERE len({_TOKS}) > 0
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                         - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4) AS flesch,
+           CASE WHEN round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                                   - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4) >= 60
+                THEN 'easy'
+                WHEN round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                                   - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4) >= 30
+                THEN 'medium'
+                ELSE 'hard' END AS difficulty
+    FROM m
+    """,
+    survey="NS-text (Flesch reading-ease readability — vowel-group syllable heuristic, pure expressions)",
+)
+def t15_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document with a vowel-group syllable
+    heuristic (public formula: 206.835 − 1.015·words/sentences −
+    84.6·syllables/words) plus an easy/medium/hard bucket — the classic
+    complexity signal curation pipelines pair with t2's quality score.
+
+    Everything is regexp + arithmetic inside whole-stage codegen: a
+    shuffle-free map over the corpus scan, like t9's PII scrub.  The
+    bucket thresholds compare the SAME 4-dp-rounded value the query
+    emits, so the verdict can't straddle an ulp."""
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(TX.tokens("text"))
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit(r"[.!?]+"), 0)), F.lit(1)
+    )
+    n_syl = F.size(F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), 0))
+    m = d.where(n_words > 0).select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        n_sent.cast("bigint").alias("n_sentences"),
+        n_syl.cast("bigint").alias("n_syllables"),
+    )
+    flesch = F.round(
+        F.lit(206.835)
+        - 1.015 * (F.col("n_words").cast("double") / F.col("n_sentences"))
+        - 84.6 * (F.col("n_syllables").cast("double") / F.col("n_words")),
+        4,
+    )
+    return m.withColumn("flesch", flesch).withColumn(
+        "difficulty",
+        F.when(F.col("flesch") >= 60, "easy")
+        .when(F.col("flesch") >= 30, "medium")
+        .otherwise("hard"),
+    )

@@ -80,3 +80,48 @@ def udf3_applyinpandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python stage is a pure per-group function."""
     ev = load_table(spark, sf_dir, "events")
     return zscore_groups(ev, key="event_type")
+
+
+@register(
+    "udf4_python_udtf_sentences",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               list_filter(
+                   list_transform(
+                       regexp_split_to_array(text, '[.!?]+'),
+                       x -> trim(x, ' ' || chr(9) || chr(10) || chr(13)
+                                     || chr(12) || chr(11))
+                   ),
+                   x -> x <> ''
+               ) AS parts
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(i - 1 AS INTEGER) AS sent_idx,
+           parts[i] AS sentence,
+           CAST(length(parts[i]) AS INTEGER) AS n_chars
+    FROM s, LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS i)
+    """,
+    survey="§2.11 extended (Python UDTF: lateral table function, 1→N sentence split)",
+)
+def udf4_python_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation via a registered Python UDTF invoked as a
+    LATERAL table function in SQL — the fourth user-extensible surface
+    (after scalar/grouped-agg pandas_udf and applyInPandas): user code
+    that RETURNS A TABLE per input row, composable inside a query.
+
+    The 1→N fan-out itself is the same shape as mm3/mm5's mapInPandas —
+    which remains the preferred Arrow-batched path for hot loops; the
+    UDTF form is the API-surface proof, verified value-for-value against
+    a pure-SQL re-implementation of the same split."""
+    from ..functions.udfs import SplitSentencesUdtf
+
+    spark.udtf.register("split_sentences", SplitSentencesUdtf)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence, s.n_chars
+        FROM __docs_udtf d, LATERAL split_sentences(d.text) s
+        """
+    )
