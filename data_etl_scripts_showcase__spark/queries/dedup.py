@@ -630,3 +630,82 @@ def d12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos_centroid",
         F.coalesce("__drop", F.lit(False)).alias("is_dropped"),
     )
+
+
+@register(
+    "d13_cross_snapshot_dedup",
+    oracle=f"""
+    WITH {_BANDS_CTE},
+    old_fp AS (
+        SELECT DISTINCT md5({_NORM}) AS fp FROM documents WHERE doc_id % 5 = 0
+    ),
+    new_docs AS (
+        SELECT doc_id, md5({_NORM}) AS fp FROM documents WHERE doc_id % 5 <> 0
+    ),
+    cand AS (
+        SELECT nb.doc_id, count(DISTINCT ob.doc_id) AS n_old_candidates
+        FROM b nb JOIN b ob ON nb.band = ob.band AND nb.bucket = ob.bucket
+        WHERE nb.doc_id % 5 <> 0 AND ob.doc_id % 5 = 0
+        GROUP BY nb.doc_id
+    )
+    SELECT nd.doc_id,
+           (nd.fp IN (SELECT fp FROM old_fp)) AS exact_dup,
+           CAST(coalesce(c.n_old_candidates, 0) AS BIGINT) AS n_old_candidates,
+           CASE WHEN nd.fp IN (SELECT fp FROM old_fp) THEN 'exact_dup'
+                WHEN coalesce(c.n_old_candidates, 0) > 0 THEN 'near_dup_candidate'
+                ELSE 'novel' END AS verdict
+    FROM new_docs nd LEFT JOIN cand c USING (doc_id)
+    """,
+    survey="NS-dedup (cross-snapshot incremental dedup: new batch vs already-trained corpus, exact + LSH layers)",
+)
+def d13_cross_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup: screen a NEW document batch against the
+    ALREADY-TRAINED snapshot (doc_id % 5 == 0 stands in for the old
+    corpus) — the don't-train-on-it-twice gate every continually-updated
+    LLM corpus needs.  Two layers, cheapest first: exact normalized-md5
+    fingerprint match, then MinHash-LSH band-bucket candidates against
+    the old side; verdict is exact_dup → near_dup_candidate → novel.
+
+    Scale shape: the old corpus is represented by its FINGERPRINT and
+    BUCKET tables (both tiny fractions of the text they summarize, stored
+    once, reused every batch — never re-shingled); the new batch shingles
+    once, and both probes are keyed joins (fp; band+bucket), so daily
+    screening cost is O(new batch), not O(corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    old_fp = (
+        docs.where(F.col("doc_id") % 5 == 0).select(fp.alias("fp")).distinct()
+        .withColumn("__seen", F.lit(True))
+    )
+    new_docs = docs.where(F.col("doc_id") % 5 != 0).select("doc_id", fp.alias("fp"))
+    sig = DD.minhash_signature(
+        docs, "doc_id", "text", parallelism=spark.sparkContext.defaultParallelism
+    )
+    buckets = DD.lsh_buckets(sig, "doc_id")
+    newb = buckets.where(F.col("doc_id") % 5 != 0)
+    oldb = buckets.where(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("old_id"), "band", "bucket"
+    )
+    cand = (
+        newb.join(oldb, ["band", "bucket"])
+        .groupBy("doc_id")
+        .agg(F.countDistinct("old_id").alias("n_old_candidates"))
+    )
+    out = (
+        new_docs.join(old_fp, "fp", "left")
+        .join(cand, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("__seen", F.lit(False)).alias("exact_dup"),
+            F.coalesce("n_old_candidates", F.lit(0)).cast("bigint").alias(
+                "n_old_candidates"
+            ),
+        )
+        .withColumn(
+            "verdict",
+            F.when(F.col("exact_dup"), "exact_dup")
+            .when(F.col("n_old_candidates") > 0, "near_dup_candidate")
+            .otherwise("novel"),
+        )
+    )
+    return out

@@ -198,3 +198,63 @@ def mm5_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.sample_video_frames(
         assets, parallelism=spark.sparkContext.defaultParallelism
     )
+
+
+@register(
+    "mm6_modality_interleave",
+    oracle=f"""
+    WITH a AS (
+        SELECT doc_id AS asset_id,
+               {_MEDIA_CASE} AS media_type,
+               CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE 2 END AS m_idx,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS shuffle_key
+        FROM documents
+    ),
+    r AS (
+        SELECT asset_id, media_type, m_idx,
+               row_number() OVER (
+                   PARTITION BY m_idx ORDER BY shuffle_key, asset_id
+               ) AS rnk
+        FROM a
+    )
+    SELECT CAST((rnk - 1) * 3 + m_idx AS BIGINT) AS interleave_key,
+           media_type, asset_id,
+           CAST(rnk AS BIGINT) AS within_modality_rank
+    FROM r
+    """,
+    survey="NS-mm (modality-interleaved batch assembly: deterministic hash-shuffle + round-robin key)",
+)
+def mm6_modality_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch assembly for a multimodal corpus: pseudo-shuffle each
+    modality by a content-independent md5 key, then round-robin interleave
+    (``key = rank·n_modalities + modality``) so consecutive samples cycle
+    image→audio→video instead of clumping — deterministic on any engine,
+    partitioning, or rerun (same property as x13's split and x16's
+    mixture).
+
+    Scale shape: one window per modality partition (three bounded
+    partitions here; at 100 TB use hash-bucket sub-partitions within each
+    modality with the same key arithmetic), zero joins; downstream
+    writers range-partition on interleave_key to get globally-mixed
+    shards without a global sort."""
+    assets = MM.to_assets(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    from pyspark.sql import Window as W
+
+    m_idx = (F.col("asset_id") % 3).cast("int")
+    shuffle_key = F.conv(
+        F.substring(F.md5(F.col("asset_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    a = assets.select(
+        "asset_id", "media_type", m_idx.alias("m_idx"), shuffle_key.alias("sk")
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("m_idx").orderBy("sk", "asset_id")
+    )
+    return a.withColumn("rnk", rnk).select(
+        ((F.col("rnk") - 1) * 3 + F.col("m_idx")).cast("bigint").alias(
+            "interleave_key"
+        ),
+        "media_type",
+        "asset_id",
+        F.col("rnk").cast("bigint").alias("within_modality_rank"),
+    )

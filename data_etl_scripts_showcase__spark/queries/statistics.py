@@ -605,3 +605,71 @@ def x16_source_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("achieved_share"),
         )
     )
+
+
+@register(
+    "a23_weighted_median",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag,
+               l_extendedprice AS price,
+               CAST(l_quantity AS DECIMAL(18,2)) AS wt
+        FROM lineitem
+    ),
+    c AS (
+        SELECT l_returnflag, price, wt,
+               sum(wt) OVER (
+                   PARTITION BY l_returnflag ORDER BY price
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cumw,
+               sum(wt) OVER (PARTITION BY l_returnflag) AS total_w
+        FROM w
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(max(total_w) AS DOUBLE) AS total_weight,
+           min(CASE WHEN 2 * cumw >= total_w THEN price END) AS weighted_median_price
+    FROM c
+    GROUP BY l_returnflag
+    """,
+    survey="A-std extended (weighted median via exact-decimal cumulative weights, RANGE frame)",
+)
+def a23_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: cumulative weight
+    over a RANGE frame (all price-peers accumulate together, so the
+    running total is order-independent within ties), then the smallest
+    price whose cumulative weight reaches half the total.  Weights are
+    exact decimals — the 2·cumw ≥ W threshold is exact arithmetic, no
+    float boundary.
+
+    The weighted form of a14/a21's quantiles (sensor fusion, importance-
+    weighted corpus stats).  One shuffle on the group key serves both
+    windows and the final aggregate; at 100 TB swap the exact pass for a
+    weighted t-digest with the same contract shape as a21."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        dec2("l_quantity").alias("wt"),
+    )
+    win_cum = (
+        W.partitionBy("l_returnflag")
+        .orderBy("price")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    win_all = W.partitionBy("l_returnflag")
+    c = w.select(
+        "l_returnflag",
+        "price",
+        F.sum("wt").over(win_cum).alias("cumw"),
+        F.sum("wt").over(win_all).alias("total_w"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_lines"),
+        F.max("total_w").cast("double").alias("total_weight"),
+        F.min(F.when(2 * F.col("cumw") >= F.col("total_w"), F.col("price"))).alias(
+            "weighted_median_price"
+        ),
+    )
