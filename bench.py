@@ -47,6 +47,12 @@ HEADLINE = [
     "x9_scd2_history",
     "x10_winsorized_stats",
     "w14_cohort_retention",
+    "x14_incremental_agg_maintenance",
+    "w16_activity_streaks",
+    "t14_bigram_lm_score",
+    "d13_cross_snapshot_dedup",
+    "v9_mmr_diversified_topk",
+    "x16_source_mixture_resample",
 ]
 
 
