@@ -400,3 +400,104 @@ def x15_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = audit if out is None else out.unionByName(audit)
     return out
+
+
+@register(
+    "x17_expectations_suite",
+    oracle="""
+    WITH u AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS dup_keys
+        FROM orders
+    )
+    SELECT 'o_orderkey_not_null' AS rule,
+           CAST(count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS BIGINT) AS n_violations,
+           count(CASE WHEN o_orderkey IS NULL THEN 1 END) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey_unique', dup_keys, dup_keys = 0 FROM u
+    UNION ALL
+    SELECT 'o_totalprice_positive',
+           CAST(count(CASE WHEN o_totalprice <= 0 THEN 1 END) AS BIGINT),
+           count(CASE WHEN o_totalprice <= 0 THEN 1 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus_in_domain',
+           CAST(count(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 END) AS BIGINT),
+           count(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate_in_range',
+           CAST(count(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01 00:00:00'
+                             OR o_orderdate > TIMESTAMP '2030-01-01 00:00:00'
+                           THEN 1 END) AS BIGINT),
+           count(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01 00:00:00'
+                        OR o_orderdate > TIMESTAMP '2030-01-01 00:00:00'
+                      THEN 1 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority_pattern',
+           CAST(count(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                           THEN 1 END) AS BIGINT),
+           count(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                      THEN 1 END) = 0
+    FROM orders
+    """,
+    survey="A9 extended (declarative expectations suite: completeness/uniqueness/range/domain/pattern rules, one scan)",
+)
+def x17_expectations_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations evaluated pre-publish — the
+    Deequ/Great-Expectations shape: completeness (not-null), uniqueness,
+    range, domain membership, and regex pattern rules, each reported as
+    (rule, violation count, pass verdict).  This is what the reference's
+    single row-count gate (A9, main.py:717-741) grows into when "same
+    cardinality" isn't enough to protect the warehouse.
+
+    ONE scan computes every per-row rule as conditional-count aggregates
+    (map-side combined, merged into one tiny result); uniqueness is the
+    only rule that shuffles (count distinct on the key).  At 100 TB the
+    rule set is a config table, and the violation counts land in the
+    run-metrics store (S13) for trend alerting."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def rule(name: str, viol) -> DataFrame:
+        n = F.sum(F.when(viol, 1).otherwise(0)).cast("bigint")
+        return o.agg(
+            n.alias("n_violations")
+        ).select(
+            F.lit(name).alias("rule"),
+            "n_violations",
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+
+    uniq = o.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).cast("bigint").alias(
+            "n_violations"
+        )
+    ).select(
+        F.lit("o_orderkey_unique").alias("rule"),
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+    rules = [
+        rule("o_orderkey_not_null", F.col("o_orderkey").isNull()),
+        uniq,
+        rule("o_totalprice_positive", F.col("o_totalprice") <= 0),
+        rule(
+            "o_orderstatus_in_domain",
+            ~F.col("o_orderstatus").isin("O", "F", "P"),
+        ),
+        rule(
+            "o_orderdate_in_range",
+            (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp_ntz"))
+            | (F.col("o_orderdate") > F.lit("2030-01-01").cast("timestamp_ntz")),
+        ),
+        rule(
+            "o_orderpriority_pattern",
+            ~F.col("o_orderpriority").rlike("^[1-5]-"),
+        ),
+    ]
+    out = rules[0]
+    for r in rules[1:]:
+        out = out.unionByName(r)
+    return out

@@ -647,3 +647,90 @@ def w16_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("streak_len").alias("active_days"),
         F.date_format(F.min("streak_start"), "yyyy-MM-dd").alias("first_active_ds"),
     )
+
+
+@register(
+    "w17_interval_merge",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, ts AS s,
+               ts + INTERVAL 5 MINUTE AS e
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, s, e,
+               max(e) OVER (
+                   PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_max_e
+        FROM iv
+    ),
+    flagged AS (
+        SELECT user_id, s, e,
+               CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END AS is_start
+        FROM m
+    ),
+    grp AS (
+        SELECT user_id, s, e,
+               sum(is_start) OVER (
+                   PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(island AS BIGINT) AS island,
+           strftime(min(s), '%Y-%m-%d %H:%M:%S') AS merged_start,
+           strftime(max(e), '%Y-%m-%d %H:%M:%S') AS merged_end,
+           CAST(count(*) AS BIGINT) AS n_intervals
+    FROM grp
+    GROUP BY user_id, island
+    """,
+    survey="W-std (overlapping-interval merge: running-max-end islands, the range form of w16)",
+)
+def w17_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping per-user intervals (each event opens a 5-minute
+    validity window): an interval starts a new merged block iff it begins
+    after the running max end of everything before it — the
+    gaps-and-islands pattern generalized from days (w16) to arbitrary
+    ranges.  Output: one row per merged block with its span and member
+    count (the batch form of st3's session windows, but overlap-based
+    rather than gap-based).
+
+    Both windows and the final aggregate share the (user_id → s, e) sort:
+    one shuffle + one sort for the whole chain, per-user state bounded by
+    the running max — the same single-exchange discipline as x9."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("e"),
+    )
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    flagged = iv.withColumn("prev_max_e", F.max("e").over(w_prev)).withColumn(
+        "is_start",
+        F.when(
+            F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")), 1
+        ).otherwise(0),
+    )
+    grp = flagged.withColumn("island", F.sum("is_start").over(w_run))
+    return grp.groupBy("user_id", "island").agg(
+        F.date_format(F.min("s"), "yyyy-MM-dd HH:mm:ss").alias("merged_start"),
+        F.date_format(F.max("e"), "yyyy-MM-dd HH:mm:ss").alias("merged_end"),
+        F.count("*").alias("n_intervals"),
+    ).select(
+        "user_id",
+        F.col("island").cast("bigint").alias("island"),
+        "merged_start",
+        "merged_end",
+        "n_intervals",
+    )
