@@ -181,22 +181,31 @@ def m6_element_access(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (SELECT doc_id, string_split(text, ' ')[1:10] AS toks FROM documents)
     SELECT doc_id,
-           list_sort(list_distinct(toks)) AS sorted_unique,
+           list_aggr(list_sort(list_distinct(toks)), 'string_agg', '|') AS sorted_unique,
            CAST(len(list_distinct(toks)) AS INTEGER) AS n_unique,
-           list_transform(toks[1:3], x -> upper(x)) AS head_upper
+           list_aggr(list_transform(toks[1:3], x -> upper(x)), 'string_agg', '|') AS head_upper
     FROM t
     """,
     survey="M-std",
 )
 def m7_array_std_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """array_distinct / array_sort / transform (standard surface)."""
+    """array_distinct / array_sort / transform (standard surface).
+
+    Array outputs are projected through ``array_join(..., '|')`` so every
+    column is a hashable scalar — the driver's canonicalizer (and any
+    downstream sink) sees plain strings, never engine-specific list types.
+    """
     d = load_table(spark, sf_dir, "documents")
     toks = F.slice(TOKENS(), 1, 10)
     return d.select(
         "doc_id",
-        F.array_sort(F.array_distinct(toks)).alias("sorted_unique"),
+        F.array_join(F.array_sort(F.array_distinct(toks)), "|").alias(
+            "sorted_unique"
+        ),
         F.size(F.array_distinct(toks)).alias("n_unique"),
-        F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x)).alias("head_upper"),
+        F.array_join(
+            F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x)), "|"
+        ).alias("head_upper"),
     )
 
 
@@ -204,7 +213,7 @@ def m7_array_std_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     "m8_map_std_surface",
     oracle="""
     SELECT o_orderkey,
-           list_sort(map_keys(MAP(['status','priority'],[o_orderstatus,o_orderpriority]))) AS keys_sorted,
+           list_aggr(list_sort(map_keys(MAP(['status','priority'],[o_orderstatus,o_orderpriority]))), 'string_agg', '|') AS keys_sorted,
            -- DuckDB map extraction yields a LIST; [1] unwraps to the scalar
            (MAP(['status','priority'],[o_orderstatus,o_orderpriority])['status'])[1] AS status_val,
            CAST(cardinality(MAP(['status','priority'],[o_orderstatus,o_orderpriority])) AS INTEGER) AS n_entries
@@ -225,7 +234,7 @@ def m8_map_std_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return o.select(
         "o_orderkey",
-        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+        F.array_join(F.array_sort(F.map_keys(m)), "|").alias("keys_sorted"),
         F.element_at(m, "status").alias("status_val"),
         F.size(m).alias("n_entries"),
     )

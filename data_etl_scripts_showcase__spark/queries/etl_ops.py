@@ -74,7 +74,9 @@ def x3_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH unioned AS (
         SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS src FROM orders
         UNION ALL
-        SELECT o_orderkey, 'X' AS o_orderstatus, round(o_totalprice * 1.1, 2) AS o_totalprice, 1 AS src
+        SELECT o_orderkey, 'X' AS o_orderstatus,
+               CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE) AS o_totalprice,
+               1 AS src
         FROM orders WHERE o_orderkey % 10 = 0
     ),
     latest AS (
@@ -106,7 +108,15 @@ def x4_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             F.lit("X").alias("o_orderstatus"),
-            F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+            # 1.1× in exact DECIMAL, not binary double: the product of a
+            # 2-dp decimal and 1.1 is exact at 3 dp, so the round to 2 dp is
+            # the same HALF_UP everywhere — no engine-dependent half-even
+            # boundary (the v9 micro-unit discipline).
+            F.round(
+                dec2("o_totalprice") * F.expr("CAST(1.1 AS DECIMAL(2,1))"), 2
+            )
+            .cast("double")
+            .alias("o_totalprice"),
             F.lit(1).alias("src"),
         )
     )

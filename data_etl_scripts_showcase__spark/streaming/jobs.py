@@ -24,26 +24,44 @@ from ..functions import dec2
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (schema declared, never inferred).
 
-    The file stores TIMESTAMP(NANOS) (see sources.tables): the stream reads
-    the raw int64 and floor-divides to micros, identically to the batch
-    loader, so stream/batch equivalence is exact.
+    The parquet footer is authoritative (same rule as the batch loader,
+    sources/tables.py): resolve the file's actual schema with a batch footer
+    read, declare THAT as the stream schema.  A legacy nanos-stored file
+    surfaces `ts` as int64 and gets the same micros floor-division the batch
+    loader applies; a TIMESTAMP(MICROS) file streams as-is.  One deviation:
+    `ts` is declared TIMESTAMP (with zone) because watermarks reject
+    TIMESTAMP_NTZ ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]); the session TZ is
+    pinned UTC, so wall-clock values match the batch loader's NTZ values
+    exactly and stream/batch equivalence holds by construction.
     """
+    from pyspark.sql import types as T
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
+    file_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ts_is_long = isinstance(file_schema["ts"].dataType, T.LongType)
+    stream_schema = T.StructType(
+        [
+            T.StructField(
+                f.name,
+                T.TimestampType()
+                if f.name == "ts" and not ts_is_long
+                else f.dataType,
+                f.nullable,
+            )
+            for f in file_schema.fields
+        ]
     )
     # the file-stream source wants a directory; glob-filter to the events
     # file so sibling tables in sf_dir aren't swept into the stream.
     raw = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(stream_schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    # TIMESTAMP (not NTZ): watermarks only accept event time with a zone;
-    # session TZ is pinned UTC so wall-clock values match the batch loader.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_long:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def tumbling_counts(
