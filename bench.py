@@ -53,6 +53,18 @@ HEADLINE = [
     "d13_cross_snapshot_dedup",
     "v9_mmr_diversified_topk",
     "x16_source_mixture_resample",
+    # every registry family gets at least one externally-measured query
+    # (insurance against a silent family-wide regression):
+    "p4_string_predicates",
+    "c1_status_cascade",
+    "m9_higher_order_fold",
+    "u3_except_all",
+    "f_json_shred",
+    "udf3_applyinpandas_zscore",
+    "io1_csv_roundtrip",
+    "d14_lsh_capped_pairs",
+    "mm6_modality_interleave",
+    "st1_stream_tumbling_counts",  # REAL readStream end-to-end
 ]
 
 

@@ -185,9 +185,42 @@ def lsh_buckets(
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
-def candidate_pairs(buckets: DataFrame, id_col: str) -> DataFrame:
+def bucket_sizes(buckets: DataFrame) -> DataFrame:
+    """Per-(band, bucket) membership counts: (band, bucket, n_ids)."""
+    return buckets.groupBy("band", "bucket").agg(
+        F.count("*").cast("bigint").alias("n_ids")
+    )
+
+
+def oversized_buckets(buckets: DataFrame, max_bucket_size: int) -> DataFrame:
+    """The (band, bucket, n_ids) rows a capped candidate join will skip.
+
+    Callers MUST surface this (report/metric/sink) — the cap is skew
+    protection, not silent truncation."""
+    return bucket_sizes(buckets).where(F.col("n_ids") > max_bucket_size)
+
+
+def candidate_pairs(
+    buckets: DataFrame, id_col: str, max_bucket_size: int | None = None
+) -> DataFrame:
     """LSH candidate pairs: ids sharing any (band, bucket), id_a < id_b,
-    distinct across bands.  Equality self-join — shuffle on bucket key."""
+    distinct across bands.  Equality self-join — shuffle on bucket key.
+
+    ``max_bucket_size``: skew guard for real corpora.  A degenerate bucket
+    (boilerplate shingles, empty docs, adversarial spam) of size m emits
+    m·(m−1)/2 pairs — one hot bucket can dominate the whole job at 100 TB.
+    With the cap set, buckets larger than ``max_bucket_size`` are excluded
+    from pair generation (they are near-certain non-discriminative
+    collisions, the standard LSH treatment); use :func:`oversized_buckets`
+    to account for what was dropped.  The filter runs BEFORE the self-join
+    — one extra aggregate on the already-shuffled bucket key, which AQE
+    folds into the same exchange — so the quadratic blow-up never happens.
+    """
+    if max_bucket_size is not None:
+        keep = bucket_sizes(buckets).where(
+            F.col("n_ids") <= max_bucket_size
+        ).select("band", "bucket")
+        buckets = buckets.join(keep, ["band", "bucket"])
     a = buckets.select(
         F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a")
     )

@@ -138,6 +138,89 @@ def shred_enriched(enriched: DataFrame, key_col: str) -> DataFrame:
     )
 
 
+# The reference's declared insights-CSV schema, verbatim and in order
+# (/root/reference/buisness_profile_etl/main.py:711 `fieldnames = [...]`).
+# This list IS the S5 output contract; `insights_projection` pins our sink
+# to it exactly and tests assert column-for-column parity.
+INSIGHT_FIELDNAMES = [
+    "PK_GMBId", "Insight_Date", "Data_Date", "GoogleAccessToken",
+    "access_token", "GoogleLocationID", "GoogleAccountID", "store_code",
+    "business_name", "business_address", "account_id", "location_id",
+    "primary_phone", "additional_phone", "website_url", "overall_rating",
+    "total_review_count", "media_count", "has_cover", "has_menu",
+    "regular_hours", "additional_categories_count", "phone_call_actions",
+    "website_actions", "directions_actions", "total_actions",
+    "business_search_impression", "business_map_impression",
+    "total_impressions", "primary_category", "service_count", "offer_count",
+    "offer_starts_at", "offer_ends_at", "offer_updates_at",
+    "business_conversations", "profile_status", "review_url", "map_url",
+    "promo_count",
+]
+
+
+def insights_projection(
+    wide: DataFrame, insight_ds: str, data_ds: str
+) -> DataFrame:
+    """Project the shredded flagship frame onto the reference's EXACT
+    insights-CSV schema (main.py:711) — same 40 names, same order.
+
+    Columns whose upstream the mock fetcher doesn't model (impressions,
+    phones, URLs, hours) carry the reference's own defaults: `Not_Found`
+    sentinel for strings (main.py:527-536 sets exactly this on missing
+    lookups) and 0 for counters (main.py:567-583 initializes counters to
+    0).  One deliberate fidelity break: the reference persists OAuth
+    bearer tokens into the CSV (`GoogleAccessToken`, `access_token`);
+    writing credentials to a data sink is a leak, so those two columns are
+    typed NULLs here — position kept so downstream readers don't shift.
+    """
+    key = F.col("merchant_id")
+    nf, zero = F.lit(NOT_FOUND), F.lit(0).cast("bigint")
+    cols = {
+        "PK_GMBId": key.cast("string"),
+        "Insight_Date": F.lit(insight_ds),
+        "Data_Date": F.lit(data_ds),
+        "GoogleAccessToken": F.lit(None).cast("string"),  # never persisted
+        "access_token": F.lit(None).cast("string"),  # never persisted
+        "GoogleLocationID": F.concat(F.lit("loc-"), key.cast("string")),
+        "GoogleAccountID": F.concat(F.lit("acct-"), key.cast("string")),
+        "store_code": key.cast("string"),
+        "business_name": F.col("business_name"),
+        "business_address": nf,
+        "account_id": F.concat(F.lit("acct-"), key.cast("string")),
+        "location_id": F.concat(F.lit("loc-"), key.cast("string")),
+        "primary_phone": nf,
+        "additional_phone": nf,
+        "website_url": nf,
+        "overall_rating": F.col("overall_rating"),
+        "total_review_count": F.col("review_count").cast("bigint"),
+        "media_count": zero,
+        "has_cover": F.col("has_cover"),
+        "has_menu": F.col("has_menu"),
+        "regular_hours": nf,
+        "additional_categories_count": zero,
+        "phone_call_actions": F.col("CALL_CLICKS"),
+        "website_actions": F.col("WEBSITE_CLICKS"),
+        "directions_actions": F.col("DIRECTIONS"),
+        "total_actions": F.col("total_actions"),
+        "business_search_impression": zero,
+        "business_map_impression": zero,
+        "total_impressions": zero,
+        "primary_category": nf,
+        "service_count": zero,
+        "offer_count": F.col("offer_count"),
+        "offer_starts_at": nf,
+        "offer_ends_at": nf,
+        "offer_updates_at": F.col("latest_offer_ds"),
+        "business_conversations": zero,
+        "profile_status": F.col("profile_status"),
+        "review_url": nf,
+        "map_url": nf,
+        "promo_count": F.col("standard_count").cast("bigint"),
+    }
+    assert list(cols) == INSIGHT_FIELDNAMES
+    return wide.select(*[expr.alias(name) for name, expr in cols.items()])
+
+
 def enrichment_pipeline(
     spark: SparkSession,
     sf_dir: str,

@@ -57,6 +57,7 @@ def load_all() -> dict[str, Query]:
         conditional,
         dedup,
         etl_ops,
+        file_io,
         functions_scalar,
         joins,
         multimodal,

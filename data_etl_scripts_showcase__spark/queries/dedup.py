@@ -709,3 +709,33 @@ def d13_cross_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+@register(
+    "d14_lsh_capped_pairs",
+    oracle=f"""
+    WITH {_BANDS_CTE},
+    keep AS (
+        SELECT band, bucket FROM b GROUP BY band, bucket HAVING count(*) <= 2
+    ),
+    bk AS (SELECT b.* FROM b JOIN keep USING (band, bucket))
+    SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+    FROM bk x JOIN bk y
+      ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    """,
+    survey="NS-dedup (LSH candidate join with hot-bucket skew guard)",
+)
+def d14_lsh_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d3's candidate join with the bucket-size cap engaged (max 2 ids per
+    bucket — deliberately tight so the guard is exercised on this data:
+    the size-3 buckets drop).  On a real corpus a degenerate bucket of m
+    boilerplate docs would emit m(m-1)/2 pairs; the cap filters those
+    buckets BEFORE the self-join, and ``oversized_buckets`` accounts for
+    everything skipped (asserted in tests — no silent truncation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = DD.minhash_signature(
+        docs, "doc_id", "text", parallelism=spark.sparkContext.defaultParallelism
+    )
+    return DD.candidate_pairs(
+        DD.lsh_buckets(sig, "doc_id"), "doc_id", max_bucket_size=2
+    )

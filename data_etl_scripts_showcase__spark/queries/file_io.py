@@ -1,0 +1,198 @@
+"""File-IO round-trip queries (SURVEY.md §2.1 S4, S5, S6, S10, S11).
+
+The reference's interchange formats are CSV-with-header between stages
+(/root/reference/buisness_profile_etl/main.py:469-475, 710-715), a raw JSON
+archive per (run, endpoint) (main.py:201-207), and dated object-store
+snapshots with a rename-sweep "latest" pointer
+(/root/reference/Azure_datalake_etl/Gonukkad_Merchants.py:129-155).
+
+Each query here drives the REAL sink + source code path end-to-end: write
+the table through `sources/files.py` / `sinks/snapshot.py` into a fresh
+temp directory, read it back with a declared schema, and aggregate.  The
+DuckDB oracle computes the same aggregate over the original parquet — so a
+green row proves the round trip is lossless, not merely that the write
+succeeded.  At 100 TB the same code paths run against object-store URIs;
+the writes stay one lazy distributed job per sink (no driver collect).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import dec2
+from ..sinks.snapshot import read_snapshot, write_snapshot
+from ..sources import load_table
+from ..sources.files import (
+    read_csv,
+    read_json_archive,
+    read_orc,
+    read_text,
+    write_csv,
+    write_json_archive,
+    write_orc,
+    write_text,
+)
+from . import register
+
+
+def _tmp(prefix: str) -> str:
+    d = tempfile.mkdtemp(prefix=prefix)
+    # mkdtemp creates the dir; Spark's overwrite-mode writers want to own it
+    shutil.rmtree(d, ignore_errors=True)
+    return d
+
+
+@register(
+    "io1_csv_roundtrip",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acct_sum
+    FROM customer GROUP BY c_mktsegment
+    """,
+    survey="S4,S5 (CSV-with-header sink + declared-schema source, write-then-read-back)",
+)
+def io1_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 CSV sink → S4 CSV source round trip (main.py:469-475, 710-715).
+
+    The read declares the schema (never inferSchema — at 100 TB inference
+    is an extra full scan); doubles survive exactly because Spark's CSV
+    writer emits shortest-round-trip representations.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    out = _tmp("io1_csv_")
+    write_csv(cust, out)
+    back = read_csv(
+        spark,
+        out,
+        "c_custkey bigint, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum(dec2("c_acctbal")).cast("double").alias("acct_sum"),
+    )
+
+
+@register(
+    "io2_json_archive_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+    FROM orders WHERE o_orderkey % 100 = 0
+    GROUP BY o_orderstatus
+    """,
+    survey="S6 (partitioned JSON archive sink + partition-pruned replay read)",
+)
+def io2_json_archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 JSON archive round trip (main.py:201-207): two (run, endpoint)
+    partitions are written; the replay read prunes to ONE of them, so the
+    oracle match also proves the partition filter isolates the right run —
+    the reference's filename-glob replay done as partition pruning."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    target = o.where(F.col("o_orderkey") % 100 == 0)
+    decoy = o.where(F.col("o_orderkey") % 100 == 1)
+    base = _tmp("io2_json_")
+    write_json_archive(target, base, run_ds="2024-06-01", endpoint="orders")
+    write_json_archive(decoy, base, run_ds="2024-06-02", endpoint="orders")
+    back = read_json_archive(
+        spark,
+        base,
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double",
+        run_ds="2024-06-01",
+        endpoint="orders",
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(dec2("o_totalprice")).cast("double").alias("price_sum"),
+    )
+
+
+@register(
+    "io3_snapshot_sink_roundtrip",
+    oracle="""
+    SELECT s_nationkey AS nation,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+    FROM supplier GROUP BY s_nationkey
+    """,
+    survey="S10,S11 (dated object-store snapshot sink + latest-partition read)",
+)
+def io3_snapshot_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/S11 snapshot round trip (Gonukkad_Merchants.py:129-155): write a
+    stale dated partition, then the full current one; read back pruned to
+    the latest ds.  A green row proves the dated-partition layout isolates
+    snapshots (the rename-sweep "latest pointer" done as partition pruning)
+    and the read touched only the current day's data."""
+    s = load_table(spark, sf_dir, "supplier")
+    base = _tmp("io3_snap_")
+    write_snapshot(s.where(F.col("s_suppkey") % 2 == 0), base, ds="2024-05-31")
+    write_snapshot(s, base, ds="2024-06-01")
+    back = read_snapshot(spark, base, ds="2024-06-01")
+    return back.groupBy(F.col("s_nationkey").alias("nation")).agg(
+        F.count("*").alias("n"),
+        F.sum(dec2("s_acctbal")).cast("double").alias("bal_sum"),
+    )
+
+
+@register(
+    "io4_orc_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum
+    FROM lineitem WHERE l_orderkey % 50 = 0
+    GROUP BY l_returnflag
+    """,
+    survey="S4/S5 extended (columnar ORC sink + source — format parity)",
+)
+def io4_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink → source round trip: columnar format parity for warehouses
+    whose canonical interchange is ORC.  The read-back aggregate still gets
+    predicate pushdown + column pruning from the ORC reader."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 50 == 0
+    )
+    out = _tmp("io4_orc_")
+    write_orc(li.select("l_orderkey", "l_returnflag", "l_quantity"), out)
+    back = read_orc(spark, out)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(dec2("l_quantity")).cast("double").alias("qty_sum"),
+    )
+
+
+@register(
+    "io5_text_corpus_roundtrip",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_md5
+    FROM documents
+    """,
+    survey="S5/S6 extended (raw text corpus sink + source — one doc per line)",
+)
+def io5_text_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text corpus export → re-ingest (the one-doc-per-line shape
+    training-data pipelines ship): write the documents text column as raw
+    lines, read it back, and fingerprint the content with md5 — identical
+    hex on both engines, so (count, total chars, distinct digests) matching
+    the oracle over the ORIGINAL parquet proves the export is lossless."""
+    d = load_table(spark, sf_dir, "documents")
+    out = _tmp("io5_text_")
+    write_text(d, out, column="text")
+    back = read_text(spark, out, column="text")
+    return back.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        F.count_distinct(F.md5(F.col("text").cast("binary")))
+        .cast("bigint")
+        .alias("n_distinct_md5"),
+    )

@@ -93,6 +93,29 @@ class TestDedupOps:
         pairs = DD.candidate_pairs(DD.lsh_buckets(sig, "doc_id"), "doc_id").collect()
         assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
 
+    def test_hot_bucket_cap_blocks_quadratic_pairs(self, spark):
+        """Adversarial hot bucket: 40 identical boilerplate docs all land in
+        the same (band, bucket) and would emit 40·39/2 = 780 pairs; with the
+        cap they emit none, two genuinely-similar docs still pair, and
+        oversized_buckets accounts for every skipped id."""
+        boiler = "click here to unsubscribe from this mailing list today please"
+        near = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [(i, boiler) for i in range(40)] + [(100, near), (101, near)]
+        d = docs(spark, rows)
+        sig = DD.minhash_signature(d, "doc_id", "text")
+        buckets = DD.lsh_buckets(sig, "doc_id")
+
+        uncapped = DD.candidate_pairs(buckets, "doc_id").count()
+        assert uncapped == 40 * 39 // 2 + 1
+
+        capped = DD.candidate_pairs(buckets, "doc_id", max_bucket_size=10)
+        assert {(r.id_a, r.id_b) for r in capped.collect()} == {(100, 101)}
+
+        dropped = DD.oversized_buckets(buckets, max_bucket_size=10).collect()
+        assert dropped and all(r.n_ids == 40 for r in dropped)
+        # every band of the boilerplate signature is one hot bucket
+        assert len(dropped) == DD.N_BANDS
+
     def test_simhash_identical_and_hamming(self, spark):
         text = "one two three four five six seven eight"
         d = docs(spark, [(1, text), (2, text)])

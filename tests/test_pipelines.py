@@ -106,3 +106,36 @@ class TestPipelines:
             F.max(F.col("offer_count") + F.col("standard_count")).alias("m")
         ).collect()[0].m
         assert mx > 2  # saw a key with more posts than one page holds
+
+
+class TestInsightsSchemaParity:
+    def test_projection_matches_reference_fieldnames_exactly(self, spark):
+        """S5 output-fidelity pin: the flagship sink schema equals the
+        reference's declared 40-name insights CSV header
+        (main.py:711), name-for-name and in order."""
+        from data_etl_scripts_showcase__spark.plans import (
+            INSIGHT_FIELDNAMES,
+            insights_projection,
+        )
+
+        wide = enrichment_pipeline(spark, SF, limit_keys=5)
+        out = insights_projection(wide, "2026-01-02", "2026-01-01")
+        assert out.columns == INSIGHT_FIELDNAMES
+        assert len(INSIGHT_FIELDNAMES) == 40
+
+    def test_csv_sink_roundtrips_the_declared_header(self, spark, tmp_path):
+        """The header the CSV sink writes IS the declared list — and the
+        token columns are NULL (credentials never persisted)."""
+        from data_etl_scripts_showcase__spark.plans import (
+            INSIGHT_FIELDNAMES,
+            insights_projection,
+        )
+        from data_etl_scripts_showcase__spark.sources.files import write_csv
+
+        wide = enrichment_pipeline(spark, SF, limit_keys=5)
+        out = insights_projection(wide, "2026-01-02", "2026-01-01")
+        path = str(tmp_path / "insights_csv")
+        write_csv(out, path)
+        back = spark.read.csv(path, header=True)  # header-only read
+        assert back.columns == INSIGHT_FIELDNAMES
+        assert out.where(F.col("GoogleAccessToken").isNotNull()).count() == 0
