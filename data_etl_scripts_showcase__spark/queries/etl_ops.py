@@ -511,3 +511,51 @@ def x17_expectations_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rules[1:]:
         out = out.unionByName(r)
     return out
+
+
+@register(
+    "x18_bucketed_colocated_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    survey="J4 extended (bucketed storage: co-located fact-dim join, zero join-side exchange)",
+)
+def x18_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recurring-join amortization: both tables are written bucketed on the
+    join key (the one-time shuffle), then joined as catalog tables — the
+    scans expose their on-disk hash partitioning, so the sort-merge join
+    plan has NO Exchange and (with sortBy) no Sort on either side
+    (asserted in tests/test_plans.py).  At 100 TB this converts every
+    nightly fact-dim join from a full shuffle into a local merge; the only
+    exchange left in this query is the final small groupBy.  The merge
+    hint forces the bucketed path even where the dim would broadcast."""
+    import tempfile
+    import uuid
+
+    from ..sinks import write_bucketed
+
+    tag = uuid.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix=f"x18_{tag}_")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    )
+    write_bucketed(o, f"x18_orders_{tag}", ["o_custkey"], 8, path=f"{base}/o")
+    write_bucketed(c, f"x18_cust_{tag}", ["o_custkey"], 8, path=f"{base}/c")
+    # the merge hint goes on a join INPUT (a post-join .hint() is a no-op);
+    # it forces the bucketed sort-merge path even where the dim would
+    # broadcast, which is what makes the zero-exchange plan assertable.
+    j = (
+        spark.table(f"x18_orders_{tag}")
+        .hint("merge")
+        .join(spark.table(f"x18_cust_{tag}"), on=["o_custkey"])
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(dec2("o_totalprice")).cast("double").alias("price_sum"),
+    )

@@ -673,3 +673,51 @@ def a23_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weighted_median_price"
         ),
     )
+
+
+@register(
+    "a24_countmin_frequency",
+    oracle="""
+    WITH per_key AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+    cells AS (
+        SELECT user_id, n, r.rw AS row,
+               ('0x' || substr(md5(concat(r.rw::VARCHAR, ':', user_id::VARCHAR)), 1, 8))::BIGINT % 256 AS bucket
+        FROM per_key CROSS JOIN (SELECT unnest(range(0, 4)) AS rw) r
+    ),
+    sketch AS (
+        SELECT row, bucket, CAST(sum(n) AS BIGINT) AS sn
+        FROM cells GROUP BY row, bucket
+    ),
+    est AS (
+        SELECT c.user_id, min(s.sn) AS est_n, min(c.n) AS exact_n
+        FROM cells c JOIN sketch s USING (row, bucket)
+        GROUP BY c.user_id
+    )
+    SELECT user_id,
+           CAST(est_n AS BIGINT) AS est_n,
+           CAST(exact_n AS BIGINT) AS exact_n,
+           CAST(est_n - exact_n AS BIGINT) AS overcount
+    FROM est
+    """,
+    survey="A-std extended (mergeable count-min sketch: build/probe as pure aggregates)",
+)
+def a24_countmin_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation over event user_ids: build a
+    4×256 md5-hashed counter grid (fixed size at ANY key cardinality),
+    probe every key back (min over its 4 cells), and report the exact
+    count + the sketch's overcount alongside.  The overcount is provably
+    ≥ 0 row-by-row — the driver-checked invariant — and the grid is
+    mergeable cell-wise, the property that lets shards sketch
+    independently at 100 TB (asserted in tests/test_operators.py)."""
+    from ..operators.sketches import cms_build, cms_probe
+
+    ev = load_table(spark, sf_dir, "events")
+    sketch = cms_build(ev, "user_id")
+    exact = ev.groupBy("user_id").agg(F.count("*").cast("bigint").alias("exact_n"))
+    est = cms_probe(sketch, exact.select("user_id"), "user_id")
+    return est.join(exact, "user_id").select(
+        "user_id",
+        "est_n",
+        "exact_n",
+        (F.col("est_n") - F.col("exact_n")).cast("bigint").alias("overcount"),
+    )

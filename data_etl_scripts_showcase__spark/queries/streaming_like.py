@@ -285,3 +285,43 @@ def st10_incremental_user_snapshot(spark: SparkSession, sf_dir: str) -> DataFram
         "last_value",
         F.col("n_events").cast("bigint").alias("n_events"),
     )
+
+
+@register(
+    "st11_transform_with_state",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(CAST(value AS DECIMAL(18,2)) * 100, 0) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events GROUP BY user_id
+    """,
+    survey="§2.10/§2.11 (Spark 4 transformWithStateInPandas: typed ValueState, REAL readStream)",
+)
+def st11_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals via the Spark 4 arbitrary-state API
+    (transformWithStateInPandas + typed ValueState) over a real stream;
+    value accumulates in exact integer cents (computed Spark-side before
+    the Arrow boundary), and emissions collapse to the final state — equal
+    to the batch aggregate regardless of micro-batch slicing.
+
+    transformWithStateInPandas speaks protobuf to the JVM state store; in
+    runtimes without `google.protobuf` the query capability-gates to
+    ``apply_with_state_totals`` — the SAME semantics and output schema on
+    the older applyInPandasWithState API — so the query contract is
+    testable everywhere while the new-API path exercises wherever its
+    runtime dependency exists."""
+    from ..streaming import (
+        apply_with_state_totals,
+        final_totals,
+        has_transform_with_state_runtime,
+        transform_with_state_totals,
+    )
+
+    op = (
+        transform_with_state_totals
+        if has_transform_with_state_runtime()
+        else apply_with_state_totals
+    )
+    emissions = run_to_memory(op(events_stream(spark, sf_dir)), mode="update")
+    return final_totals(emissions)

@@ -406,3 +406,123 @@ def read_latest_snapshot(spark: SparkSession, base_dir: str) -> DataFrame:
 
     versions = sorted(d for d in os.listdir(base_dir) if d.startswith("v"))
     return spark.read.parquet(os.path.join(base_dir, versions[-1]))
+
+
+def has_transform_with_state_runtime() -> bool:
+    """transformWithStateInPandas needs the protobuf runtime (its state
+    API speaks StateMessage protos to the JVM).  Capability-gate, don't
+    crash: environments without `google.protobuf` route to the
+    applyInPandasWithState fallback below."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # parent package 'google' absent entirely
+        return False
+
+
+def running_totals_source(events: DataFrame) -> DataFrame:
+    """Shared input projection for the running-totals operators: value is
+    converted to exact integer cents SPARK-SIDE (decimal → bigint) before
+    any Arrow boundary, so state accumulation is integer math — no double
+    accumulation-order drift (the v9/x4 micro-unit discipline)."""
+    return events.select(
+        F.col("user_id"),
+        F.round(dec2("value") * 100).cast("bigint").alias("cents"),
+    )
+
+
+def apply_with_state_totals(events: DataFrame) -> DataFrame:
+    """Per-user running totals via ``applyInPandasWithState`` — the
+    protobuf-free fallback with identical semantics and output schema to
+    :func:`transform_with_state_totals`."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = running_totals_source(events)
+
+    def update(key, pdfs, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            if len(pdf):
+                n += len(pdf)
+                cents += int(pdf["cents"].sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "value_cents": [cents]}
+        )
+
+    return src.groupBy("user_id").applyInPandasWithState(
+        update,
+        "user_id bigint, n_events bigint, value_cents bigint",
+        "n bigint, cents bigint",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def transform_with_state_totals(events: DataFrame) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-state API (successor to applyInPandasWithState,
+    st5's operator): typed ValueState, explicit init/close lifecycle,
+    timer support, and state schema evolution.  Requires the protobuf
+    runtime (see :func:`has_transform_with_state_runtime`).
+
+    State per user: (event count, value in exact integer cents).  Cents
+    are computed Spark-side (decimal → bigint) BEFORE crossing the Arrow
+    boundary, so the accumulation is integer math — no double
+    accumulation-order drift, the same micro-unit discipline as v9/x4.
+    Emissions carry the running totals; as in st5, the max-count emission
+    per user IS the final state, equal to the batch aggregate no matter
+    how availableNow slices the input.
+
+    Scale: state is 2 bigints per user, hash-partitioned by the groupBy
+    key and persisted in the state store (RocksDB at scale) — O(|users|),
+    independent of stream length.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    src = running_totals_source(events)
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n bigint, cents bigint"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, cents = (
+                tuple(self._state.get()) if self._state.exists() else (0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(pdf["cents"].sum()) if len(pdf) else 0
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "value_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return src.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType="user_id bigint, n_events bigint, value_cents bigint",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def final_totals(emissions: DataFrame) -> DataFrame:
+    """Collapse transform_with_state_totals emissions to final state:
+    counts strictly increase per emission, so argmax-by-count is the last
+    state (max_by tie-broken by itself — emissions for a key are totally
+    ordered in n_events)."""
+    return emissions.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("value_cents", "n_events").alias("value_cents"),
+    )

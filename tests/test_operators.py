@@ -398,3 +398,39 @@ class TestVideoFrameSample:
         one = {tuple(r) for r in MM.sample_video_frames(assets, parallelism=1).collect()}
         many = {tuple(r) for r in MM.sample_video_frames(assets, parallelism=8).collect()}
         assert one == many
+
+
+class TestCountMinSketch:
+    def test_merge_of_shard_sketches_equals_whole(self, spark):
+        """The 100 TB property: sketching two disjoint shards and merging
+        cell-wise equals sketching everything at once."""
+        from data_etl_scripts_showcase__spark.operators.sketches import (
+            cms_build,
+            cms_merge,
+        )
+
+        ev = spark.createDataFrame(
+            [(i % 7,) for i in range(200)], "k bigint"
+        )
+        whole = cms_build(ev, "k")
+        a = cms_build(ev.where(F.col("k") < 3), "k")
+        b = cms_build(ev.where(F.col("k") >= 3), "k")
+        merged = cms_merge(a, b)
+        as_map = lambda df: {
+            (r.row, r.bucket): r.n for r in df.collect()
+        }
+        assert as_map(merged) == as_map(whole)
+
+    def test_estimates_never_undercount(self, spark):
+        from data_etl_scripts_showcase__spark.operators.sketches import (
+            cms_build,
+            cms_probe,
+        )
+
+        ev = spark.createDataFrame([(i % 13,) for i in range(300)], "k bigint")
+        sketch = cms_build(ev, "k")
+        exact = ev.groupBy("k").count()
+        est = cms_probe(sketch, exact.select("k"), "k")
+        j = est.join(exact, "k").collect()
+        assert len(j) == 13
+        assert all(r.est_n >= r["count"] for r in j)

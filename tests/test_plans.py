@@ -141,6 +141,15 @@ class TestBucketedJoins:
             spark.sql("DROP TABLE IF EXISTS b_orders")
             spark.sql("DROP TABLE IF EXISTS b_cust")
 
+    def test_x18_only_shuffle_is_the_final_groupby(self, spark):
+        """The registered bucketed-join query: the fact-dim join itself is
+        exchange-free (bucketed scans satisfy the join distribution); the
+        ONLY Exchange in the whole plan is the final 5-group aggregate."""
+        plan = plan_of(spark, "x18_bucketed_colocated_join")
+        assert "BroadcastExchange" not in plan, plan
+        assert plan.count("Exchange (") == 1, plan  # tree node occurrences
+        assert "SortMergeJoin" in plan
+
     def test_bucketed_groupby_has_no_exchange(self, spark, tmp_path):
         """A groupBy on the bucket key also rides the stored partitioning —
         aggregation without a shuffle."""

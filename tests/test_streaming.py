@@ -158,3 +158,38 @@ class TestIncrementalUserSnapshot:
         assert as_sorted_tuples(got, ["user_id", "n_events"]) == as_sorted_tuples(
             want, ["user_id", "n_events"]
         )
+
+
+class TestTransformWithState:
+    def test_running_totals_equal_batch(self, spark):
+        """st11's operator (new transformWithStateInPandas API when the
+        protobuf runtime exists, applyInPandasWithState fallback otherwise)
+        converges to the batch per-user aggregate in exact integer cents."""
+        from data_etl_scripts_showcase__spark.functions import dec2
+        from data_etl_scripts_showcase__spark.streaming import (
+            apply_with_state_totals,
+            final_totals,
+            has_transform_with_state_runtime,
+            transform_with_state_totals,
+        )
+
+        op = (
+            transform_with_state_totals
+            if has_transform_with_state_runtime()
+            else apply_with_state_totals
+        )
+        got = final_totals(
+            run_to_memory(op(events_stream(spark, SF)), mode="update")
+        )
+        want = (
+            load_table(spark, SF, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.round(dec2("value") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("value_cents"),
+            )
+        )
+        cols = ["user_id", "n_events", "value_cents"]
+        assert as_sorted_tuples(got, cols) == as_sorted_tuples(want, cols)
