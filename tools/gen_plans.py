@@ -90,6 +90,28 @@ SHOWCASE = [
         "bigram LM: partial_count under both count aggregates (map-side "
         "combine on the exploded stream); vocab count broadcast",
     ),
+    (
+        "d14_lsh_capped_pairs",
+        "hot-bucket skew guard: bucket-size aggregate filters oversized "
+        "buckets BEFORE the candidate self-join — the quadratic pair "
+        "blow-up never reaches the join",
+    ),
+    (
+        "x18_bucketed_colocated_join",
+        "bucketed catalog tables: SortMergeJoin with NO Exchange and no "
+        "Sort on either side (bucket sort honored); the only shuffle in "
+        "the query is the final 5-group aggregate",
+    ),
+    (
+        "a24_countmin_frequency",
+        "count-min sketch: per-key partials first (|keys| rows), 4x256 "
+        "grid via one explode+aggregate, sketch side broadcast at probe",
+    ),
+    (
+        "io2_json_archive_roundtrip",
+        "partitioned JSON archive replay: run_ds/endpoint filters prune "
+        "at the PartitionFilters level — one (run, endpoint) read back",
+    ),
 ]
 
 
