@@ -71,3 +71,72 @@ def asof_join(
         "_side",
     )
     return filled.where(F.col("_side") == 1).drop("_side")
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    tolerance: str | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of FORWARD join: earliest right row with ``right.on >=
+    left.on`` per key, optionally within ``tolerance`` (an INTERVAL
+    string, e.g. ``'2 days'``).
+
+    Same union+window shape as :func:`asof_join` but ordered DESCENDING,
+    so the running fill carries the NEXT right observation backward; at
+    equal timestamps the right row still sorts before the left row it
+    should match.  With ``tolerance``, matches farther than the horizon
+    are nulled out (match time included so callers can audit distance).
+    One shuffle + one sort per key — same 100 TB properties as backward.
+
+    The matched right timestamp is always appended as ``{on}{suffix}``.
+    """
+    key_cols = by + [on]
+    vcols = [c for c in right.columns if c not in key_cols]
+    lcols = [c for c in left.columns if c not in key_cols]
+    out_vcols = {c: c + suffix if c in left.columns else c for c in vcols}
+    on_match = on + suffix
+
+    l2 = left
+    for c in vcols:
+        l2 = l2.withColumn(out_vcols[c], F.lit(None).cast(right.schema[c].dataType))
+    l2 = l2.withColumn(on_match, F.lit(None).cast(right.schema[on].dataType))
+    l2 = l2.withColumn("_side", F.lit(1))
+
+    r2 = right
+    for c in vcols:
+        r2 = r2.withColumnRenamed(c, out_vcols[c])
+    r2 = r2.withColumn(on_match, F.col(on))
+    for c in lcols:
+        r2 = r2.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    r2 = r2.withColumn("_side", F.lit(0))
+
+    ordered = (
+        key_cols + lcols + [out_vcols[c] for c in vcols] + [on_match, "_side"]
+    )
+    u = l2.select(*ordered).unionByName(r2.select(*ordered))
+
+    w = (
+        W.partitionBy(*by)
+        .orderBy(F.col(on).desc(), F.col("_side").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fill_cols = [out_vcols[c] for c in vcols] + [on_match]
+    filled = u.select(
+        *key_cols,
+        *lcols,
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(c)
+            for c in fill_cols
+        ],
+        "_side",
+    ).where(F.col("_side") == 1).drop("_side")
+
+    if tolerance is not None:
+        within = F.col(on_match) <= F.col(on) + F.expr(f"INTERVAL {tolerance}")
+        for c in fill_cols:
+            filled = filled.withColumn(c, F.when(within, F.col(c)))
+    return filled

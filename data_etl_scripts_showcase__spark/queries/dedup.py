@@ -739,3 +739,95 @@ def d14_lsh_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.candidate_pairs(
         DD.lsh_buckets(sig, "doc_id"), "doc_id", max_bucket_size=2
     )
+
+
+_PR_EDGES = f"""
+    cand AS ({_CAND_SQL}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM cand
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM cand
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    deg AS (SELECT src AS id, count(*) AS d FROM edges GROUP BY src),
+    nn AS (SELECT count(*) AS n FROM nodes)
+"""
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+        SELECT e.dst AS id,
+               (150000000000 // nn.n) + (85 * sum({prev}.r // deg.d)) // 100 AS r
+        FROM edges e
+        JOIN {prev} ON e.src = {prev}.id
+        JOIN deg ON e.src = deg.id
+        CROSS JOIN nn
+        GROUP BY e.dst, nn.n
+    )"""
+
+
+@register(
+    "pr1_pagerank_neardup",
+    oracle=f"""
+    WITH {_BANDS_CTE},
+    {_PR_EDGES},
+    r0 AS (SELECT id, (1000000000000 // nn.n) AS r FROM nodes CROSS JOIN nn),
+    {_pr_iter_sql("r0", "r1")},
+    {_pr_iter_sql("r1", "r2")},
+    {_pr_iter_sql("r2", "r3")}
+    SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_pico FROM r3
+    """,
+    survey="NS-dedup extended (iterative graph algorithm: PageRank over the near-dup graph)",
+)
+def pr1_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank (d=0.85) over the LSH near-dup candidate graph
+    — which documents sit at the CENTER of duplicate clusters (canonical-
+    representative selection beyond d8's min-id rule).
+
+    Determinism discipline: ranks live in integer PICO-units (1e12 = mass
+    1) and every step is integer floor arithmetic — `r div deg`,
+    `(85·Σ) div 100` — so Spark and DuckDB agree bit-for-bit with no
+    float accumulation-order drift (the v9/x4 micro-unit rule applied to
+    an iterative algorithm).
+
+    Scale shape: each iteration is ONE join of the edge list against the
+    current rank vector plus one keyed aggregate — state is 1 row/node,
+    the same per-iteration plan GraphX/Pregel would schedule; the
+    symmetric candidate graph means no dangling-mass correction is
+    needed (every node has out-degree ≥ 1 by construction)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = DD.minhash_signature(
+        docs, "doc_id", "text", parallelism=spark.sparkContext.defaultParallelism
+    )
+    pairs = DD.candidate_pairs(DD.lsh_buckets(sig, "doc_id"), "doc_id")
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    nn = nodes.agg(F.count("*").alias("n"))
+
+    r = nodes.crossJoin(F.broadcast(nn)).select(
+        "id", F.expr("1000000000000 div n").alias("r")
+    )
+    for _ in range(3):
+        contrib = (
+            edges.join(r, edges.src == r.id)
+            .join(deg, "src")
+            .select(F.col("dst"), F.expr("r div d").alias("c"))
+        )
+        r = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                F.col("dst").alias("id"),
+                F.expr("(150000000000 div n) + (85 * s) div 100").alias("r"),
+            )
+        )
+    return r.select(F.col("id").alias("doc_id"), F.col("r").cast("bigint").alias("rank_pico"))

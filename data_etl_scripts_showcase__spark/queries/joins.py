@@ -376,3 +376,62 @@ def j8_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros(F.col("ts").cast("timestamp"))
          - F.unix_micros(F.col("p_ts").cast("timestamp"))).alias("offset_us"),
     )
+
+
+@register(
+    "j9_asof_forward_tolerance",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id, ts, value
+        FROM events WHERE event_type = 'purchase'
+        QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+    ),
+    m AS (
+        SELECT c.event_id, c.user_id, c.ts AS click_ts, p.ts AS p_ts, p.value
+        FROM clicks c
+        ASOF LEFT JOIN purchases p ON c.user_id = p.user_id AND c.ts <= p.ts
+    )
+    SELECT event_id,
+           user_id,
+           strftime(click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           CASE WHEN p_ts <= click_ts + INTERVAL 2 DAY
+                THEN strftime(p_ts, '%Y-%m-%d %H:%M:%S') END AS next_purchase_ts,
+           CASE WHEN p_ts <= click_ts + INTERVAL 2 DAY THEN value END
+               AS next_purchase_value
+    FROM m
+    """,
+    survey="custom op (forward as-of join with tolerance — union+window, no range join)",
+)
+def j9_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click, the user's NEXT purchase at-or-after it but no more
+    than 2 days out (nulls beyond the horizon) — the did-the-click-convert
+    feature.  Forward direction + tolerance completes the kdb-style as-of
+    surface (j7 is backward/unbounded); same union + window fill, one
+    shuffle per key, verified against DuckDB's native forward ASOF JOIN
+    with the tolerance applied as a post-filter on the matched time."""
+    from ..operators.asof import asof_join_forward
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("value"))
+    )
+    out = asof_join_forward(
+        clicks, purchases, on="ts", by=["user_id"], tolerance="2 days"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss").alias(
+            "next_purchase_ts"
+        ),
+        F.col("value").alias("next_purchase_value"),
+    )

@@ -734,3 +734,55 @@ def w17_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merged_end",
         "n_intervals",
     )
+
+
+@register(
+    "w18_ema_per_user",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n,
+           round(list_reduce(vals, (a, x) -> (a + x) / 2.0), 6) AS ema_last
+    FROM s
+    """,
+    survey="§2.5 extended (recursive time-series fold: EMA via higher-order reduce, zero Python)",
+)
+def w18_ema_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential moving average (α=0.5) of each user's event values in
+    time order — the classic RECURSIVE time-series operator that plain
+    window frames cannot express (each output depends on the previous
+    output, not a fixed frame).  Expressed as a higher-order fold over the
+    time-sorted value array: collect → sort by (ts, event_id) → aggregate
+    lambda — all JVM codegen, zero Python.  Both engines fold
+    left-to-right over the identical sequence, so the IEEE double result
+    is bit-identical (rounded at output only for hash stability).
+
+    Scale shape: one shuffle on user_id; per-user state is that user's
+    event list — fine while per-key series fit memory (they do for
+    per-user event streams; for unbounded series the streaming st5/st11
+    state machines are the scale path)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "ts", "event_id", F.col("value").cast("double").alias("value")
+                )
+            )
+        ).alias("rows")
+    )
+    vals = F.transform("rows", lambda r: r["value"])
+    ema = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda a, x: (a + x) / F.lit(2.0),
+    )
+    return per_user.select(
+        "user_id",
+        F.size(vals).cast("bigint").alias("n"),
+        F.round(ema, 6).alias("ema_last"),
+    )

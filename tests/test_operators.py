@@ -434,3 +434,54 @@ class TestCountMinSketch:
         j = est.join(exact, "k").collect()
         assert len(j) == 13
         assert all(r.est_n >= r["count"] for r in j)
+
+
+class TestAsofForward:
+    def test_forward_semantics_edges(self, spark):
+        """Equal timestamps match (>= semantics); matches beyond tolerance
+        null out; keys never cross; no-following-row yields nulls."""
+        from data_etl_scripts_showcase__spark.operators.asof import (
+            asof_join_forward,
+        )
+
+        left = spark.createDataFrame(
+            [
+                (1, 1, "2024-01-01 10:00:00"),
+                (2, 1, "2024-01-01 23:00:00"),
+                (3, 2, "2024-01-01 10:00:00"),
+            ],
+            "event_id bigint, user_id bigint, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        right = spark.createDataFrame(
+            [
+                (1, "2024-01-01 10:00:00", 5.0),   # equal ts -> matches id 1
+                (1, "2024-01-03 23:30:00", 7.0),   # 2d0.5h after id 2 -> beyond 2d
+            ],
+            "user_id bigint, ts string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+        out = {
+            r.event_id: r
+            for r in asof_join_forward(
+                left, right, on="ts", by=["user_id"], tolerance="2 days"
+            ).collect()
+        }
+        assert out[1].value == 5.0  # >= includes equality
+        assert out[2].value is None and out[2].ts_asof is None  # tolerance
+        assert out[3].value is None  # other key has no rows at all
+
+    def test_forward_unbounded_picks_nearest(self, spark):
+        from data_etl_scripts_showcase__spark.operators.asof import (
+            asof_join_forward,
+        )
+
+        left = spark.createDataFrame(
+            [(1, 1, "2024-01-01 00:00:00")],
+            "event_id bigint, user_id bigint, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        right = spark.createDataFrame(
+            [(1, "2024-01-05 00:00:00", 2.0), (1, "2024-01-02 00:00:00", 1.0)],
+            "user_id bigint, ts string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        row = asof_join_forward(left, right, on="ts", by=["user_id"]).collect()[0]
+        assert row.value == 1.0  # nearest following, not any following
