@@ -552,3 +552,82 @@ def v9_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(p3.select(F.col("qid").alias("query_id"), F.lit(3).alias("pick_rank"), F.col("c3").alias("vec_id"), "score"))
     )
     return out
+
+
+_Q8 = (
+    "list_transform(CAST(embedding AS DOUBLE[]), "
+    "x -> greatest(-127, least(127, CAST(floor(x * s.scale + 0.5) AS INTEGER))))"
+)
+
+
+@register(
+    "v10_quantized_topk",
+    oracle=f"""
+    WITH s AS (
+        SELECT 127.0 / max(m) AS scale
+        FROM (SELECT list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS m
+              FROM embeddings)
+    ),
+    qv AS (SELECT vec_id, {_Q8} AS q8 FROM embeddings, s),
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(range(1, len(q.q8) + 1), i -> q.q8[i] * c.q8[i])) AS BIGINT) AS qdot
+        FROM qv q, qv c
+        WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, qdot,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY qdot DESC, neighbor_id ASC
+           ) AS INTEGER) AS rank
+    FROM dots QUALIFY rank <= 5
+    """,
+    survey="NS-sim extended (int8 scalar quantization: exact integer dot-product ranking)",
+)
+def v10_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbors ranked by INT8-quantized dot product — the memory-
+    bandwidth scale path for embedding search: a corpus-wide symmetric
+    scale (127/max|x|, one broadcast scalar) quantizes every float32
+    vector to int8, shrinking the scanned bytes 4× and turning the scoring
+    hot loop into integer multiply-adds (what a SIMD/DiskANN-style
+    deployment executes).  Ranking is on the EXACT integer dot product —
+    no float accumulation anywhere — so Spark and DuckDB agree
+    bit-for-bit; floor(x·s + 0.5) quantization avoids engine-dependent
+    round-half behavior.  Recall vs the float baseline is auditable
+    against v1 (same query set and tie-break)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vals = F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    mx = e.select(F.max(F.array_max(vals)).alias("m")).select(
+        (F.lit(127.0) / F.col("m")).alias("scale")
+    )
+    q8 = F.transform(
+        "embedding",
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127),
+                F.floor(x.cast("double") * F.col("scale") + F.lit(0.5)).cast("int"),
+            ),
+        ),
+    )
+    qv = e.crossJoin(F.broadcast(mx)).select("vec_id", q8.alias("q8"))
+    queries = qv.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("q8").alias("q8_q")
+    )
+    pairs = F.broadcast(queries).crossJoin(
+        qv.select(F.col("vec_id").alias("neighbor_id"), "q8")
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    qdot = F.aggregate(
+        F.zip_with("q8_q", "q8", lambda a, b: (a * b).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql import Window as W
+
+    scored = pairs.select("query_id", "neighbor_id", qdot.alias("qdot"))
+    w = W.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 5)
+    )

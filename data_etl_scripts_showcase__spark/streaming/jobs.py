@@ -526,3 +526,40 @@ def final_totals(emissions: DataFrame) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.max_by("value_cents", "n_events").alias("value_cents"),
     )
+
+
+def idempotent_epoch_sink(
+    events: DataFrame, out_path: str
+) -> None:
+    """Exactly-once-per-epoch file sink: each micro-batch lands in its own
+    ``epoch=<id>`` directory with OVERWRITE mode, so a replayed batch (the
+    at-least-once delivery foreachBatch gives you after a crash-restart)
+    REPLACES its own previous attempt instead of appending duplicates —
+    idempotence is what upgrades at-least-once delivery to exactly-once
+    observable output.  Readers scan ``out_path`` recursively; the epoch
+    directory is invisible to them (partition column).
+
+    This is the file-sink form of the (batchId, key) MERGE pattern a
+    transactional sink would use; asserted by replaying an epoch in
+    tests/test_streaming.py.
+    """
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        write_epoch(df, out_path, epoch_id)
+
+    q = (
+        events.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_epoch_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def write_epoch(df: DataFrame, out_path: str, epoch_id: int) -> None:
+    """One epoch's write, exposed so tests can replay an epoch verbatim."""
+    (
+        df.withColumn("epoch", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .parquet(f"{out_path}/epoch={int(epoch_id)}")
+    )

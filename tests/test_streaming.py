@@ -193,3 +193,27 @@ class TestTransformWithState:
         )
         cols = ["user_id", "n_events", "value_cents"]
         assert as_sorted_tuples(got, cols) == as_sorted_tuples(want, cols)
+
+
+class TestIdempotentEpochSink:
+    def test_replayed_epoch_does_not_duplicate(self, spark, tmp_path):
+        """Crash-replay simulation: after the streaming job completes, the
+        same batch is written AGAIN with its original epoch id (what a
+        restarted foreachBatch does on an uncommitted epoch).  The sink
+        overwrites its own epoch directory, so totals are unchanged —
+        exactly-once observable output from at-least-once delivery."""
+        from data_etl_scripts_showcase__spark.streaming import jobs as J
+
+        out = str(tmp_path / "epoch_sink")
+        J.idempotent_epoch_sink(events_stream(spark, SF), out)
+        ev = load_table(spark, SF, "events")
+        first = spark.read.parquet(out)
+        assert first.count() == ev.count()
+
+        # replay epoch 0 verbatim (worst case: the full batch again)
+        replay = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        J.write_epoch(replay, out, 0)
+        again = spark.read.parquet(out)
+        assert again.count() == ev.count()
+        assert again.select(F.sum("event_id")).collect()[0][0] == \
+            ev.select(F.sum("event_id")).collect()[0][0]
