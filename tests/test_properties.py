@@ -400,3 +400,97 @@ def test_token_budget_sample_partition_independent(spark, rows, nparts):
         return sorted((r.source, r.doc_id, r.cum) for r in c.where(F.col("cum") <= budget).collect())
 
     assert pick(df.repartition(1)) == pick(df.repartition(nparts))
+
+
+@FAST
+@given(
+    st.lists(st.integers(0, 20), min_size=1, max_size=80),
+    st.integers(2, 4),
+)
+def test_cms_never_undercounts_and_merges(spark, keys, n_shards):
+    """Count-min: est ≥ exact for every key on arbitrary multisets, and
+    sketching hash-split shards then merging equals sketching everything."""
+    from data_etl_scripts_showcase__spark.operators.sketches import (
+        cms_build,
+        cms_merge,
+        cms_probe,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k bigint")
+    whole = cms_build(df, "k")
+    shards = [
+        cms_build(df.where(F.col("k") % n_shards == i), "k")
+        for i in range(n_shards)
+    ]
+    merged = cms_merge(*shards)
+    cells = lambda d: {(r.row, r.bucket): r.n for r in d.collect()}
+    assert cells(merged) == cells(whole)
+
+    exact = df.groupBy("k").count()
+    est = cms_probe(whole, exact.select("k"), "k")
+    joined = est.join(exact, "k").collect()
+    assert len(joined) == len(set(keys))
+    assert all(r.est_n >= r["count"] for r in joined)
+
+
+@FAST
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_asof_forward_matches_bruteforce(spark, lrows, rrows):
+    """Forward as-of == per-row brute force: min right ts ≥ left ts per key
+    (right side deduped to one row per (key, ts) by max value)."""
+    from data_etl_scripts_showcase__spark.operators.asof import asof_join_forward
+
+    base = 1_700_000_000
+    left = spark.createDataFrame(
+        [(i, k, base + t) for i, (k, t) in enumerate(lrows)],
+        "event_id bigint, k bigint, sec bigint",
+    ).select("event_id", "k", F.timestamp_seconds("sec").alias("ts"))
+    rdedup = {}
+    for k, t in rrows:
+        rdedup[(k, t)] = max(rdedup.get((k, t), -1), t + k)
+    right = spark.createDataFrame(
+        [(k, base + t, float(v)) for (k, t), v in rdedup.items()],
+        "k bigint, sec bigint, value double",
+    ).select("k", F.timestamp_seconds("sec").alias("ts"), "value")
+
+    got = {
+        r.event_id: r.value
+        for r in asof_join_forward(left, right, on="ts", by=["k"]).collect()
+    }
+    for i, (k, t) in enumerate(lrows):
+        following = [tt for (kk, tt) in rdedup if kk == k and tt >= t]
+        want = rdedup[(k, min(following))] if following else None
+        assert got[i] == (None if want is None else float(want)), (i, k, t)
+
+
+@FAST
+@given(st.lists(st.integers(0, 30), min_size=2, max_size=60), st.integers(1, 5))
+def test_capped_pairs_subset_of_uncapped(spark, ids, cap):
+    """The hot-bucket cap only ever REMOVES candidate pairs, and every pair
+    it keeps comes from a bucket within the cap."""
+    from data_etl_scripts_showcase__spark.operators import dedup as DD2
+
+    docs_df = spark.createDataFrame(
+        [(i, f"token{v % 5} alpha beta gamma delta epsilon zeta")
+         for i, v in enumerate(ids)],
+        "doc_id bigint, text string",
+    )
+    sig = DD2.minhash_signature(docs_df, "doc_id", "text")
+    buckets = DD2.lsh_buckets(sig, "doc_id")
+    full = {(r.id_a, r.id_b) for r in DD2.candidate_pairs(buckets, "doc_id").collect()}
+    capped = {
+        (r.id_a, r.id_b)
+        for r in DD2.candidate_pairs(buckets, "doc_id", max_bucket_size=cap).collect()
+    }
+    assert capped <= full
