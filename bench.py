@@ -65,6 +65,9 @@ HEADLINE = [
     "d14_lsh_capped_pairs",
     "mm6_modality_interleave",
     "st1_stream_tumbling_counts",  # REAL readStream end-to-end
+    "pr1_pagerank_neardup",  # iterative graph algorithm
+    "a24_countmin_frequency",  # mergeable sketch family
+    "v10_quantized_topk",  # int8 quantized ANN
 ]
 
 
