@@ -559,3 +559,40 @@ def x18_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.sum(dec2("o_totalprice")).cast("double").alias("price_sum"),
     )
+
+
+@register(
+    "x19_targeted_delete",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events WHERE user_id NOT IN (3, 7)
+    GROUP BY event_type
+    """,
+    survey="S11 extended (right-to-be-forgotten: key-level delete rewriting only affected partitions)",
+)
+def x19_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-level delete over a date-partitioned copy of the events table:
+    find the partitions containing the doomed user_ids (metadata-scale),
+    rewrite ONLY those through an anti-filter under dynamic partition
+    overwrite, then aggregate the surviving dataset.  The oracle is the
+    logical delete (NOT IN) over the original data — a green row proves
+    the physical partition surgery equals the logical semantics.  The
+    untouched-partitions-not-rewritten property is asserted file-level in
+    tests/test_pipelines.py."""
+    import tempfile
+
+    from ..sinks import targeted_delete
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ds", F.date_format("ts", "yyyy-MM-dd")
+    )
+    base = tempfile.mkdtemp(prefix="x19_del_")
+    ev.write.mode("overwrite").partitionBy("ds").parquet(base)
+    targeted_delete(spark, base, part_col="ds", key_col="user_id", keys=[3, 7])
+    back = spark.read.parquet(base)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )

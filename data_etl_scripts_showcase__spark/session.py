@@ -40,6 +40,11 @@ def get_session(app_name: str = "data_etl_scripts_showcase__spark") -> SparkSess
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Runtime row-level join pruning: a bloom filter built from the
+        # selective side is injected into the big side's scan (AQE), so a
+        # 100 TB probe skips row groups that cannot match — explicit here
+        # because the whole engine assumes it at scale.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # Reference semantics: rows are Python dicts mutated in place, so a
         # repeated key last-wins (buisness_profile_etl/main.py:479-493).
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")

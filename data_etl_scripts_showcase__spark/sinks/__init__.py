@@ -1,5 +1,6 @@
 from .bucketed import cobucketed_join, write_bucketed
 from .quality import ReconciliationError, reconcile, upsert_run_metrics
+from .retention import affected_partitions, targeted_delete
 from .snapshot import promote_view, read_snapshot, write_snapshot
 
 __all__ = [

@@ -139,3 +139,47 @@ class TestInsightsSchemaParity:
         back = spark.read.csv(path, header=True)  # header-only read
         assert back.columns == INSIGHT_FIELDNAMES
         assert out.where(F.col("GoogleAccessToken").isNotNull()).count() == 0
+
+
+class TestTargetedDelete:
+    def test_only_affected_partitions_rewritten(self, spark, tmp_path):
+        """File-level proof of the rewrite-only-what-contains-the-key rule:
+        partitions without the doomed keys keep their original files."""
+        import os
+
+        from data_etl_scripts_showcase__spark.sinks import targeted_delete
+        from data_etl_scripts_showcase__spark.sources import load_table
+
+        base = str(tmp_path / "events_parts")
+        ev = load_table(spark, SF, "events").withColumn(
+            "ds", F.date_format("ts", "yyyy-MM-dd")
+        )
+        ev.write.mode("overwrite").partitionBy("ds").parquet(base)
+
+        # pick a user present in SOME days only, so both cases exist
+        days_with = {
+            r.ds for r in ev.where(F.col("user_id") == 3).select("ds").distinct().collect()
+        }
+        all_days = {r.ds for r in ev.select("ds").distinct().collect()}
+        assert days_with and days_with != all_days
+
+        def files(ds):
+            d = os.path.join(base, f"ds={ds}")
+            return {
+                f: os.path.getmtime(os.path.join(d, f))
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            }
+
+        untouched_day = sorted(all_days - days_with)[0]
+        before = files(untouched_day)
+
+        rewritten = targeted_delete(
+            spark, base, part_col="ds", key_col="user_id", keys=[3]
+        )
+        assert set(rewritten) == days_with
+        assert files(untouched_day) == before  # same files, same mtimes
+
+        back = spark.read.parquet(base)
+        assert back.where(F.col("user_id") == 3).count() == 0
+        assert back.count() == ev.where(F.col("user_id") != 3).count()
