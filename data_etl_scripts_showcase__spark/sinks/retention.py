@@ -66,3 +66,60 @@ def targeted_delete(
         .parquet(base_path)
     )
     return parts
+
+
+def partition_file_stats(
+    spark: SparkSession, base_path: str, part_col: str
+) -> DataFrame:
+    """Files per partition value — the compaction decision input.
+
+    Built from ``input_file_name()`` over a metadata-only projection (the
+    scan reads no data columns); at 100 TB this is the file listing the
+    driver would otherwise do, kept distributed.
+    """
+    df = spark.read.parquet(base_path)
+    return (
+        df.select(F.col(part_col), F.input_file_name().alias("f"))
+        .groupBy(part_col)
+        .agg(F.countDistinct("f").cast("bigint").alias("n_files"))
+    )
+
+
+def compact_partitions(
+    spark: SparkSession,
+    base_path: str,
+    part_col: str,
+    max_files: int = 1,
+) -> list[str]:
+    """Small-file compaction (the OPTIMIZE of transactional formats):
+    rewrite every partition holding more than ``max_files`` files into ONE
+    coalesced file; partitions already at or under the threshold are NOT
+    read or rewritten (same file-preservation discipline as
+    :func:`targeted_delete`, asserted in tests).
+
+    The rewrite hash-partitions on ``part_col``, which co-locates each
+    partition value in one task → exactly one output file per partition
+    under ``partitionBy`` (file SIZE is governed upstream by how much data
+    a partition holds; partitions too big for one file belong in a finer
+    partitioning scheme, not bigger compaction fan-out).
+
+    Streaming appends (`incremental_rollup`, `idempotent_epoch_sink`)
+    produce one file per micro-batch per partition — this is their
+    steady-state maintenance companion.  Returns rewritten partitions.
+    """
+    stats = partition_file_stats(spark, base_path, part_col)
+    parts = sorted(
+        str(r[0]) for r in stats.where(F.col("n_files") > max_files).collect()
+    )
+    if not parts:
+        return []
+    df = spark.read.parquet(base_path)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        df.where(F.col(part_col).isin(parts))
+        .repartition(max(1, len(parts) // 4 + 1), F.col(part_col))
+        .write.mode("overwrite")
+        .partitionBy(part_col)
+        .parquet(base_path)
+    )
+    return parts

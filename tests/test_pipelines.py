@@ -183,3 +183,58 @@ class TestTargetedDelete:
         back = spark.read.parquet(base)
         assert back.where(F.col("user_id") == 3).count() == 0
         assert back.count() == ev.where(F.col("user_id") != 3).count()
+
+
+class TestCompaction:
+    def test_compacts_fragmented_partitions_only(self, spark, tmp_path):
+        """Streaming-append fragmentation → compaction leaves 1 file per
+        oversized partition, preserves the data exactly, and does not touch
+        partitions already compact."""
+        import os
+
+        from data_etl_scripts_showcase__spark.sinks import (
+            compact_partitions,
+            partition_file_stats,
+        )
+        from data_etl_scripts_showcase__spark.sources import load_table
+
+        base = str(tmp_path / "frag")
+        ev = load_table(spark, SF, "events").withColumn(
+            "ds", F.date_format("ts", "yyyy-MM-dd")
+        )
+        days = sorted(r.ds for r in ev.select("ds").distinct().collect())
+        frag_days, ok_day = set(days[:3]), days[3]
+        # fragment 3 days into many small files; day 4 written compact
+        ev.where(F.col("ds").isin(list(frag_days))).repartition(8).write.mode(
+            "append"
+        ).partitionBy("ds").parquet(base)
+        ev.where(F.col("ds") == ok_day).coalesce(1).write.mode(
+            "append"
+        ).partitionBy("ds").parquet(base)
+
+        def files(ds):
+            d = os.path.join(base, f"ds={ds}")
+            return {
+                f: os.path.getmtime(os.path.join(d, f))
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            }
+
+        before_ok = files(ok_day)
+        n_before = spark.read.parquet(base).count()
+        sum_before = spark.read.parquet(base).select(F.sum("event_id")).collect()[0][0]
+
+        rewritten = compact_partitions(spark, base, "ds", max_files=1)
+        assert set(rewritten) == frag_days
+        assert files(ok_day) == before_ok  # untouched partition preserved
+
+        stats = {
+            str(r.ds): r.n_files  # partition values bind back as DATE
+            for r in partition_file_stats(spark, base, "ds").collect()
+        }
+        assert all(stats[d] == 1 for d in frag_days)
+        after = spark.read.parquet(base)
+        assert after.count() == n_before
+        assert after.select(F.sum("event_id")).collect()[0][0] == sum_before
+        # idempotent: second run finds nothing to do
+        assert compact_partitions(spark, base, "ds", max_files=1) == []
