@@ -112,6 +112,17 @@ SHOWCASE = [
         "partitioned JSON archive replay: run_ds/endpoint filters prune "
         "at the PartitionFilters level — one (run, endpoint) read back",
     ),
+    (
+        "pr1_pagerank_neardup",
+        "iterative graph algorithm: each PageRank iteration is one "
+        "edge-list join + one keyed aggregate (Pregel schedule as "
+        "DataFrames); edge list persisted once, integer rank arithmetic",
+    ),
+    (
+        "v10_quantized_topk",
+        "int8 quantization: one broadcast scale scalar, integer dot "
+        "products in codegen — the corpus scan carries 4x fewer bytes",
+    ),
 ]
 
 
