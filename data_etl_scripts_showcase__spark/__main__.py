@@ -1,0 +1,119 @@
+"""CLI runner — the reference's ``python script.py`` usage, engine-first.
+
+The reference ships three entry scripts run by hand or cron
+(presentation.py, Gonukkad_Merchants.py, buisness_profile_etl/main.py).
+Their engine equivalents are the three pipeline archetypes in
+``plans/pipelines.py``; this module gives them the same one-command
+surface, plus the registry and maintenance verbs:
+
+    python -m data_etl_scripts_showcase__spark snapshot  --table customer --out /tmp/snap --ds 2026-01-01
+    python -m data_etl_scripts_showcase__spark filtered  --out /tmp/fsnap --ds 2026-01-01
+    python -m data_etl_scripts_showcase__spark flagship  --out /tmp/insights --ds 2026-01-01
+    python -m data_etl_scripts_showcase__spark query     --name q1_pricing_summary
+    python -m data_etl_scripts_showcase__spark compact   --path /tmp/snap --part-col ds
+    python -m data_etl_scripts_showcase__spark forget    --path /tmp/snap --part-col ds --key-col c_custkey --keys 3,7
+
+``--sf-dir`` defaults to $SPARK_GRAFT_SF_DIR (driver convention).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="data_etl_scripts_showcase__spark")
+    p.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
+        help="input table directory (parquet per table)",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("snapshot", help="§3.1: table → cleanse → dated snapshot")
+    s.add_argument("--table", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--ds", required=True)
+
+    f = sub.add_parser("filtered", help="§3.2: id-list ⋉ fact → snapshot")
+    f.add_argument("--out", required=True)
+    f.add_argument("--ds", required=True)
+
+    g = sub.add_parser("flagship", help="§3.3: enrichment pipeline → insights")
+    g.add_argument("--out", default=None)
+    g.add_argument("--ds", default="2026-01-01")
+
+    q = sub.add_parser("query", help="run one registry query, print 20 rows")
+    q.add_argument("--name", required=True)
+
+    c = sub.add_parser("compact", help="compact fragmented partitions")
+    c.add_argument("--path", required=True)
+    c.add_argument("--part-col", required=True)
+    c.add_argument("--max-files", type=int, default=1)
+
+    d = sub.add_parser("forget", help="key-level delete (affected partitions only)")
+    d.add_argument("--path", required=True)
+    d.add_argument("--part-col", required=True)
+    d.add_argument("--key-col", required=True)
+    d.add_argument("--keys", required=True, help="comma-separated key values (ints)")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _parser().parse_args(argv)
+    from .session import get_session
+
+    spark = get_session(f"cli_{args.cmd}")
+
+    if args.cmd == "snapshot":
+        from .plans import snapshot_pipeline
+
+        snapshot_pipeline(spark, args.sf_dir, args.table, args.out, args.ds)
+        print(f"snapshot written: {args.out}/ds={args.ds}")
+    elif args.cmd == "filtered":
+        from .plans import filtered_snapshot_pipeline
+
+        filtered_snapshot_pipeline(spark, args.sf_dir, args.out, args.ds)
+        print(f"filtered snapshot written: {args.out}/ds={args.ds}")
+    elif args.cmd == "flagship":
+        from .plans import enrichment_pipeline, insights_projection
+
+        wide = enrichment_pipeline(spark, args.sf_dir, base_path=None, ds=args.ds)
+        out_df = insights_projection(wide, args.ds, args.ds)
+        if args.out:
+            from .sources.files import write_csv
+
+            write_csv(out_df, args.out)
+            print(f"insights CSV written: {args.out} ({len(out_df.columns)} cols)")
+        else:
+            out_df.show(5, truncate=False)
+    elif args.cmd == "query":
+        from .queries import load_all
+
+        registry = load_all()
+        if args.name not in registry:
+            print(f"unknown query: {args.name}", file=sys.stderr)
+            return 2
+        registry[args.name].fn(spark, args.sf_dir).show(20, truncate=False)
+    elif args.cmd == "compact":
+        from .sinks import compact_partitions
+
+        parts = compact_partitions(
+            spark, args.path, args.part_col, max_files=args.max_files
+        )
+        print(f"compacted partitions: {parts or 'none needed'}")
+    elif args.cmd == "forget":
+        from .sinks import targeted_delete
+
+        keys = [int(k) for k in args.keys.split(",")]
+        parts = targeted_delete(
+            spark, args.path, args.part_col, args.key_col, keys
+        )
+        print(f"rewrote partitions: {parts or 'none contained the keys'}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -238,3 +238,31 @@ class TestCompaction:
         assert after.select(F.sum("event_id")).collect()[0][0] == sum_before
         # idempotent: second run finds nothing to do
         assert compact_partitions(spark, base, "ds", max_files=1) == []
+
+
+class TestCli:
+    def test_cli_snapshot_and_forget(self, spark, tmp_path):
+        """The reference's run-a-script surface: snapshot a table, then
+        delete a key through the CLI verbs."""
+        from data_etl_scripts_showcase__spark.__main__ import main
+
+        out = str(tmp_path / "cli_snap")
+        rc = main(
+            ["--sf-dir", SF, "snapshot", "--table", "nation",
+             "--out", out, "--ds", "2026-02-01"]
+        )
+        assert rc == 0
+        snap = spark.read.parquet(out)
+        assert snap.where(F.col("n_nationkey") == 5).count() == 1
+
+        rc = main(
+            ["forget", "--path", out, "--part-col", "ds",
+             "--key-col", "n_nationkey", "--keys", "5"]
+        )
+        assert rc == 0
+        assert spark.read.parquet(out).where(F.col("n_nationkey") == 5).count() == 0
+
+    def test_cli_unknown_query_is_an_error(self, spark):
+        from data_etl_scripts_showcase__spark.__main__ import main
+
+        assert main(["query", "--name", "nope_not_a_query"]) == 2
