@@ -721,3 +721,75 @@ def a24_countmin_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_n",
         (F.col("est_n") - F.col("exact_n")).cast("bigint").alias("overcount"),
     )
+
+
+# x21: sequence packing into fixed context windows.
+_CTX_TOKENS = 256
+
+
+@register(
+    "x21_sequence_packing",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, doc_id,
+               CAST(len(string_split({_NORM_DOC}, ' ')) AS INTEGER) AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) AS rand_key
+        FROM documents
+    ),
+    c AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY rand_key, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cum_before
+        FROM t
+    ),
+    b AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(cum_before // {_CTX_TOKENS} AS BIGINT) AS bin_id
+        FROM c
+    )
+    SELECT source, bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM b GROUP BY source, bin_id
+    """,
+    survey="A-std extended (sequence packing: docs -> fixed token-budget training bins)",
+)
+def x21_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assemble documents into fixed-context training
+    bins (≈{0} tokens) per source — the assembly step between a sampled
+    corpus and an LLM dataloader.  Contiguous-fill packing: docs in a
+    deterministic pseudo-random order (md5 of doc key, same discipline as
+    x8), bin = floor(tokens-before-this-doc / ctx), so bin assignment is
+    a running sum + integer division — two window-free aggregates at 100 TB
+    run hierarchically exactly like x8's budget cut, and the packing is
+    reproducible on any engine/partitioning.  Output is per-bin occupancy
+    (doc count, token sum, first doc), the shape a dataloader manifest
+    needs.""".format(_CTX_TOKENS)
+    from ..operators.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("rand_key"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("rand_key", "doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    c = t.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    )
+    b = c.withColumn(
+        "bin_id", F.expr(f"cum_before div {_CTX_TOKENS}").cast("bigint")
+    )
+    return b.groupBy("source", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+    )
