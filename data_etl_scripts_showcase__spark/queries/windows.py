@@ -786,3 +786,58 @@ def w18_ema_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(vals).cast("bigint").alias("n"),
         F.round(ema, 6).alias("ema_last"),
     )
+
+
+@register(
+    "w19_ohlc_bars",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, date_trunc('hour', ts) AS bar, value,
+               printf('%020d%012d', epoch_us(ts), event_id) AS ord
+        FROM events
+    )
+    SELECT event_type,
+           strftime(bar, '%Y-%m-%d %H:%M:%S') AS bar_start,
+           CAST(count(*) AS BIGINT) AS n,
+           min_by(value, ord) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max_by(value, ord) AS close
+    FROM e GROUP BY event_type, bar
+    """,
+    survey="§2.5 extended (OHLC downsampling: argmin/argmax-by-time bars in one aggregate)",
+)
+def w19_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type — the canonical time-series
+    downsample.  Open/close are argmin/argmax by (ts, event_id) — exact
+    element values with a total order, so no float accumulation and a
+    deterministic tie-break — and the whole bar is ONE hash aggregate
+    with map-side partials (no window, no sort): the shape that
+    downsamples a 100 TB tick stream in a single shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    # zero-padded (epoch_us, event_id) string: one totally-ordered argmin/
+    # argmax key both engines implement identically (struct keys are not
+    # portable to the oracle's min_by)
+    order = F.format_string(
+        "%020d%012d", F.unix_micros(F.col("ts").cast("timestamp")), F.col("event_id")
+    )
+    return (
+        ev.withColumn("bar", F.date_trunc("hour", "ts"))
+        .groupBy("event_type", "bar")
+        .agg(
+            F.count("*").alias("n"),
+            F.min_by("value", order).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", order).alias("close"),
+        )
+        .select(
+            "event_type",
+            F.date_format("bar", "yyyy-MM-dd HH:mm:ss").alias("bar_start"),
+            "n",
+            "open",
+            "high",
+            "low",
+            "close",
+        )
+    )
