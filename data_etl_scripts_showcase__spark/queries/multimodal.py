@@ -258,3 +258,63 @@ def mm6_modality_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asset_id",
         F.col("rnk").cast("bigint").alias("within_modality_rank"),
     )
+
+
+@register(
+    "mm7_caption_pairs",
+    oracle=f"""
+    WITH assets AS (
+        SELECT doc_id AS asset_id,
+               {_MEDIA_CASE} AS media_type,
+               CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS byte_len
+        FROM documents
+    ),
+    captions AS (
+        SELECT doc_id AS caption_id, lang,
+               CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS INTEGER)
+                   AS n_caption_tokens
+        FROM documents
+    )
+    SELECT a.asset_id, a.media_type, a.byte_len,
+           c.caption_id, c.lang, c.n_caption_tokens
+    FROM assets a
+    JOIN captions c ON c.caption_id = (a.asset_id + 7) % 500
+    WHERE a.media_type = 'image'
+      AND c.n_caption_tokens BETWEEN 5 AND 200
+      AND c.lang = 'en'
+    """,
+    survey="NS-mm extended (text-image training pair assembly: keyed pairing + caption quality gate)",
+)
+def mm7_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-style training-pair assembly: image assets keyed to candidate
+    captions ((id+7) mod N stands in for the alignment table a real corpus
+    carries), with a caption quality gate (5–200 tokens, English) applied
+    BEFORE the pair ships.  One equality join on the pairing key + codegen
+    filters on both sides — at 100 TB the caption side prunes to the gate
+    survivors before the shuffle, and the binary payload never moves
+    (metadata-only projection until a downstream decode stage needs
+    bytes)."""
+    from ..operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = 500  # pairing-table modulus, matches the oracle
+    assets = MM.to_assets(docs, "doc_id", "text").select(
+        "asset_id",
+        "media_type",
+        F.octet_length("content").alias("byte_len"),
+    )
+    captions = docs.select(
+        F.col("doc_id").alias("caption_id"),
+        "lang",
+        token_count("text").alias("n_caption_tokens"),
+    ).where(
+        (F.col("n_caption_tokens").between(5, 200)) & (F.col("lang") == "en")
+    )
+    pairs = assets.where(F.col("media_type") == "image").join(
+        captions,
+        ((F.col("asset_id") + 7) % n_docs) == F.col("caption_id"),
+    )
+    return pairs.select(
+        "asset_id", "media_type", "byte_len",
+        "caption_id", "lang", "n_caption_tokens",
+    )

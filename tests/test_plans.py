@@ -244,3 +244,25 @@ class TestPipelineOpPlans:
         plan = plan_of(spark, "x10_winsorized_stats")
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestNewOpPlans:
+    def test_w19_is_one_aggregate_no_window(self, spark):
+        """OHLC bars must be a single hash aggregate: no Window operator,
+        no Sort, exactly one Exchange (the groupBy)."""
+        plan = plan_of(spark, "w19_ohlc_bars")
+        assert "Window" not in plan, plan
+        assert plan.count("Exchange (") == 1, plan
+
+    def test_j9_forward_asof_single_shuffle_no_range_join(self, spark):
+        """Forward as-of must stay union+window: one hashpartitioning on
+        the key, no BroadcastNestedLoopJoin / CartesianProduct."""
+        plan = plan_of(spark, "j9_asof_forward_tolerance")
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert plan.count("hashpartitioning") >= 1
+
+    def test_a24_sketch_probe_broadcasts_grid(self, spark):
+        """The count-min grid (<=1Ki rows) must broadcast at probe time."""
+        plan = plan_of(spark, "a24_countmin_frequency")
+        assert "BroadcastHashJoin" in plan
