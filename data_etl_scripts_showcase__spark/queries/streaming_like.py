@@ -325,3 +325,43 @@ def st11_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     emissions = run_to_memory(op(events_stream(spark, sf_dir)), mode="update")
     return final_totals(emissions)
+
+
+@register(
+    "st12_streaming_countmin",
+    oracle="""
+    WITH per_key AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+    cells AS (
+        SELECT user_id, n, r.rw AS row,
+               ('0x' || substr(md5(concat(r.rw::VARCHAR, ':', user_id::VARCHAR)), 1, 8))::BIGINT % 256 AS bucket
+        FROM per_key CROSS JOIN (SELECT unnest(range(0, 4)) AS rw) r
+    ),
+    sketch AS (
+        SELECT row, bucket, CAST(sum(n) AS BIGINT) AS sn
+        FROM cells GROUP BY row, bucket
+    ),
+    est AS (
+        SELECT c.user_id, min(s.sn) AS est_n
+        FROM cells c JOIN sketch s USING (row, bucket)
+        GROUP BY c.user_id
+    )
+    SELECT user_id, CAST(est_n AS BIGINT) AS est_n FROM est
+    """,
+    survey="§2.10 extended (streaming mergeable sketch: per-batch CMS partials, REAL readStream)",
+)
+def st12_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch maintained from a real stream (foreachBatch grid
+    partials, merged cell-wise on read) and probed for every key — the
+    oracle is the BATCH sketch, which the streamed one must equal exactly
+    because CMS merge is exact cell addition at any micro-batch slicing."""
+    import tempfile as _tf
+
+    from ..operators.sketches import cms_probe
+    from ..sources import load_table as _lt
+    from ..streaming import jobs as _J
+
+    out = _tf.mkdtemp(prefix="cms_stream_")
+    _J.streaming_cms(events_stream(spark, sf_dir), out)
+    sketch = _J.read_cms(spark, out)
+    keys = _lt(spark, sf_dir, "events").select("user_id").distinct()
+    return cms_probe(sketch, keys, "user_id")

@@ -563,3 +563,32 @@ def write_epoch(df: DataFrame, out_path: str, epoch_id: int) -> None:
         .write.mode("overwrite")
         .parquet(f"{out_path}/epoch={int(epoch_id)}")
     )
+
+
+def streaming_cms(events: DataFrame, out_path: str, key_col: str = "user_id") -> None:
+    """Maintain a count-min sketch FROM A STREAM: each micro-batch builds
+    its own grid partial (a few hundred rows) and appends it; readers
+    merge partials cell-wise.  Because CMS merge is exact (cell sums),
+    the streamed sketch equals the batch sketch bit-for-bit no matter how
+    availableNow slices the input — the sketch-family analog of the
+    incremental_rollup partials pattern, and the 100 TB shape for
+    "frequency tracking over an unbounded stream in 1 Ki counters"."""
+    from ..operators.sketches import cms_build
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        cms_build(df, key_col).write.mode("append").parquet(out_path)
+
+    q = (
+        events.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_cms_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_cms(spark: SparkSession, out_path: str) -> DataFrame:
+    """Merge the streamed sketch partials into one grid."""
+    from ..operators.sketches import cms_merge
+
+    return cms_merge(spark.read.parquet(out_path))
