@@ -596,3 +596,67 @@ def x19_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+@register(
+    "x22_drift_psi",
+    oracle=f"""
+    WITH prev AS (
+        SELECT o_orderpriority AS cat, count(*) AS n FROM orders
+        WHERE o_orderdate < TIMESTAMP '{_CUT} 00:00:00'
+        GROUP BY o_orderpriority
+    ),
+    curr AS (
+        SELECT o_orderpriority AS cat, count(*) AS n FROM orders
+        GROUP BY o_orderpriority
+    ),
+    tot AS (
+        SELECT (SELECT sum(n) FROM prev) AS np, (SELECT sum(n) FROM curr) AS nc
+    )
+    SELECT p.cat,
+           round(CAST(p.n AS DOUBLE) / tot.np, 6) AS p_prev,
+           round(CAST(c.n AS DOUBLE) / tot.nc, 6) AS p_curr,
+           round(
+               (CAST(p.n AS DOUBLE) / tot.np - CAST(c.n AS DOUBLE) / tot.nc)
+               * ln((CAST(p.n AS DOUBLE) / tot.np) / (CAST(c.n AS DOUBLE) / tot.nc)),
+               6
+           ) AS psi_contrib
+    FROM prev p JOIN curr c USING (cat) CROSS JOIN tot
+    """,
+    survey="A9 extended (distribution drift between snapshots: per-category PSI contributions)",
+)
+def x22_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability drift between two snapshot versions: per
+    category, the PSI contribution (Δshare · ln(share ratio)) comparing
+    the pre-cutoff snapshot against current — the publish-gate input that
+    catches silent upstream distribution shifts (a9 catches row-count
+    loss; this catches mix change at constant counts).
+
+    Determinism: output is PER-CATEGORY rows (no cross-category float
+    sum, so no accumulation-order hazard); shares and contributions are
+    rounded at 6 dp on both engines.  Scale shape: two key-count
+    aggregates (map-side partials) + a broadcast 1-row totals join —
+    shuffle volume is |categories|, not |rows|."""
+    o = load_table(spark, sf_dir, "orders")
+    prev = (
+        o.where(F.col("o_orderdate") < F.lit(_CUT).cast("timestamp_ntz"))
+        .groupBy(F.col("o_orderpriority").alias("cat"))
+        .agg(F.count("*").alias("np_cat"))
+    )
+    curr = o.groupBy(F.col("o_orderpriority").alias("cat")).agg(
+        F.count("*").alias("nc_cat")
+    )
+    tot = prev.agg(F.sum("np_cat").alias("np")).crossJoin(
+        curr.agg(F.sum("nc_cat").alias("nc"))
+    )
+    j = prev.join(curr, "cat").crossJoin(F.broadcast(tot))
+    p_prev = F.col("np_cat").cast("double") / F.col("np")
+    p_curr = F.col("nc_cat").cast("double") / F.col("nc")
+    return j.select(
+        "cat",
+        F.round(p_prev, 6).alias("p_prev"),
+        F.round(p_curr, 6).alias("p_curr"),
+        F.round((p_prev - p_curr) * F.log(p_prev / p_curr), 6).alias(
+            "psi_contrib"
+        ),
+    )
