@@ -660,3 +660,39 @@ def x22_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "psi_contrib"
         ),
     )
+
+
+@register(
+    "x23_dataset_manifest",
+    oracle="""
+    SELECT 'region' AS table_name, CAST(count(*) AS BIGINT) AS n_rows FROM region
+    UNION ALL SELECT 'nation', CAST(count(*) AS BIGINT) FROM nation
+    UNION ALL SELECT 'customer', CAST(count(*) AS BIGINT) FROM customer
+    UNION ALL SELECT 'supplier', CAST(count(*) AS BIGINT) FROM supplier
+    UNION ALL SELECT 'part', CAST(count(*) AS BIGINT) FROM part
+    UNION ALL SELECT 'orders', CAST(count(*) AS BIGINT) FROM orders
+    UNION ALL SELECT 'lineitem', CAST(count(*) AS BIGINT) FROM lineitem
+    UNION ALL SELECT 'events', CAST(count(*) AS BIGINT) FROM events
+    UNION ALL SELECT 'documents', CAST(count(*) AS BIGINT) FROM documents
+    UNION ALL SELECT 'embeddings', CAST(count(*) AS BIGINT) FROM embeddings
+    """,
+    survey="S1-S3 extended (dataset manifest: registry-wide health check, one count per table)",
+)
+def x23_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog health-check over the ENTIRE table registry: one row per
+    registered table with its row count — the freshness/completeness
+    manifest a pipeline publishes alongside its outputs (and the only
+    query that touches every source).  Each count is a metadata-cheap
+    aggregate (parquet row-group stats make count(*) scan-free); the
+    union is 10 one-row frames."""
+    from ..sources import TABLES
+
+    out = None
+    for t in TABLES:
+        c = (
+            load_table(spark, sf_dir, t)
+            .agg(F.count("*").cast("bigint").alias("n_rows"))
+            .select(F.lit(t).alias("table_name"), "n_rows")
+        )
+        out = c if out is None else out.unionByName(c)
+    return out
