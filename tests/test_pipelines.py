@@ -266,3 +266,17 @@ class TestCli:
         from data_etl_scripts_showcase__spark.__main__ import main
 
         assert main(["query", "--name", "nope_not_a_query"]) == 2
+
+    def test_cli_compact(self, spark, tmp_path):
+        from data_etl_scripts_showcase__spark.__main__ import main
+        from data_etl_scripts_showcase__spark.sources import load_table
+
+        base = str(tmp_path / "cli_frag")
+        ev = load_table(spark, SF, "events").withColumn(
+            "ds", F.date_format("ts", "yyyy-MM-dd")
+        )
+        ev.repartition(6).write.mode("overwrite").partitionBy("ds").parquet(base)
+        n_before = spark.read.parquet(base).count()
+        rc = main(["compact", "--path", base, "--part-col", "ds"])
+        assert rc == 0
+        assert spark.read.parquet(base).count() == n_before
