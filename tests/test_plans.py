@@ -266,3 +266,49 @@ class TestNewOpPlans:
         """The count-min grid (<=1Ki rows) must broadcast at probe time."""
         plan = plan_of(spark, "a24_countmin_frequency")
         assert "BroadcastHashJoin" in plan
+
+
+class TestEngineWidePlanAudit:
+    # j6 is the deliberate tiny cross join (SURVEY J-std); everything else
+    # must compile to hash/broadcast/sort-merge equality joins.
+    ALLOWED_CARTESIAN = {"j6_cross_join"}
+    # Queries that EXECUTE streaming jobs / write files inside the builder
+    # are skipped here (explain would run the job); their plans are audited
+    # by their own dedicated tests.
+    SKIP = {
+        "st1_stream_tumbling_counts", "st4_stream_dedup_keys",
+        "st5_stateful_user_activity", "st6_stream_static_join",
+        "st7_stream_stream_interval_join", "st8_stream_session_windows",
+        "st9_incremental_rollup", "st10_incremental_user_snapshot",
+        "st11_transform_with_state", "st12_streaming_countmin",
+        "io1_csv_roundtrip", "io2_json_archive_roundtrip",
+        "io3_snapshot_sink_roundtrip", "io4_orc_roundtrip",
+        "io5_text_corpus_roundtrip", "io6_schema_evolution_read",
+        "x18_bucketed_colocated_join", "x19_targeted_delete",
+        "e1_enrichment_flagship",  # runs the QA gate (an action) at build
+        "a9_reconciliation_gate",
+    }
+
+    def test_no_accidental_cartesians_anywhere(self, spark):
+        """Engine-wide regression net: every registry query's physical plan
+        is free of non-broadcast CartesianProduct (except the deliberate
+        j6).  BroadcastNestedLoopJoin is allowed — Spark only picks it when
+        one side is a broadcast, and every such site in this engine is a
+        bounded-by-design side (a 1-row aggregate scalar, the 8-vector
+        query set, k centroids; each documented at its query).  A true
+        all-pairs data×data join surfaces as CartesianProduct and fails
+        here even while its oracle still passes at test scale — at 100 TB
+        that plan is the difference between minutes and never-finishes."""
+        registry = load_all()
+        offenders = []
+        for name, q in sorted(registry.items()):
+            if name in self.SKIP or name in self.ALLOWED_CARTESIAN:
+                continue
+            try:
+                plan = plan_of(spark, name)
+            except Exception as e:  # pragma: no cover - surface build errors
+                offenders.append(f"{name}: explain failed: {e}")
+                continue
+            if "CartesianProduct" in plan:
+                offenders.append(name)
+        assert not offenders, offenders
