@@ -270,3 +270,37 @@ def u3_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     open_c = orders.where(F.col("o_orderstatus") == "O").select("o_custkey")
     done_c = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
     return open_c.exceptAll(done_c)
+
+
+@register(
+    "u4_union_by_name_missing",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    b AS (
+        SELECT o_orderkey, o_orderpriority
+        FROM orders WHERE o_orderkey % 3 = 1
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority FROM a
+    UNION ALL
+    SELECT o_orderkey, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), o_orderpriority FROM b
+    """,
+    survey="U-std extended (schema-reconciling union: unionByName with missing-column null fill)",
+)
+def u4_union_by_name_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of two frames with DIFFERENT column sets via
+    ``unionByName(allowMissingColumns=True)`` — each side's missing
+    columns null-fill, positions don't matter.  The schema-evolution
+    counterpart at the plan level (io6 is the storage level): feeds from
+    heterogeneous pipeline generations combine without manual column
+    surgery."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    b = o.where(F.col("o_orderkey") % 3 == 1).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    return a.unionByName(b, allowMissingColumns=True)
