@@ -696,3 +696,45 @@ def x23_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = c if out is None else out.unionByName(c)
     return out
+
+
+@register(
+    "x25_backfill_planner",
+    oracle="""
+    WITH present AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS ds FROM events
+        WHERE day(CAST(ts AS DATE)) % 7 <> 0
+    ),
+    bounds AS (
+        SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events
+    ),
+    calendar AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS ds
+        FROM bounds
+    )
+    SELECT strftime(ds, '%Y-%m-%d') AS missing_ds
+    FROM calendar
+    WHERE ds NOT IN (SELECT ds FROM present)
+    """,
+    survey="S11 extended (backfill planner: calendar anti-join over partition values)",
+)
+def x25_backfill_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill planning: which dates inside the dataset's own [min, max]
+    span have no partition?  (Days divisible by 7 are masked out of the
+    'present' set here to simulate failed daily runs.)  Calendar =
+    ``sequence(min, max)`` exploded — generated, never scanned — and the
+    gap list is a left-anti join against DISTINCT partition values, so
+    the whole plan is metadata-scale: |days| rows on both sides no matter
+    how many rows the partitions hold.  Feeding the output back through
+    the snapshot pipeline is the reference's manual 'rerun yesterday'
+    loop made declarative."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("ds")
+    )
+    present = ev.where(F.dayofmonth("ds") % 7 != 0).distinct()
+    bounds = ev.agg(F.min("ds").alias("lo"), F.max("ds").alias("hi"))
+    calendar = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("ds")
+    )
+    missing = calendar.join(present, "ds", "left_anti")
+    return missing.select(F.date_format("ds", "yyyy-MM-dd").alias("missing_ds"))

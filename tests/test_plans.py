@@ -312,3 +312,42 @@ class TestEngineWidePlanAudit:
             if "CartesianProduct" in plan:
                 offenders.append(name)
         assert not offenders, offenders
+
+
+class TestDynamicPartitionPruning:
+    def test_dpp_prunes_fact_partitions_from_dim_filter(self, spark, tmp_path):
+        """Dynamic partition pruning: a selective filter on the DIMENSION
+        prunes the partitioned FACT's directories at runtime — the scan
+        carries a dynamicpruning subquery instead of reading all
+        partitions.  At 100 TB this is the difference between scanning a
+        full fact table and only the partitions the dim filter selects."""
+        import contextlib
+        import io
+
+        from data_etl_scripts_showcase__spark.sources import load_table
+        from pyspark.sql import functions as F
+
+        base = str(tmp_path / "orders_part")
+        o = load_table(spark, SF, "orders")
+        o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(base)
+
+        fact = spark.read.parquet(base)
+        # the dim filter is on a NON-join attribute, so the fact-side
+        # partition filter cannot be inferred statically — only DPP's
+        # runtime subquery can prune (a join-key filter would be folded
+        # into a static PartitionFilter by constraint propagation instead)
+        dim = (
+            load_table(spark, SF, "orders")
+            .select("o_orderpriority")
+            .distinct()
+            .withColumn("urgency_code", F.substring("o_orderpriority", 1, 1))
+            .where(F.col("urgency_code") == "1")
+        )
+        j = fact.join(dim, "o_orderpriority").groupBy("o_orderpriority").count()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "dynamicpruning" in plan.lower(), plan
+        got = j.collect()
+        assert len(got) == 1 and got[0]["o_orderpriority"] == "1-URGENT"
