@@ -730,3 +730,58 @@ def t15_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("flesch") >= 30, "medium")
         .otherwise("hard"),
     )
+
+
+@register(
+    "t16_intradoc_sentence_dedup",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               list_filter(
+                   list_transform(
+                       regexp_split_to_array(lower(text), '[.!?]+'),
+                       x -> trim(x)
+                   ),
+                   x -> x <> ''
+               ) AS sents
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(sents) AS INTEGER) AS n_sentences,
+           CAST(len(list_distinct(sents)) AS INTEGER) AS n_unique,
+           round(CASE WHEN len(sents) = 0 THEN 0.0
+                      ELSE CAST(len(list_distinct(sents)) AS DOUBLE) / len(sents)
+                 END, 6) AS unique_ratio
+    FROM s
+    """,
+    survey="NS-text extended (intra-document sentence dedup: repeated-line/boilerplate removal metric)",
+)
+def t16_intradoc_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition cleanup metric: split each doc into
+    normalized sentences, count total vs distinct — the dedup that removes
+    repeated boilerplate lines WITHIN a page (t10 scores repetition,
+    d1-d14 dedup ACROSS docs; this is the within-doc layer a web-scrape
+    cleaning pipeline runs first).  Pure codegen array ops: split /
+    transform / filter / array_distinct, zero Python, no shuffle at all —
+    embarrassingly parallel over the corpus at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.transform(
+            F.split(F.lower("text"), r"[.!?]+"), lambda x: F.trim(x)
+        ),
+        lambda x: x != "",
+    )
+    t = d.select("doc_id", sents.alias("sents"))
+    n = F.size("sents")
+    nu = F.size(F.array_distinct("sents"))
+    return t.select(
+        "doc_id",
+        n.alias("n_sentences"),
+        nu.alias("n_unique"),
+        F.round(
+            F.when(n == 0, F.lit(0.0)).otherwise(
+                nu.cast("double") / n.cast("double")
+            ),
+            6,
+        ).alias("unique_ratio"),
+    )

@@ -841,3 +841,44 @@ def w19_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             "close",
         )
     )
+
+
+@register(
+    "w20_rate_cap",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_id, ts,
+               row_number() OVER (
+                   PARTITION BY user_id, date_trunc('hour', ts)
+                   ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    )
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           CAST(rn AS INTEGER) AS rn
+    FROM ranked WHERE rn <= 3
+    """,
+    survey="§2.5 extended (per-key rate cap: keep first N events per user per hour)",
+)
+def w20_rate_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution capping: keep at most 3 events per user per hour
+    (first-arrived wins, deterministic (ts, event_id) order) — the
+    anti-spam / anti-dominance gate training pipelines apply so no single
+    key floods a time bucket.  One window over (user, hour); at 100 TB
+    the partition key is (user, hour) so no single user's history ever
+    concentrates on one task."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", F.date_trunc("hour", "ts")).orderBy(
+        "ts", "event_id"
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
