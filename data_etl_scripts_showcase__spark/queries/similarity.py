@@ -631,3 +631,126 @@ def v10_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= 5)
     )
+
+
+# v11: product quantization + asymmetric distance computation (ADC).
+_PQ_BLOCKS, _PQ_DIM, _PQ_CODES = 8, 8, 4  # 64 dims -> 8 blocks of 8, 4 codes
+
+
+def _pq_sq_u(a: str, b: str) -> str:
+    """DuckDB: squared distance between two DOUBLE[] in integer micro-units."""
+    return (
+        f"CAST(round(list_sum(list_transform(range(1, {_PQ_DIM} + 1), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) * 1000000) AS BIGINT)"
+    )
+
+
+@register(
+    "v11_pq_adc_topk",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ),
+    blocks AS (
+        SELECT vec_id, b.b AS b, vec[b.b * {_PQ_DIM} + 1 : (b.b + 1) * {_PQ_DIM}] AS sub
+        FROM corpus CROSS JOIN (SELECT unnest(range(0, {_PQ_BLOCKS})) AS b) b
+    ),
+    codebook AS (
+        SELECT b, CAST(vec_id AS INTEGER) AS code, sub AS csub
+        FROM blocks WHERE vec_id < {_PQ_CODES}
+    ),
+    encoded AS (
+        SELECT vec_id, b, code FROM (
+            SELECT bl.vec_id, bl.b, cb.code,
+                   row_number() OVER (
+                       PARTITION BY bl.vec_id, bl.b
+                       ORDER BY {_pq_sq_u('bl.sub', 'cb.csub')}, cb.code
+                   ) AS rn
+            FROM blocks bl JOIN codebook cb USING (b)
+        ) WHERE rn = 1
+    ),
+    dtable AS (
+        SELECT cb.b, cb.code, {_pq_sq_u('q.sub', 'cb.csub')} AS dist_u
+        FROM codebook cb
+        JOIN (SELECT b, sub FROM blocks WHERE vec_id = 0) q USING (b)
+    ),
+    scored AS (
+        SELECT e.vec_id AS neighbor_id,
+               CAST(sum(d.dist_u) AS BIGINT) AS adc_dist_u
+        FROM encoded e JOIN dtable d USING (b, code)
+        WHERE e.vec_id <> 0
+        GROUP BY e.vec_id
+    )
+    SELECT neighbor_id, adc_dist_u,
+           CAST(row_number() OVER (ORDER BY adc_dist_u ASC, neighbor_id ASC)
+                AS INTEGER) AS rank
+    FROM scored QUALIFY rank <= 5
+    """,
+    survey="NS-sim extended (product quantization + ADC: block codes, distance-table scoring)",
+)
+def v11_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: 64-dim vectors split into 8 blocks of 8, each
+    block encoded as the nearest of 4 codebook entries (seeded from the
+    lowest-id vectors; a production system Lloyd-refines them — v8 is that
+    operator), then query scoring is ADC: per-block distance TABLE lookups
+    summed, never touching the original floats.  At 100 TB this is the
+    standard memory-bandwidth ladder beyond int8 (v10): 64 floats → 8
+    bytes per vector (32×), with the scan reading codes only.
+
+    Exactness discipline: every block distance is computed in integer
+    MICRO-UNITS before summing (integer addition is order-independent),
+    so the driver's hash gate sees bit-identical results from both
+    engines — the v9/pr1 rule applied to quantized scoring."""
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+    blocks = corpus.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("b"),
+                    F.slice("vec", b * _PQ_DIM + 1, _PQ_DIM).alias("sub"),
+                )
+                for b in range(_PQ_BLOCKS)
+            ])
+        ).alias("bb"),
+    ).select("vec_id", F.col("bb.b").alias("b"), F.col("bb.sub").alias("sub"))
+
+    def sq_u(a, c):
+        d = F.zip_with(a, c, lambda x, y: (x - y) * (x - y))
+        s = F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
+        return F.round(s * 1e6).cast("bigint")
+
+    codebook = blocks.where(F.col("vec_id") < _PQ_CODES).select(
+        "b", F.col("vec_id").cast("int").alias("code"), F.col("sub").alias("csub")
+    )
+    from pyspark.sql import Window as W
+
+    enc_w = W.partitionBy("vec_id", "b").orderBy(
+        sq_u(F.col("sub"), F.col("csub")), F.col("code")
+    )
+    encoded = (
+        blocks.join(F.broadcast(codebook), "b")
+        .withColumn("rn", F.row_number().over(enc_w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "b", "code")
+    )
+    qblocks = blocks.where(F.col("vec_id") == 0).select(
+        "b", F.col("sub").alias("qsub")
+    )
+    dtable = codebook.join(F.broadcast(qblocks), "b").select(
+        "b", "code", sq_u(F.col("qsub"), F.col("csub")).alias("dist_u")
+    )
+    scored = (
+        encoded.where(F.col("vec_id") != 0)
+        .join(F.broadcast(dtable), ["b", "code"])
+        .groupBy(F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("dist_u").cast("bigint").alias("adc_dist_u"))
+    )
+    rank_w = W.orderBy(F.col("adc_dist_u").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w).cast("int"))
+        .where(F.col("rank") <= 5)
+    )
