@@ -68,6 +68,7 @@ HEADLINE = [
     "pr1_pagerank_neardup",  # iterative graph algorithm
     "a24_countmin_frequency",  # mergeable sketch family
     "v10_quantized_topk",  # int8 quantized ANN
+    "v11_pq_adc_topk",  # product-quantized ANN (ADC)
 ]
 
 

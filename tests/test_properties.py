@@ -494,3 +494,14 @@ def test_capped_pairs_subset_of_uncapped(spark, ids, cap):
         for r in DD2.candidate_pairs(buckets, "doc_id", max_bucket_size=cap).collect()
     }
     assert capped <= full
+
+
+def test_pq_adc_invariants(spark):
+    """PQ/ADC invariants on the real corpus: every ADC distance is ≥ 0 and
+    ranks are the ascending-distance order (deterministic tie-break)."""
+    from data_etl_scripts_showcase__spark.queries import load_all
+
+    out = load_all()["v11_pq_adc_topk"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) == 5
+    assert all(r.adc_dist_u >= 0 for r in out)
+    assert [r.rank for r in sorted(out, key=lambda r: (r.adc_dist_u, r.neighbor_id))] == [1, 2, 3, 4, 5]
