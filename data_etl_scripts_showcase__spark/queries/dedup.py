@@ -831,3 +831,97 @@ def pr1_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return r.select(F.col("id").alias("doc_id"), F.col("r").cast("bigint").alias("rank_pico"))
+
+
+@register(
+    "d15_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE
+    {_BANDS_CTE},
+    cand AS ({_CAND_SQL}),
+    verified AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN g ga ON ga.doc_id = c.id_a
+        JOIN g gb ON gb.doc_id = c.id_b
+        WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                  / len(list_distinct(ga.grams || gb.grams)) >= 0.5
+    ),
+    sym AS (
+        SELECT id_a AS a, id_b AS b FROM verified
+        UNION
+        SELECT id_b AS a, id_a AS b FROM verified
+    ),
+    reach(id, r) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+    grouped AS (
+        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS grp
+        FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    split AS (
+        SELECT doc_id, grp,
+               CASE WHEN ('0x' || substr(md5(CAST(grp AS VARCHAR)), 1, 8))::BIGINT % 10 < 8
+                    THEN 'train' ELSE 'val' END AS split
+        FROM grouped
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT grp) AS BIGINT) AS n_groups
+    FROM split GROUP BY split
+    """,
+    survey="NS-dedup extended (leakage-safe train/val split: near-dup groups never straddle)",
+)
+def d15_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val splitting that cannot leak near-duplicates across the
+    boundary: split by the md5 of each document's NEAR-DUP GROUP (its
+    connected component over verified LSH pairs; singletons group as
+    themselves), so both members of every duplicate pair land on the same
+    side by construction — the eval-contamination failure mode of naive
+    per-doc splits (x13 splits per-row; this is the content-aware form).
+    Leakage-zero is asserted pair-by-pair in tests.
+
+    Scale shape: components state is 1 row/doc (operators/graph.py
+    min-label propagation); the split itself is one md5 of the group key
+    — no extra shuffle beyond the component computation that dedup
+    already runs."""
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select("doc_id", DD.tokens("text").alias("_toks")).select(
+        "doc_id", DD.ngrams_from_tokens(F.col("_toks")).alias("grams")
+    )
+    sig = DD.minhash_signature(
+        docs, "doc_id", "text", parallelism=spark.sparkContext.defaultParallelism
+    )
+    cand = DD.candidate_pairs(DD.lsh_buckets(sig, "doc_id"), "doc_id")
+    ga = grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b"))
+    verified = (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .where(DD.jaccard(F.col("grams_a"), F.col("grams_b")) >= 0.5)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(verified, "id_a", "id_b")
+    grouped = docs.join(comp, docs.doc_id == comp.id, "left").select(
+        docs.doc_id,
+        F.coalesce(F.col("component"), docs.doc_id).alias("grp"),
+    )
+    split = grouped.withColumn(
+        "split",
+        F.when(
+            F.conv(F.substring(F.md5(F.col("grp").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % 10
+            < 8,
+            "train",
+        ).otherwise("val"),
+    )
+    return split.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("grp").cast("bigint").alias("n_groups"),
+    )

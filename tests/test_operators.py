@@ -485,3 +485,47 @@ class TestAsofForward:
         ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
         row = asof_join_forward(left, right, on="ts", by=["user_id"]).collect()[0]
         assert row.value == 1.0  # nearest following, not any following
+
+
+class TestLeakageSafeSplit:
+    def test_no_verified_pair_straddles_the_split(self, spark):
+        """The d15 invariant, pair-by-pair: every verified near-dup pair has
+        both members on the same side of the train/val boundary."""
+        from data_etl_scripts_showcase__spark.operators.graph import (
+            connected_components,
+        )
+        from data_etl_scripts_showcase__spark.sources import load_table
+
+        SF = "/root/testdata/sf0.001"
+        docs = load_table(spark, SF, "documents")
+        grams = docs.select("doc_id", TX.tokens("text").alias("_t")).select(
+            "doc_id", DD.ngrams_from_tokens(F.col("_t")).alias("grams")
+        )
+        sig = DD.minhash_signature(docs, "doc_id", "text")
+        cand = DD.candidate_pairs(DD.lsh_buckets(sig, "doc_id"), "doc_id")
+        ga = grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
+        gb = grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
+        verified = (
+            cand.join(ga, "id_a").join(gb, "id_b")
+            .where(DD.jaccard(F.col("ga"), F.col("gb")) >= 0.5)
+            .select("id_a", "id_b")
+        )
+        assert verified.count() > 0  # invariant is non-vacuous on this data
+
+        comp = connected_components(verified, "id_a", "id_b")
+        grouped = docs.join(comp, docs.doc_id == comp.id, "left").select(
+            docs.doc_id, F.coalesce("component", docs.doc_id).alias("grp")
+        )
+        side = F.when(
+            F.conv(F.substring(F.md5(F.col("grp").cast("string")), 1, 8), 16, 10)
+            .cast("bigint") % 10 < 8,
+            "train",
+        ).otherwise("val")
+        split = grouped.select("doc_id", side.alias("split"))
+        sa = split.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+        sb = split.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+        straddlers = (
+            verified.join(sa, "id_a").join(sb, "id_b")
+            .where(F.col("split_a") != F.col("split_b"))
+        )
+        assert straddlers.count() == 0
