@@ -435,3 +435,70 @@ def j9_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("value").alias("next_purchase_value"),
     )
+
+
+@register(
+    "j10_scd2_point_in_time",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, event_type AS status, ts AS valid_from
+        FROM ordered
+        WHERE prev_type IS NULL OR event_type <> prev_type
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id, ts ORDER BY event_id DESC
+        ) = 1
+    ),
+    probes AS (SELECT event_id, user_id, ts FROM events)
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+           c.status AS pit_status,
+           strftime(c.valid_from, '%Y-%m-%d %H:%M:%S') AS status_since
+    FROM probes p
+    ASOF LEFT JOIN changes c
+      ON p.user_id = c.user_id AND p.ts >= c.valid_from
+    """,
+    survey="custom op (point-in-time SCD2 enrichment: as-of against validity intervals)",
+)
+def j10_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store PIT correctness: enrich every event with the SCD2
+    status version VALID AT its own timestamp — the join that prevents
+    time-travel leakage when building training features from a mutating
+    dimension (x9 builds the versions; this consumes them as-of).  A
+    version's validity starts inclusively at its change event, so an
+    event always sees the state including its own change, never a future
+    one.  Same union+window as-of machinery as j7 — one shuffle per key,
+    no interval explosion."""
+    from pyspark.sql import Window as W
+
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    w_in = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w_in))
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("event_type", "event_id").alias("status"))
+        # `since` duplicates valid_from as a VALUE column so the as-of
+        # fill carries the matched version's start time through
+        .select("user_id", "ts", "status", F.col("ts").alias("since"))
+    )
+    probes = ev.select("event_id", "user_id", "ts")
+    out = asof_join(probes, changes, on="ts", by=["user_id"], suffix="_v")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+        F.col("status").alias("pit_status"),
+        F.date_format("since", "yyyy-MM-dd HH:mm:ss").alias("status_since"),
+    )
