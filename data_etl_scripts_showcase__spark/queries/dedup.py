@@ -925,3 +925,78 @@ def d15_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.countDistinct("grp").cast("bigint").alias("n_groups"),
     )
+
+
+@register(
+    "d16_minhash_estimator_audit",
+    oracle=f"""
+    WITH {_SIG_CTE},
+    cand AS (
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM (SELECT doc_id FROM sig) x
+        JOIN (SELECT doc_id FROM sig) y ON x.doc_id < y.doc_id
+        WHERE x.doc_id % 20 = 0 AND y.doc_id % 20 = 0
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(({" + ".join(f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(DD.N_SEEDS))})
+                AS INTEGER) AS n_matching,
+           round(CAST(({" + ".join(f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(DD.N_SEEDS))})
+                AS DOUBLE) / {DD.N_SEEDS}, 6) AS jaccard_est,
+           round(CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                     / greatest(len(list_distinct(ga.grams || gb.grams)), 1), 6)
+               AS jaccard_exact
+    FROM cand c
+    JOIN sig a ON a.doc_id = c.id_a
+    JOIN sig b ON b.doc_id = c.id_b
+    JOIN g ga ON ga.doc_id = c.id_a
+    JOIN g gb ON gb.doc_id = c.id_b
+    """,
+    survey="NS-dedup extended (estimator audit: MinHash agreement vs exact Jaccard per pair)",
+)
+def d16_minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality audit for the dedup stack: on a deterministic
+    sample of doc pairs, compare the MinHash Jaccard ESTIMATE (fraction
+    of agreeing signature components) against the EXACT shingle Jaccard —
+    the number that tells you whether 16 permutations / 4 bands is enough
+    for your corpus before you trust d3/d4 at 100 TB.  The sample is
+    id-keyed (every 20th doc), so the audit cost is (n/20 choose 2)
+    pairs of 16-int comparisons, not a corpus-wide join."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = DD.minhash_signature(
+        docs, "doc_id", "text", parallelism=spark.sparkContext.defaultParallelism
+    )
+    grams = docs.select("doc_id", DD.tokens("text").alias("_t")).select(
+        "doc_id", DD.ngrams_from_tokens(F.col("_t")).alias("grams")
+    )
+    sample = sig.where(F.col("doc_id") % 20 == 0)
+    a = sample.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(DD.N_SEEDS)],
+    )
+    b = sample.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(DD.N_SEEDS)],
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    n_match = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(DD.N_SEEDS)
+    ).cast("int")
+    ga = grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b"))
+    out = (
+        pairs.withColumn("n_matching", n_match)
+        .join(ga, "id_a")
+        .join(gb, "id_b")
+    )
+    exact = F.size(F.array_intersect("grams_a", "grams_b")).cast("double") / \
+        F.greatest(F.size(F.array_union("grams_a", "grams_b")), F.lit(1)).cast("double")
+    return out.select(
+        "id_a",
+        "id_b",
+        "n_matching",
+        F.round(F.col("n_matching").cast("double") / DD.N_SEEDS, 6).alias(
+            "jaccard_est"
+        ),
+        F.round(exact, 6).alias("jaccard_exact"),
+    )

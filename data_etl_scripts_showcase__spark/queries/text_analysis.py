@@ -785,3 +785,42 @@ def t16_intradoc_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("unique_ratio"),
     )
+
+
+@register(
+    "t17_script_mix",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_latin,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+           CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_other,
+           round(CASE WHEN length(text) = 0 THEN 0.0
+                      ELSE CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                           / length(text) END, 6) AS latin_ratio
+    FROM documents
+    """,
+    survey="NS-text extended (character-class mix: script/noise profiling per document)",
+)
+def t17_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition per document (latin letters, digits,
+    other-noise, latin ratio) — the script-mix profile corpus filters use
+    to drop mojibake, code-dumps and mixed-script spam before language
+    ID even runs (t3 assumes mostly-clean text; this is its pre-filter).
+    Pure regexp_replace + length codegen: zero Python, zero shuffle,
+    embarrassingly parallel at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    n_latin = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    n_digit = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    n_other = F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
+    return d.select(
+        "doc_id",
+        n_latin.cast("bigint").alias("n_latin"),
+        n_digit.cast("bigint").alias("n_digit"),
+        n_other.cast("bigint").alias("n_other"),
+        F.round(
+            F.when(F.length("text") == 0, F.lit(0.0)).otherwise(
+                n_latin.cast("double") / F.length("text")
+            ),
+            6,
+        ).alias("latin_ratio"),
+    )
