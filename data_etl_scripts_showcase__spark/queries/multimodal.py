@@ -318,3 +318,55 @@ def mm7_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asset_id", "media_type", "byte_len",
         "caption_id", "lang", "n_caption_tokens",
     )
+
+
+@register(
+    "mm8_integrity_audit",
+    oracle=f"""
+    WITH assets AS (
+        SELECT doc_id AS asset_id,
+               {_MEDIA_CASE} AS media_type,
+               octet_length(CAST(text AS BLOB)) AS actual_len,
+               CASE WHEN doc_id % 50 = 0
+                    THEN greatest(octet_length(CAST(text AS BLOB)) - 3, 0)
+                    ELSE octet_length(CAST(text AS BLOB)) END AS declared_len
+        FROM documents
+    )
+    SELECT media_type,
+           CAST(count(*) AS BIGINT) AS n_assets,
+           CAST(count(CASE WHEN actual_len <> declared_len THEN 1 END) AS BIGINT)
+               AS n_corrupt,
+           CAST(sum(actual_len) AS BIGINT) AS total_bytes
+    FROM assets GROUP BY media_type
+    """,
+    survey="NS-mm extended (blob integrity audit: declared-vs-actual length reconciliation)",
+)
+def mm8_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob integrity audit: reconcile each asset's DECLARED length against
+    its actual payload bytes and count mismatches per modality — the
+    transfer-corruption / truncated-upload gate an object-store ingest
+    runs before decode jobs waste GPU time.  (Every 50th asset's declared
+    length is deterministically perturbed here so the audit provably
+    catches exactly that set.)  Metadata-only expressions over the blob —
+    the bytes are length-checked, never parsed."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = MM.to_assets(docs, "doc_id", "text")
+    actual = F.octet_length("content")
+    declared = F.when(
+        F.col("asset_id") % 50 == 0, F.greatest(actual - 3, F.lit(0))
+    ).otherwise(actual)
+    return (
+        assets.select(
+            "media_type",
+            actual.alias("actual_len"),
+            declared.alias("declared_len"),
+        )
+        .groupBy("media_type")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.count(
+                F.when(F.col("actual_len") != F.col("declared_len"), 1)
+            ).cast("bigint").alias("n_corrupt"),
+            F.sum("actual_len").cast("bigint").alias("total_bytes"),
+        )
+    )

@@ -882,3 +882,60 @@ def w20_rate_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("rn"),
         )
     )
+
+
+@register(
+    "w21_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT event_type,
+               quantile_disc(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.event_id, e.value, m.med,
+               abs(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_disc(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(max(d.med), 2) AS med,
+           round(max(m.mad), 6) AS mad,
+           CAST(count(CASE WHEN d.adev > 3 * m.mad THEN 1 END) AS BIGINT)
+               AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+    survey="A-std extended (robust outlier detection: median absolute deviation gate)",
+)
+def w21_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier accounting per event type: median, MAD (median of
+    absolute deviations), and how many values sit beyond 3 MADs — the
+    outlier gate that, unlike x10's percentile winsorization, is immune
+    to the outliers' own magnitude.  Both medians use DISCRETE quantiles
+    (an actual data value, exact on both engines — no interpolation
+    drift).  Two grouped exact-percentile aggregates + one broadcast of
+    the per-type scalars; nothing scales with row count except the scans."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").alias("mad")
+    )
+    j = dev.join(F.broadcast(mad), "event_type")
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.max("med"), 2).alias("med"),
+        F.round(F.max("mad"), 6).alias("mad"),
+        F.count(F.when(F.col("adev") > 3 * F.col("mad"), 1))
+        .cast("bigint")
+        .alias("n_outliers"),
+    )
