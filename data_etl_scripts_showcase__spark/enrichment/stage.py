@@ -154,3 +154,80 @@ def enrich(
     return with_json.withColumn("resp", F.from_json("response_json", schema)).drop(
         "response_json"
     )
+
+
+class TransientFetchError(RuntimeError):
+    """A retryable fetch failure (HTTP 429/503-shaped)."""
+
+
+def flaky_fetch_page(
+    key: str, page_token: int | None = None, _attempts: dict | None = None
+) -> dict:
+    """Deterministically flaky mock: keys with md5('fail:<key>') % 5 == 0
+    raise on their FIRST attempt and succeed after — the 429/503 shape.
+    ``_attempts`` (per-task dict) tracks per-key attempt counts."""
+    if _attempts is not None and _hx(f"fail:{key}", 0, 4) % 5 == 0:
+        n = _attempts.get(key, 0)
+        _attempts[key] = n + 1
+        if n == 0:
+            raise TransientFetchError(f"transient failure for {key}")
+    return mock_fetch_page(key, page_token)
+
+
+def fetch_document_with_retry(
+    key: str,
+    fetch_page: Callable[..., dict],
+    max_attempts: int = 3,
+    **fetch_kwargs,
+) -> tuple[dict, int]:
+    """Fetch with bounded retry: returns (document, attempts_used).
+
+    The reference swallows fetch errors with try/except-print and emits
+    half-empty rows (main.py:475-585); here a transient failure retries
+    up to ``max_attempts`` and a persistent one RAISES — no silent
+    degradation.  Backoff sleeping is the caller's policy knob; the mock
+    path never sleeps so tests stay fast."""
+    last: Exception | None = None
+    for attempt in range(1, max_attempts + 1):
+        try:
+            return (
+                fetch_document(
+                    key, lambda k, t: fetch_page(k, t, **fetch_kwargs)
+                ),
+                attempt,
+            )
+        except TransientFetchError as e:  # noqa: PERF203
+            last = e
+    raise last  # persistent failure propagates
+
+
+def enrich_with_retry(
+    df: DataFrame,
+    key_col: str,
+    fetch_page: Callable[..., dict] = flaky_fetch_page,
+    max_attempts: int = 3,
+) -> DataFrame:
+    """The enrichment operator with retry accounting: adds ``resp`` AND
+    ``n_attempts`` so downstream can audit flakiness per key."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        attempts: dict = {}
+        for pdf in batches:
+            docs, n_att = [], []
+            for k in pdf[key_col]:
+                doc, n = fetch_document_with_retry(
+                    str(k), fetch_page, max_attempts, _attempts=attempts
+                )
+                docs.append(json.dumps(doc))
+                n_att.append(n)
+            yield pdf.assign(response_json=docs, n_attempts=n_att)
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    with_json = df.mapInPandas(
+        run, f"{out_schema}, response_json string, n_attempts int"
+    )
+    return with_json.withColumn(
+        "resp", F.from_json("response_json", RESPONSE_SCHEMA)
+    ).drop("response_json")

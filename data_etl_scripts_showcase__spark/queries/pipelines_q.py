@@ -10,9 +10,11 @@ network included, end to end.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..enrichment.stage import METRICS
 from ..plans import enrichment_pipeline
+from ..sources import load_table
 from . import register
 
 _K = "CAST(c_custkey AS VARCHAR)"
@@ -83,3 +85,37 @@ def e1_enrichment_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     raising reconciliation gate.
     """
     return enrichment_pipeline(spark, sf_dir)
+
+
+@register(
+    "e2_enrichment_retry_audit",
+    oracle=f"""
+    SELECT CASE WHEN ('0x' || substr(md5(concat('fail:', {_K})), 1, 4))::BIGINT % 5 = 0
+                THEN 2 ELSE 1 END AS n_attempts,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(count(concat('Biz ', {_K})) AS BIGINT) AS n_enriched
+    FROM customer
+    GROUP BY 1
+    """,
+    survey="S7-S9 extended (retry/backoff semantics: transient failures retried, accounted, never swallowed)",
+)
+def e2_enrichment_retry_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrichment under transient failure: a deterministically flaky
+    fetcher (md5-selected keys fail their first attempt) runs through the
+    bounded-retry wrapper, and the audit groups keys by attempts used —
+    every flaky key recovers on attempt 2, every response arrives intact
+    (the reference's try/except-print instead emits half-empty rows,
+    main.py:475-585).  Retries happen inside the mapInPandas partition —
+    no driver round-trip, no re-shuffle; a persistently failing key
+    raises rather than silently degrading the output."""
+    from ..enrichment.stage import enrich_with_retry
+
+    customer = load_table(spark, sf_dir, "customer")
+    keys = customer.select(F.col("c_custkey").alias("merchant_id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    enriched = enrich_with_retry(keys, "merchant_id")
+    return enriched.groupBy("n_attempts").agg(
+        F.count("*").alias("n_keys"),
+        F.count("resp.title").cast("bigint").alias("n_enriched"),
+    )
