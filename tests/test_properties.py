@@ -505,3 +505,41 @@ def test_pq_adc_invariants(spark):
     assert len(out) == 5
     assert all(r.adc_dist_u >= 0 for r in out)
     assert [r.rank for r in sorted(out, key=lambda r: (r.adc_dist_u, r.neighbor_id))] == [1, 2, 3, 4, 5]
+
+
+def test_results_independent_of_shuffle_partitioning(spark):
+    """Registry-wide determinism contract, sampled: representative queries
+    from every major family return IDENTICAL rows under different
+    spark.sql.shuffle.partitions settings.  Catches nondeterministic
+    tie-breaks, partial-aggregation float drift, and partitioning-
+    sensitive sampling — the bugs that only appear when a cluster resizes."""
+    from data_etl_scripts_showcase__spark.queries import load_all
+
+    SAMPLE = [
+        "q1_pricing_summary",       # aggregation
+        "w1_topk_per_group",        # window tie-breaks
+        "d1_exact_dedup",           # hash dedup
+        "d3_lsh_candidate_pairs",   # LSH banding
+        "x7_stratified_sample",     # deterministic sampling
+        "x13_train_val_test_split", # split assignment
+        "a24_countmin_frequency",   # sketch build/probe
+        "v10_quantized_topk",       # quantized ranking
+        "x21_sequence_packing",     # running-sum packing
+        "j10_scd2_point_in_time",   # as-of fill
+    ]
+    registry = load_all()
+    sf = "/root/testdata/sf0.001"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for n_part in ("7", "29"):
+            spark.conf.set("spark.sql.shuffle.partitions", n_part)
+            for name in SAMPLE:
+                rows = sorted(
+                    tuple(r) for r in registry[name].fn(spark, sf).collect()
+                )
+                results.setdefault(name, []).append(rows)
+        mismatched = [n for n, (a, b) in results.items() if a != b]
+        assert not mismatched, mismatched
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
