@@ -23,6 +23,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Enumerate triangles of an undirected graph → (a, b, c) with a<b<c.
+
+    Canonical-ordering join (the MapReduce triangle-count standard): orient
+    every edge low→high, join wedges (a<b, b<c) on the middle node, then
+    close each wedge with an (a, c) edge lookup.  Each triangle appears
+    exactly once.  Two shuffles on node ids; wedge count — the quadratic
+    risk on skewed degree distributions — is bounded by Σ deg(v)² of the
+    HIGH-degree endpoint orientation, the same hot-key exposure the LSH
+    bucket cap (d14) guards, and near-dup graphs are degree-bounded by
+    construction.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    ac = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    return ab.join(bc, "b").join(ac, ["a", "c"]).select("a", "b", "c")
+
+
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 15
 ) -> DataFrame:

@@ -78,6 +78,88 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     )
 
 
+HLL_M = 64  # registers (2^6); std-error ~ 1.04/sqrt(64) = 13%
+HLL_SEED = 91
+_HLL_WBITS = 26  # 32-bit hash minus 6 index bits
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """HyperLogLog register table over ``df[key_col]`` → (group…, idx, reg).
+
+    The 32-bit md5 hash splits into a 6-bit register index and a 26-bit
+    remainder ``w``; ``reg`` is the max over keys of rho(w) = leading-zero
+    count of ``w`` + 1 (so ``reg`` ∈ [1, 27]).  Registers are MERGEABLE by
+    cell-wise max — shards sketch independently and combine, the same
+    property as the count-min grid.  Output is ≤ |groups|×64 rows at ANY
+    key cardinality; md5-derived hashing keeps the oracle able to
+    reproduce the registers bit-for-bit.
+    """
+    groups = group_cols or []
+    h = h32(F.col(key_col).cast("string"), HLL_SEED)
+    idx = (h % F.lit(HLL_M)).alias("idx")
+    w = F.floor(h / F.lit(HLL_M)).cast("bigint")
+    # rho = leading zeros in the 26-bit w, plus 1.  bin() strips leading
+    # zeros, so bitlength(w) = length(bin(w)) and rho = 27 - bitlength —
+    # except w = 0 (bin '0' has length 1), pinned to the max rank 27.
+    rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select(*groups, idx, rho.cast("int").alias("rho"))
+        .groupBy(*groups, "idx")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_merge(*sketches: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Merge register tables built with the same (m, seed): cell-wise max."""
+    groups = group_cols or []
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*groups, "idx").agg(F.max("reg").alias("reg"))
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Cardinality estimate per group from a register table.
+
+    Exact-integer discipline (the v9/x4 micro-unit rule): the harmonic-mean
+    denominator Z = Σ 2^(-reg) is scaled by 2^27 so every term — including
+    the ``V`` empty registers contributing 2^0 each — is an exact BIGINT;
+    the only float ops are one division (raw path) or one ln (linear-
+    counting small-range correction, E_raw ≤ 2.5m with empties), rounded
+    to 4 dp.  Any SQL engine reproduces the result exactly.
+    """
+    groups = group_cols or []
+    scale = 1 << (_HLL_WBITS + 1)  # 2^27
+    alpha = 0.709  # alpha_64 (HLL bias constant for m = 64)
+    agg = registers.groupBy(*groups).agg(
+        F.count("*").alias("_used"),
+        F.sum(F.expr(f"shiftleft(1L, {_HLL_WBITS + 1} - reg)"))
+        .cast("bigint")
+        .alias("_z_used"),
+    )
+    v_empty = (F.lit(HLL_M) - F.col("_used")).cast("bigint")
+    z_scaled = (F.col("_z_used") + v_empty * F.lit(scale)).cast("bigint")
+    staged = agg.select(
+        *groups, v_empty.alias("v_empty"), z_scaled.alias("z_scaled")
+    )
+    e_raw = F.lit(alpha * HLL_M * HLL_M * scale) / F.col("z_scaled")
+    linear = F.lit(float(HLL_M)) * F.log(
+        F.lit(float(HLL_M)) / F.col("v_empty").cast("double")
+    )
+    est = F.when(
+        (e_raw <= F.lit(2.5 * HLL_M)) & (F.col("v_empty") > 0), linear
+    ).otherwise(e_raw)
+    return staged.select(
+        *groups, "v_empty", "z_scaled", F.round(est, 4).alias("est_distinct")
+    )
+
+
 def cms_probe(
     sketch: DataFrame,
     keys: DataFrame,

@@ -63,6 +63,7 @@ def load_all() -> dict[str, Query]:
         multimodal,
         pipelines_q,
         relational,
+        scale_ops,
         similarity,
         statistics,
         streaming_like,

@@ -1000,3 +1000,94 @@ def d16_minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(exact, 6).alias("jaccard_exact"),
     )
+
+
+_VERIFIED_CTE = f"""
+    cand AS ({_CAND_SQL}),
+    verified AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN g ga ON ga.doc_id = c.id_a
+        JOIN g gb ON gb.doc_id = c.id_b
+        WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                  / len(list_distinct(ga.grams || gb.grams)) >= 0.5
+    )
+"""
+
+
+@register(
+    "pr2_triangle_count",
+    oracle=f"""
+    WITH {_BANDS_CTE},
+    {_VERIFIED_CTE},
+    eg AS (
+        SELECT DISTINCT least(id_a, id_b) AS lo, greatest(id_a, id_b) AS hi
+        FROM verified WHERE id_a <> id_b
+    ),
+    tri AS (
+        SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+        FROM eg ab
+        JOIN eg bc ON ab.hi = bc.lo
+        JOIN eg ac ON ac.lo = ab.lo AND ac.hi = bc.hi
+    ),
+    nodes AS (SELECT lo AS v FROM eg UNION SELECT hi FROM eg),
+    tn AS (SELECT a AS v FROM tri UNION SELECT b FROM tri UNION SELECT c FROM tri)
+    SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM eg) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*) FROM tri) AS BIGINT) AS n_triangles,
+           CAST((SELECT count(*) FROM tn) AS BIGINT) AS n_tri_nodes
+    """,
+    survey="NS-dedup extended (triangle counting over the verified near-dup graph)",
+)
+def pr2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the verified near-dup graph: how much of the
+    duplicate structure is TRANSITIVELY closed (A~B~C~A) versus chained —
+    the local-clustering signal that separates template families (dense,
+    triangle-rich) from coincidental pair overlaps (triangle-free), used to
+    pick cluster-level vs pair-level dedup policy.
+
+    Operator: ``operators.graph.triangles`` — canonical low→high edge
+    orientation, wedge join on the middle node, closing-edge lookup; each
+    triangle counted exactly once, two shuffles on node ids, wedge volume
+    bounded by the near-dup graph's capped degrees (d14's discipline).
+    """
+    from ..operators.graph import triangles
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select("doc_id", DD.tokens("text").alias("_toks")).select(
+        "doc_id", DD.ngrams_from_tokens(F.col("_toks")).alias("grams")
+    )
+    sig = DD.minhash_signature(
+        docs, "doc_id", "text", parallelism=spark.sparkContext.defaultParallelism
+    )
+    cand = DD.candidate_pairs(DD.lsh_buckets(sig, "doc_id"), "doc_id")
+    ga = grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b"))
+    verified = (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .where(DD.jaccard(F.col("grams_a"), F.col("grams_b")) >= 0.5)
+        .select("id_a", "id_b")
+    )
+    edges = verified.persist()
+    tri = triangles(edges, "id_a", "id_b")
+    e = edges.select(
+        F.least("id_a", "id_b").alias("lo"), F.greatest("id_a", "id_b").alias("hi")
+    ).where(F.col("lo") != F.col("hi")).distinct()
+    nodes = (
+        e.select(F.col("lo").alias("v"))
+        .unionByName(e.select(F.col("hi").alias("v")))
+        .distinct()
+    )
+    tn = (
+        tri.select(F.col("a").alias("v"))
+        .unionByName(tri.select(F.col("b").alias("v")))
+        .unionByName(tri.select(F.col("c").alias("v")))
+        .distinct()
+    )
+    return (
+        nodes.agg(F.count("*").alias("n_nodes"))
+        .crossJoin(e.agg(F.count("*").alias("n_edges")))
+        .crossJoin(tri.agg(F.count("*").alias("n_triangles")))
+        .crossJoin(tn.agg(F.count("*").alias("n_tri_nodes")))
+    )

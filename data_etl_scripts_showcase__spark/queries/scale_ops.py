@@ -1,0 +1,383 @@
+"""Scale-infrastructure operators: sketch cardinality, data layout,
+join pruning, span-level dedup, and zero-pass pipeline telemetry.
+
+These extend the reference's scale story the same way the sketch/dedup
+families do: each is an operation a 100 TB training-data pipeline leans on
+daily, expressed as pure DataFrame aggregates with md5-derived hashing so
+the DuckDB oracle reproduces every bit.
+
+- a25: HyperLogLog distinct sketch (mergeable registers, exact-integer Z)
+  — the distinct-count analog of a24's count-min grid.
+- x26: Z-order layout vs date-partitioned layout — per-file min/max spans
+  in BOTH dimensions, the statistic that decides multi-predicate pruning.
+- x27: Bloom-filter pre-join pruning with false-positive accounting — the
+  scale-out replacement for the reference's collected IN-list
+  (`Gonukkad_Merchants.py:44,61`, SURVEY §2.3 J1).
+- d17: duplicated-span detection (fixed-width token windows shared across
+  documents — the exact-substring dedup of Lee et al. 2022, "Deduplicating
+  Training Data Makes Language Models Better", at window granularity).
+- x28: observed metrics via ``DataFrame.observe`` — pipeline telemetry
+  (row counts, sums, conditional counts) collected DURING the sink pass,
+  zero extra scans, the Spark-native form of the reference's hand-rolled
+  row-count reconciliation (`main.py:717-741`, A9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import dec2
+from ..operators.bloom import BLOOM_M, BLOOM_SEEDS, bloom_bits, bloom_probe
+from ..operators.sketches import HLL_M, HLL_SEED, hll_estimate, hll_registers
+from ..operators.zorder import zvalue, zvalue_sql
+from ..sources import load_table
+from . import register
+from .dedup import _TOKS
+
+# ---------------------------------------------------------------- a25: HLL
+
+_HLL_SCALE = 1 << 27  # 2^(26 wbits + 1); keeps Z exact-integer
+
+
+@register(
+    "a25_hll_distinct_sketch",
+    oracle=f"""
+    WITH h AS (
+        SELECT event_type,
+               ('0x' || substr(md5(concat('{HLL_SEED}:', user_id::VARCHAR)), 1, 8))::BIGINT AS hv
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, hv % {HLL_M} AS idx,
+               CASE WHEN hv // {HLL_M} = 0 THEN 27
+                    ELSE 27 - length(bin(hv // {HLL_M})) END AS rho
+        FROM h
+    ),
+    regs AS (SELECT event_type, idx, max(rho) AS reg FROM r GROUP BY event_type, idx),
+    agg AS (
+        SELECT event_type, count(*) AS used,
+               CAST(sum(1::BIGINT << (27 - reg)) AS BIGINT) AS z_used
+        FROM regs GROUP BY event_type
+    ),
+    s AS (
+        SELECT event_type, CAST({HLL_M} - used AS BIGINT) AS v_empty,
+               CAST(z_used + ({HLL_M} - used) * {_HLL_SCALE} AS BIGINT) AS z_scaled
+        FROM agg
+    ),
+    est AS (
+        SELECT event_type, v_empty, z_scaled,
+               round(CASE WHEN (0.709 * {HLL_M} * {HLL_M} * {_HLL_SCALE}) / z_scaled
+                               <= {2.5 * HLL_M}
+                          AND v_empty > 0
+                          THEN {float(HLL_M)} * ln({float(HLL_M)} / v_empty)
+                          ELSE (0.709 * {HLL_M} * {HLL_M} * {_HLL_SCALE}) / z_scaled
+                     END, 4) AS est_distinct
+        FROM s
+    ),
+    ex AS (
+        SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, x.n_exact, e.v_empty, e.z_scaled, e.est_distinct,
+           round((e.est_distinct - x.n_exact) / x.n_exact, 4) AS rel_err
+    FROM est e JOIN ex x USING (event_type)
+    """,
+    survey="A-std extended (mergeable HyperLogLog distinct sketch: 64 registers at any cardinality)",
+)
+def a25_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user estimate from a 64-register HyperLogLog
+    sketch, reported against the exact count.  The register table is ≤ 64
+    rows per group REGARDLESS of user cardinality and merges cell-wise by
+    max (asserted in tests) — shards sketch independently at 100 TB and
+    combine at the end, where an exact countDistinct would shuffle every
+    key.  The harmonic-mean denominator is kept in exact scaled integers
+    (``z_scaled``, driver-hashable) so both engines agree bit-for-bit; the
+    estimate itself (one float division, or one ln on the small-range
+    linear-counting path) is rounded to 4 dp."""
+    ev = load_table(spark, sf_dir, "events")
+    regs = hll_registers(ev, "user_id", ["event_type"])
+    est = hll_estimate(regs, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "n_exact",
+        "v_empty",
+        "z_scaled",
+        "est_distinct",
+        F.round(
+            (F.col("est_distinct") - F.col("n_exact")) / F.col("n_exact"), 4
+        ).alias("rel_err"),
+    )
+
+
+# ------------------------------------------------------- x26: Z-order layout
+
+_ZSQL = zvalue_sql("x", "y", 8)
+
+
+@register(
+    "x26_zorder_layout",
+    oracle=f"""
+    WITH pts AS (
+        SELECT CAST(o_custkey % 256 AS BIGINT) AS x,
+               CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 256 AS BIGINT) AS y
+        FROM orders
+    ),
+    z AS (SELECT x, y, {_ZSQL} AS zv FROM pts),
+    files AS (
+        SELECT 'zorder' AS layout, zv >> 8 AS file_id,
+               count(*) AS n, max(x) - min(x) AS x_span, max(y) - min(y) AS y_span
+        FROM z GROUP BY file_id
+        UNION ALL
+        SELECT 'by_date' AS layout, y AS file_id,
+               count(*) AS n, max(x) - min(x) AS x_span, max(y) - min(y) AS y_span
+        FROM z GROUP BY y
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           round(avg(n), 4) AS avg_rows,
+           round(avg(x_span), 4) AS avg_x_span,
+           round(avg(y_span), 4) AS avg_y_span
+    FROM files GROUP BY layout
+    """,
+    survey="NS-layout (Z-order/Morton clustering vs single-column partitioning: per-file min/max spans)",
+)
+def x26_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout comparison: bucket orders by (custkey, order day) into
+    256×256 cells, then assign rows to 256 "files" two ways — Z-order
+    (Morton-interleaved sort key, the Delta/Iceberg OPTIMIZE ZORDER BY
+    layout) vs the reference's date-only partitioning
+    (`Gonukkad_Merchants.py:79-84`).  Reported per layout: average per-file
+    min/max SPAN in each dimension — the file-statistics width that decides
+    whether a predicate on that column can prune files.  Date partitioning
+    gives y_span = 0 but x_span ≈ full range (custkey predicates scan
+    everything); Z-order bounds BOTH spans, which is the whole point for
+    multi-predicate scans at 100 TB.  Pure integer bit arithmetic inside
+    whole-stage codegen; one shuffle per layout on the file id."""
+    o = load_table(spark, sf_dir, "orders")
+    pts = o.select(
+        (F.col("o_custkey") % 256).cast("bigint").alias("x"),
+        (
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+            % 256
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    z = pts.select("x", "y", zvalue(F.col("x"), F.col("y"), 8).alias("zv"))
+
+    def layout(df: DataFrame, name: str, file_id: Column) -> DataFrame:
+        return (
+            df.groupBy(file_id.alias("file_id"))
+            .agg(
+                F.count("*").alias("n"),
+                (F.max("x") - F.min("x")).alias("x_span"),
+                (F.max("y") - F.min("y")).alias("y_span"),
+            )
+            .select(F.lit(name).alias("layout"), "n", "x_span", "y_span")
+        )
+
+    files = layout(z, "zorder", F.shiftright(F.col("zv"), 8)).unionByName(
+        layout(z, "by_date", F.col("y"))
+    )
+    return files.groupBy("layout").agg(
+        F.count("*").alias("n_files"),
+        F.round(F.avg("n"), 4).alias("avg_rows"),
+        F.round(F.avg("x_span"), 4).alias("avg_x_span"),
+        F.round(F.avg("y_span"), 4).alias("avg_y_span"),
+    )
+
+
+# --------------------------------------------------- x27: Bloom pre-join
+
+_SEEDS_SQL = "SELECT unnest([" + ", ".join(str(s) for s in BLOOM_SEEDS) + "]) AS s"
+
+
+@register(
+    "x27_bloom_prejoin",
+    oracle=f"""
+    WITH k AS (SELECT DISTINCT o_custkey AS key FROM orders),
+    bits AS (
+        SELECT DISTINCT
+               ('0x' || substr(md5(concat(s.s::VARCHAR, ':', k.key::VARCHAR)), 1, 8))::BIGINT
+                   % {BLOOM_M} AS bit
+        FROM k CROSS JOIN ({_SEEDS_SQL}) s
+    ),
+    cells AS (
+        SELECT c_custkey,
+               ('0x' || substr(md5(concat(s.s::VARCHAR, ':', c_custkey::VARCHAR)), 1, 8))::BIGINT
+                   % {BLOOM_M} AS bit
+        FROM customer CROSS JOIN ({_SEEDS_SQL}) s
+    ),
+    probe AS (
+        SELECT c_custkey, count(b.bit) = {len(BLOOM_SEEDS)} AS pass
+        FROM cells LEFT JOIN bits b USING (bit)
+        GROUP BY c_custkey
+    ),
+    m AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders)
+    SELECT CAST(count(*) AS BIGINT) AS n_probe_keys,
+           CAST(count(CASE WHEN p.pass THEN 1 END) AS BIGINT) AS n_bloom_pass,
+           CAST(count(m.c_custkey) AS BIGINT) AS n_members,
+           CAST(count(CASE WHEN p.pass AND m.c_custkey IS NULL THEN 1 END) AS BIGINT)
+               AS n_false_pos,
+           CAST(count(CASE WHEN NOT p.pass AND m.c_custkey IS NOT NULL THEN 1 END) AS BIGINT)
+               AS n_false_neg
+    FROM probe p LEFT JOIN m USING (c_custkey)
+    """,
+    survey="NS-prune (Bloom-filter pre-join pruning with FP accounting — scale-out J1 IN-list)",
+)
+def x27_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning: build an 8 Ki-bit / 3-hash filter
+    over orders' custkeys (≤ 8192 rows of distinct bit positions, a few
+    KiB broadcast at ANY build cardinality), probe every customer, and
+    account the outcome against the exact semi-join: passes, true members,
+    false positives, and false negatives (provably zero — the Bloom
+    guarantee, also asserted in tests).  This is the explicit engine-level
+    form of the runtime bloom pruning AQE applies in x19, and the scale-out
+    replacement for the reference's driver-collected IN-list
+    (`Gonukkad_Merchants.py:44,61`): the filter ships to the probe side in
+    O(m) bytes instead of O(keys) SQL text."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    bits = bloom_bits(o, "o_custkey")
+    probe = bloom_probe(c.select("c_custkey"), bits, "c_custkey")
+    members = (
+        o.select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("_m", F.lit(1))
+    )
+    acc = probe.join(members, "c_custkey", "left")
+    return acc.agg(
+        F.count("*").alias("n_probe_keys"),
+        F.count(F.when(F.col("bloom_pass"), 1)).alias("n_bloom_pass"),
+        F.count("_m").alias("n_members"),
+        F.count(F.when(F.col("bloom_pass") & F.col("_m").isNull(), 1)).alias(
+            "n_false_pos"
+        ),
+        F.count(
+            F.when(~F.col("bloom_pass") & F.col("_m").isNotNull(), 1)
+        ).alias("n_false_neg"),
+    )
+
+
+# --------------------------------------------- d17: duplicated token spans
+
+_SPAN_W = 8
+
+
+@register(
+    "d17_duplicate_spans",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    w AS (
+        SELECT doc_id, md5(array_to_string(toks[i:i+{_SPAN_W - 1}], ' ')) AS wh
+        FROM n, LATERAL (
+            SELECT unnest(range(1, len(toks) - {_SPAN_W} + 2)) AS i
+        )
+        WHERE len(toks) >= {_SPAN_W}
+    ),
+    d2 AS (SELECT wh AS dwh FROM w GROUP BY wh HAVING count(DISTINCT doc_id) >= 2)
+    SELECT w.doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(count(d2.dwh) AS BIGINT) AS n_dup_windows,
+           round(count(d2.dwh)::DOUBLE / count(*), 6) AS dup_frac
+    FROM w LEFT JOIN d2 ON w.wh = d2.dwh
+    GROUP BY w.doc_id
+    """,
+    survey="NS-dedup (exact duplicated-span detection: fixed-width token windows shared across docs)",
+)
+def d17_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup (Lee et al. 2022): slide an 8-token window
+    over every document, hash each window (md5 — fixed-width keys), and
+    mark windows whose hash occurs in ≥ 2 distinct documents; report each
+    document's duplicated-window fraction — the signal used to CUT
+    duplicated spans out of training text rather than dropping whole
+    near-dup documents (d8's granularity).  Scale shape: one explode
+    (|tokens| windows), one hash aggregate on the window hash with
+    map-side combine, and a key-equality join back — the suffix-array
+    construction of the paper replaced by a shuffle-friendly rolling
+    window, no driver state."""
+    d = load_table(spark, sf_dir, "documents")
+    from ..operators import dedup as DD
+
+    toks = d.select("doc_id", DD.tokens("text").alias("t")).where(
+        F.size("t") >= _SPAN_W
+    )
+    win = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {_SPAN_W} + 1),"
+                f" i -> md5(concat_ws(' ', slice(t, i, {_SPAN_W}))))"
+            )
+        ).alias("wh"),
+    )
+    dup = (
+        win.groupBy("wh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("wh", F.lit(1).alias("_dup"))
+    )
+    return (
+        win.join(dup, "wh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.count("_dup").alias("n_dup_windows"),
+            F.round(
+                F.count("_dup").cast("double") / F.count("*"), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
+# ------------------------------------------- x28: observed pipeline metrics
+
+
+@register(
+    "x28_observed_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum,
+           CAST(count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT) AS n_returned,
+           CAST(count(CASE WHEN l_discount > 0.05 THEN 1 END) AS BIGINT)
+               AS n_discounted
+    FROM lineitem WHERE l_quantity < 30
+    """,
+    survey="A9 extended (zero-pass pipeline telemetry via DataFrame.observe — Spark-native QA gate)",
+)
+def x28_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline telemetry collected DURING the sink pass with
+    ``DataFrame.observe``: row count, exact-decimal quantity sum, returned-
+    line count, and a discount-threshold count ride along as
+    accumulator-style metrics while the filtered lineitem stream is written
+    (noop sink here; any sink at 100 TB).  ZERO extra scans — the
+    Spark-native upgrade of the reference's reconciliation gate
+    (`main.py:717-741`), which re-read both CSVs with pandas to count rows.
+    The observation result is a plain dict on the driver; it is returned
+    here as a 1-row DataFrame so the oracle can verify every metric."""
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation()
+    stream = li.where(F.col("l_quantity") < 30).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(dec2("l_quantity")).alias("qty_sum"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_returned"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+    )
+    stream.write.format("noop").mode("overwrite").save()
+    vals = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(vals["n_rows"]),
+                float(vals["qty_sum"]),
+                int(vals["n_returned"]),
+                int(vals["n_discounted"]),
+            )
+        ],
+        "n_rows bigint, qty_sum double, n_returned bigint, n_discounted bigint",
+    )

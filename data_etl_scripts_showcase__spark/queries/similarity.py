@@ -754,3 +754,46 @@ def v11_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(rank_w).cast("int"))
         .where(F.col("rank") <= 5)
     )
+
+
+@register(
+    "v12_ivf_incremental",
+    oracle=f"""
+    WITH {_ASSIGN_CTE},
+    cell AS (SELECT vec_id, centroid_id AS cell FROM assign WHERE cell_rank = 1)
+    SELECT cell,
+           CAST(count(CASE WHEN vec_id % 10 <> 0 THEN 1 END) AS BIGINT) AS n_base,
+           CAST(count(CASE WHEN vec_id % 10 = 0 THEN 1 END) AS BIGINT) AS n_delta,
+           CAST(count(*) AS BIGINT) AS n_total
+    FROM cell GROUP BY cell
+    """,
+    survey="NS-sim extended (incremental IVF maintenance: delta batch assigned without index rebuild)",
+)
+def v12_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance: the corpus is split into a base
+    index (vec_id % 10 != 0) and an arriving delta batch (% 10 == 0); the
+    delta is assigned to the EXISTING centroids in its own pass — cost
+    O(|delta| × n_centroids), zero base rows touched, the append-only
+    index-update path a daily-ingest ANN service needs at 100 TB (cell
+    files grow by appended delta partitions; centroid drift is handled by
+    periodic v8 k-means refresh, not per batch).  Output: per-cell base /
+    delta / total occupancy — what an operator monitors for cell-balance
+    degradation after incremental loads.  Both assignment passes share one
+    plan shape: broadcast centroids, one corpus scan, rank-1 argmax with
+    the deterministic (rounded sim DESC, centroid ASC) tie-break."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent_vec")
+    )
+    base = e.where(F.col("vec_id") % 10 != 0)
+    delta = e.where(F.col("vec_id") % 10 == 0)
+    ab = SIM.assign_cells(base, cents).select("vec_id", "cell")
+    ad = SIM.assign_cells(delta, cents).select("vec_id", "cell")
+    merged = ab.withColumn("_is_delta", F.lit(0)).unionByName(
+        ad.withColumn("_is_delta", F.lit(1))
+    )
+    return merged.groupBy("cell").agg(
+        F.count(F.when(F.col("_is_delta") == 0, 1)).alias("n_base"),
+        F.count(F.when(F.col("_is_delta") == 1, 1)).alias("n_delta"),
+        F.count("*").alias("n_total"),
+    )

@@ -824,3 +824,73 @@ def t17_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("latin_ratio"),
     )
+
+
+_T14_CTE = f"""
+    n AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    t AS (SELECT doc_id, unnest(toks) AS tok FROM n),
+    v AS (SELECT count(DISTINCT tok) AS vsz FROM t),
+    bgt AS (
+        SELECT doc_id, concat(toks[i], ' ', toks[i+1]) AS bg, toks[i] AS w1
+        FROM n, LATERAL (
+            SELECT unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS i
+        )
+        WHERE len(toks) >= 2
+    ),
+    c12 AS (SELECT bg, count(*) AS c12 FROM bgt GROUP BY bg),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bgt GROUP BY w1),
+    scored AS (
+        SELECT b.doc_id,
+               round(avg(ln((c12.c12 + 1.0) / (c1.c1 + v.vsz))), 6) AS avg_logprob
+        FROM bgt b
+        JOIN c12 USING (bg)
+        JOIN c1 USING (w1)
+        CROSS JOIN v
+        GROUP BY b.doc_id
+    )
+"""
+
+
+@register(
+    "t18_perplexity_buckets",
+    oracle=f"""
+    WITH {_T14_CTE},
+    b AS (
+        SELECT doc_id, avg_logprob,
+               ntile(4) OVER (ORDER BY avg_logprob ASC, doc_id ASC) AS bucket
+        FROM scored
+    )
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(min(avg_logprob), 6) AS min_score,
+           round(max(avg_logprob), 6) AS max_score,
+           round(avg(avg_logprob), 6) AS mean_score
+    FROM b GROUP BY bucket
+    """,
+    survey="NS-text extended (perplexity-quartile bucketing of the t14 LM score — curriculum/filter tiers)",
+)
+def t18_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile tiers of the t14 bigram-LM fluency score: rank every
+    document by its corpus-LM mean log-probability and cut into 4 ntile
+    buckets — the standard construction for perplexity-filtered or
+    curriculum-ordered training mixes (keep top tiers, or feed easy→hard).
+    Ordering is on the ROUNDED score with doc_id tie-break, so both engines
+    compute identical tile boundaries.
+
+    Scale note: ntile over a global window is the exact form used here;
+    at 100 TB the same tiers come from approx_percentile cutpoints (a21's
+    operator) + one codegen comparison per row — no global sort."""
+    scored = t14_bigram_lm_score(spark, sf_dir).select("doc_id", "avg_logprob")
+    b = scored.select(
+        "doc_id",
+        "avg_logprob",
+        F.ntile(4)
+        .over(W.orderBy(F.col("avg_logprob").asc(), F.col("doc_id").asc()))
+        .alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.min("avg_logprob"), 6).alias("min_score"),
+        F.round(F.max("avg_logprob"), 6).alias("max_score"),
+        F.round(F.avg("avg_logprob"), 6).alias("mean_score"),
+    )

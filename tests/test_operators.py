@@ -529,3 +529,150 @@ class TestLeakageSafeSplit:
             .where(F.col("split_a") != F.col("split_b"))
         )
         assert straddlers.count() == 0
+
+
+class TestHllSketch:
+    def test_merge_of_shard_registers_equals_whole(self, spark):
+        """Registers merge by cell-wise max: shard-then-merge == whole."""
+        from data_etl_scripts_showcase__spark.operators.sketches import (
+            hll_merge,
+            hll_registers,
+        )
+
+        df = spark.createDataFrame([(i % 97,) for i in range(400)], "k bigint")
+        whole = hll_registers(df, "k")
+        a = hll_registers(df.where(F.col("k") < 40), "k")
+        b = hll_registers(df.where(F.col("k") >= 40), "k")
+        merged = hll_merge(a, b)
+        as_map = lambda d: {r.idx: r.reg for r in d.collect()}
+        assert as_map(merged) == as_map(whole)
+
+    def test_estimate_accuracy_contract(self, spark):
+        """64 registers → ~13% std error; assert a generous 30% bound on a
+        few cardinalities (fixed md5 hashing makes this deterministic)."""
+        from data_etl_scripts_showcase__spark.operators.sketches import (
+            hll_estimate,
+            hll_registers,
+        )
+
+        for n in (50, 300, 1000):
+            df = spark.createDataFrame([(i,) for i in range(n)], "k bigint")
+            est = hll_estimate(hll_registers(df, "k")).collect()[0]
+            assert abs(est.est_distinct - n) / n < 0.30, (n, est.est_distinct)
+
+    def test_duplicates_do_not_move_estimate(self, spark):
+        from data_etl_scripts_showcase__spark.operators.sketches import (
+            hll_estimate,
+            hll_registers,
+        )
+
+        uniq = spark.createDataFrame([(i,) for i in range(100)], "k bigint")
+        dup = uniq.unionAll(uniq).unionAll(uniq)
+        e1 = hll_estimate(hll_registers(uniq, "k")).collect()[0].est_distinct
+        e2 = hll_estimate(hll_registers(dup, "k")).collect()[0].est_distinct
+        assert e1 == e2
+
+
+class TestBloomFilter:
+    def test_no_false_negatives(self, spark):
+        from data_etl_scripts_showcase__spark.operators.bloom import (
+            bloom_bits,
+            bloom_probe,
+        )
+
+        build = spark.createDataFrame([(i * 3,) for i in range(500)], "k bigint")
+        bits = bloom_bits(build, "k")
+        probe = bloom_probe(build, bits, "k")
+        assert probe.where(~F.col("bloom_pass")).count() == 0
+
+    def test_nonmembers_mostly_rejected(self, spark):
+        from data_etl_scripts_showcase__spark.operators.bloom import (
+            bloom_bits,
+            bloom_probe,
+        )
+
+        build = spark.createDataFrame([(i,) for i in range(500)], "k bigint")
+        others = spark.createDataFrame(
+            [(i,) for i in range(10_000, 11_000)], "k bigint"
+        )
+        bits = bloom_bits(build, "k")
+        probe = bloom_probe(others, bits, "k")
+        fp = probe.where(F.col("bloom_pass")).count()
+        # k=3, m=8192, n=500 → theoretical fpp ~0.4%; assert < 5%
+        assert fp < 50, fp
+
+    def test_filter_size_bounded(self, spark):
+        from data_etl_scripts_showcase__spark.operators.bloom import (
+            BLOOM_M,
+            bloom_bits,
+        )
+
+        build = spark.createDataFrame([(i,) for i in range(20_000)], "k bigint")
+        assert bloom_bits(build, "k").count() <= BLOOM_M
+
+
+class TestZorder:
+    def test_zvalue_bijection_roundtrip(self, spark):
+        """Interleave is a bijection on [0,256)² → [0,65536)."""
+        from data_etl_scripts_showcase__spark.operators.zorder import zvalue
+
+        pts = spark.createDataFrame(
+            [(x, y) for x in range(0, 256, 17) for y in range(0, 256, 13)],
+            "x bigint, y bigint",
+        )
+        z = pts.select("x", "y", zvalue(F.col("x"), F.col("y")).alias("zv"))
+        rows = z.collect()
+        assert len({r.zv for r in rows}) == len(rows)
+        for r in rows:
+            xx = sum(((r.zv >> (2 * i)) & 1) << i for i in range(8))
+            yy = sum(((r.zv >> (2 * i + 1)) & 1) << i for i in range(8))
+            assert (xx, yy) == (r.x, r.y)
+
+    def test_zorder_files_bound_both_spans(self, spark):
+        """Per-file spans under z-order are bounded in BOTH dims (≤ 16 for
+        a 256-file split of a full 256×256 grid), where a y-sorted layout
+        leaves x unbounded."""
+        from data_etl_scripts_showcase__spark.operators.zorder import zvalue
+
+        pts = spark.createDataFrame(
+            [(x, y) for x in range(0, 256, 5) for y in range(0, 256, 5)],
+            "x bigint, y bigint",
+        )
+        z = pts.select("x", "y", zvalue(F.col("x"), F.col("y")).alias("zv"))
+        spans = (
+            z.groupBy(F.shiftright("zv", 8).alias("f"))
+            .agg(
+                (F.max("x") - F.min("x")).alias("xs"),
+                (F.max("y") - F.min("y")).alias("ys"),
+            )
+            .agg(F.max("xs").alias("mx"), F.max("ys").alias("my"))
+            .collect()[0]
+        )
+        assert spans.mx <= 16 and spans.my <= 16, spans
+
+
+class TestTriangles:
+    def test_hand_graph(self, spark):
+        """K4 minus one edge has exactly 2 triangles; edge direction and
+        duplicates don't change the census."""
+        from data_etl_scripts_showcase__spark.operators.graph import triangles
+
+        edges = spark.createDataFrame(
+            [
+                (1, 2), (2, 3), (1, 3),   # triangle 1-2-3
+                (2, 4), (3, 4),           # triangle 2-3-4 (via 2-3)
+                (2, 1),                   # reversed duplicate
+                (5, 6),                   # triangle-free component
+            ],
+            "src bigint, dst bigint",
+        )
+        tri = sorted(tuple(r) for r in triangles(edges).collect())
+        assert tri == [(1, 2, 3), (2, 3, 4)]
+
+    def test_no_triangles_in_a_path(self, spark):
+        from data_etl_scripts_showcase__spark.operators.graph import triangles
+
+        path = spark.createDataFrame(
+            [(i, i + 1) for i in range(10)], "src bigint, dst bigint"
+        )
+        assert triangles(path).count() == 0
