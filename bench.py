@@ -69,6 +69,16 @@ HEADLINE = [
     "a24_countmin_frequency",  # mergeable sketch family
     "v10_quantized_topk",  # int8 quantized ANN
     "v11_pq_adc_topk",  # product-quantized ANN (ADC)
+    "a25_hll_distinct_sketch",  # mergeable HLL distinct sketch
+    "x26_zorder_layout",  # Z-order layout span accounting
+    "x27_bloom_prejoin",  # bloom pre-join pruning
+    "d17_duplicate_spans",  # span-level exact dedup
+    "t18_perplexity_buckets",  # LM-score quartile tiers
+    "pr2_triangle_count",  # triangle census of the near-dup graph
+    "v12_ivf_incremental",  # incremental IVF maintenance
+    "x30_partition_skew_report",  # shuffle-skew observability
+    "x31_table_fingerprint",  # order-independent migration checksum
+    "io7_python_datasource_pages",  # Spark 4 Python DataSource
 ]
 
 

@@ -1091,3 +1091,62 @@ def pr2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(tri.agg(F.count("*").alias("n_triangles")))
         .crossJoin(tn.agg(F.count("*").alias("n_tri_nodes")))
     )
+
+
+@register(
+    "d18_containment_pairs",
+    oracle=f"""
+    WITH {_BANDS_CTE},
+    cand AS ({_CAND_SQL})
+    SELECT c.id_a, c.id_b,
+           round(CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                     / len(list_distinct(ga.grams || gb.grams)), 6) AS jaccard,
+           round(CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                     / greatest(len(ga.grams), 1), 6) AS contain_a_in_b,
+           round(CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                     / greatest(len(gb.grams), 1), 6) AS contain_b_in_a
+    FROM cand c
+    JOIN g ga ON ga.doc_id = c.id_a
+    JOIN g gb ON gb.doc_id = c.id_b
+    WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+              / greatest(least(len(ga.grams), len(gb.grams)), 1) >= 0.5
+    """,
+    survey="NS-dedup extended (asymmetric containment: quote/excerpt detection beyond symmetric Jaccard)",
+)
+def d18_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment scoring over the LSH candidate pairs:
+    ``|A∩B| / |A|`` alongside symmetric Jaccard.  A short document quoted
+    inside a long one has HIGH containment but LOW Jaccard — symmetric
+    near-dup dedup (d4/d8) misses exactly the excerpt/quotation/subset
+    duplication that inflates training corpora (one viral paragraph pasted
+    into thousands of pages).  Pairs are kept when the smaller side is
+    ≥ 50% contained in the other.  Same scale shape as d4: scoring only
+    runs on the LSH-bounded candidate set, never all pairs; shingle sets
+    ride the same join keyed by doc id."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select("doc_id", DD.tokens("text").alias("_toks")).select(
+        "doc_id", DD.ngrams_from_tokens(F.col("_toks")).alias("grams")
+    )
+    sig = DD.minhash_signature(
+        docs, "doc_id", "text", parallelism=spark.sparkContext.defaultParallelism
+    )
+    cand = DD.candidate_pairs(DD.lsh_buckets(sig, "doc_id"), "doc_id")
+    ga = grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b"))
+    inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
+    union = F.size(F.array_distinct(F.concat("grams_a", "grams_b")))
+    la = F.greatest(F.size("grams_a"), F.lit(1))
+    lb = F.greatest(F.size("grams_b"), F.lit(1))
+    lmin = F.greatest(F.least(F.size("grams_a"), F.size("grams_b")), F.lit(1))
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .where(inter / lmin >= 0.5)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / union, 6).alias("jaccard"),
+            F.round(inter / la, 6).alias("contain_a_in_b"),
+            F.round(inter / lb, 6).alias("contain_b_in_a"),
+        )
+    )

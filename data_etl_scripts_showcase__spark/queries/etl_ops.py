@@ -738,3 +738,53 @@ def x25_backfill_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     missing = calendar.join(present, "ds", "left_anti")
     return missing.select(F.date_format("ds", "yyyy-MM-dd").alias("missing_ds"))
+
+
+@register(
+    "x30_partition_skew_report",
+    oracle="""
+    WITH p AS (
+        SELECT ('0x' || substr(md5(concat('7:', l_orderkey::VARCHAR)), 1, 8))::BIGINT % 32
+                   AS part,
+               l_orderkey
+        FROM lineitem
+    ),
+    c AS (
+        SELECT part, count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_keys
+        FROM p GROUP BY part
+    )
+    SELECT CAST(part AS BIGINT) AS part,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           round(n_rows / (avg(n_rows) OVER ()), 6) AS load_factor
+    FROM c
+    """,
+    survey="NS-ops (shuffle-partition skew observability: per-partition load under the model partitioner)",
+)
+def x30_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-partition load report for a join/agg key: bucket lineitem by
+    a 32-way model hash partitioner (md5-derived so the oracle reproduces
+    it; Spark's real partitioner is murmur3 — same distributional shape),
+    and report per-partition row count, distinct-key count, and load
+    factor vs the mean.  This is the observability query behind the skew
+    decisions the engine makes elsewhere — a load_factor ≫ 1 partition is
+    what x1/x6 salting and AQE skew-join split; at 100 TB you run this on
+    a sample BEFORE committing a partitioning scheme to a 1000-executor
+    shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from ..operators.dedup import h32
+    from pyspark.sql import Window as W
+
+    part = (h32(F.col("l_orderkey").cast("string"), 7) % 32).alias("part")
+    c = li.select(part, "l_orderkey").groupBy("part").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_keys"),
+    )
+    return c.select(
+        F.col("part").cast("bigint").alias("part"),
+        "n_rows",
+        "n_keys",
+        F.round(
+            F.col("n_rows") / F.avg("n_rows").over(W.partitionBy()), 6
+        ).alias("load_factor"),
+    )

@@ -248,3 +248,49 @@ def io6_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec2("s_acctbal")).cast("double").alias("bal_sum"),
         F.count("tier").cast("bigint").alias("n_with_tier"),
     )
+
+
+@register(
+    "io7_python_datasource_pages",
+    oracle="""
+    WITH src AS (
+        SELECT p.page, p.page * 1000 + i.i AS item_id,
+               concat('item-', p.page, '-', i.i) AS payload
+        FROM (SELECT unnest(range(0, 4)) AS page) p
+        CROSS JOIN (SELECT unnest(range(0, 25)) AS i) i
+    )
+    SELECT CAST(page AS INTEGER) AS page,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(min(item_id) AS BIGINT) AS min_id,
+           CAST(max(item_id) AS BIGINT) AS max_id,
+           CAST(count(DISTINCT payload) AS BIGINT) AS n_payloads
+    FROM src GROUP BY page
+    """,
+    survey="S7,S8,U1 (paginated REST source as a Spark 4 Python DataSource: one task per page)",
+)
+def io7_python_datasource_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's paginated REST consumption (`main.py:296-308,
+    414-428`: driver while-loop over nextPageToken) re-expressed as a
+    CUSTOM PYTHON DATA SOURCE (Spark 4 API, sources/restpages.py): each
+    page is an InputPartition, so the scheduler fans pages out across
+    executors, task retry gives per-page fault isolation, and the union
+    of pages (U1) is the scan itself — no driver loop, no accumulating
+    list.  The mock endpoint is deterministic, so the oracle regenerates
+    the pages arithmetically and value-verifies the whole source path
+    (schema declaration → partition planning → per-task iteration →
+    Arrow transfer)."""
+    from ..sources.restpages import register_restpages
+
+    register_restpages(spark)
+    pages = (
+        spark.read.format("restpages")
+        .option("pages", 4)
+        .option("page_size", 25)
+        .load()
+    )
+    return pages.groupBy("page").agg(
+        F.count("*").alias("n_items"),
+        F.min("item_id").alias("min_id"),
+        F.max("item_id").alias("max_id"),
+        F.countDistinct("payload").alias("n_payloads"),
+    )

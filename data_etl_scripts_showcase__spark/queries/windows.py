@@ -939,3 +939,53 @@ def w21_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_outliers"),
     )
+
+
+@register(
+    "w22_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(count(*) / CAST(sum(count(*)) OVER (PARTITION BY prev_type) AS DOUBLE), 6)
+               AS p_next
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+    survey="§2.5 extended (behavioral sequence mining: event-transition matrix via lag window)",
+)
+def w22_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: for each user's event
+    stream (deterministic (ts, event_id) order), count prev→next
+    event-type transitions and normalize per source state — the Markov
+    transition estimate behind funnel analysis, next-action prediction
+    features, and bot detection (near-deterministic rows are scripted
+    traffic).  One lag window and one hash aggregate, both keyed on
+    user_id/prev_type — the window state is one row, the aggregate is
+    |types|² cells at any event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n") / F.sum("n").over(W.partitionBy("prev_type")).cast("double"),
+            6,
+        ).alias("p_next"),
+    )

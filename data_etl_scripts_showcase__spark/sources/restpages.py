@@ -1,0 +1,120 @@
+"""Custom Python Data Source: a paginated keyed REST endpoint as a
+first-class Spark source (Spark 4 Python Data Source API).
+
+The reference consumes paginated REST APIs with a driver-side while-loop
+over ``nextPageToken`` (`buisness_profile_etl/main.py:296-308, 414-428` —
+SURVEY §2.1 S7/S8): every page is a blocking round-trip in one Python
+process.  The engine-native form is a DataSource whose PARTITIONS are the
+pages: Spark schedules one task per page, so pages download in parallel
+across executors, failed pages retry independently via normal task retry,
+and downstream operators see an ordinary DataFrame — the U1 union of
+pages is implicit in the scan.
+
+The fetcher here is a deterministic synthetic endpoint (the same
+network-free seam as the enrichment stage, `enrichment/stage.py`): page p
+yields `page_size` items with arithmetic ids and templated payloads, so
+the DuckDB oracle regenerates the exact rows and the source is value-hash
+verifiable end-to-end.  Swapping `_fetch_page` for a real
+``requests.get(url, params={"pageToken": ...})`` is the production path;
+everything Spark-side (schema declaration, partition planning, per-task
+iteration, Arrow transfer) stays identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+
+
+class PagePartition(InputPartition):
+    def __init__(self, page: int, page_size: int):
+        self.page = page
+        self.page_size = page_size
+
+
+def _fetch_page(page: int, page_size: int) -> Iterator[tuple]:
+    """The mock endpoint: deterministic rows for (page, i)."""
+    for i in range(page_size):
+        yield (page, page * 1000 + i, f"item-{page}-{i}")
+
+
+class RestPagesDataSource(DataSource):
+    """``spark.read.format("restpages").option("pages", 4)`` source."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "restpages"
+
+    def schema(self) -> str:
+        return "page int, item_id bigint, payload string"
+
+    def reader(self, schema) -> "RestPagesReader":
+        return RestPagesReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "RestPagesStreamReader":
+        return RestPagesStreamReader(self.options)
+
+
+class RestPagesReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_pages = int(options.get("pages", 4))
+        self.page_size = int(options.get("page_size", 25))
+
+    def partitions(self):
+        # one Spark task per page — pagination parallelised by the scheduler
+        return [PagePartition(p, self.page_size) for p in range(self.n_pages)]
+
+    def read(self, partition: PagePartition) -> Iterator[tuple]:
+        return _fetch_page(partition.page, partition.page_size)
+
+
+class RestPagesStreamReader(SimpleDataSourceStreamReader):
+    """The same endpoint as an UNBOUNDED source: the stream OFFSET is the
+    next unread page index — exactly the reference's ``nextPageToken``
+    cursor (`main.py:296-308`), promoted to a checkpointed streaming
+    offset.  Each micro-batch reads up to ``batch_pages`` new pages;
+    `readBetweenOffsets` replays any committed page range verbatim
+    (deterministic fetcher), which is what makes recovery exactly-once:
+    after a crash, Spark re-asks for [start, end) and gets identical
+    rows.  A real endpoint would look up the stored page cursor the same
+    way."""
+
+    def __init__(self, options):
+        self.n_pages = int(options.get("pages", 6))
+        self.page_size = int(options.get("page_size", 25))
+        self.batch_pages = int(options.get("batch_pages", 2))
+
+    def initialOffset(self) -> dict:
+        return {"page": 0}
+
+    def read(self, start: dict):
+        p0 = int(start["page"])
+        p1 = min(p0 + self.batch_pages, self.n_pages)
+        rows = [r for p in range(p0, p1) for r in _fetch_page(p, self.page_size)]
+        return iter(rows), {"page": p1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            [
+                r
+                for p in range(int(start["page"]), int(end["page"]))
+                for r in _fetch_page(p, self.page_size)
+            ]
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to acknowledge on the mock endpoint
+
+
+def register_restpages(spark) -> None:
+    """Idempotently register the source with the session."""
+    try:
+        spark.dataSource.register(RestPagesDataSource)
+    except Exception:
+        pass  # already registered in this session

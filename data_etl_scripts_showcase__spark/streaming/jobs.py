@@ -592,3 +592,34 @@ def read_cms(spark: SparkSession, out_path: str) -> DataFrame:
     from ..operators.sketches import cms_merge
 
     return cms_merge(spark.read.parquet(out_path))
+
+
+def streaming_hll(
+    events: DataFrame, out_path: str, key_col: str = "user_id"
+) -> None:
+    """Maintain a HyperLogLog register table FROM A STREAM: each micro-
+    batch appends its own ≤64-row register partial; readers merge by
+    cell-wise max.  Max is idempotent AND commutative, so the streamed
+    registers equal the batch registers bit-for-bit at any micro-batch
+    slicing — and a replayed batch (at-least-once delivery) cannot move
+    the result.  The streaming distinct-count shape for "how many unique
+    users ever" over an unbounded stream in 64 counters."""
+    from ..operators.sketches import hll_registers
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        hll_registers(df, key_col).write.mode("append").parquet(out_path)
+
+    q = (
+        events.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_hll_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_hll(spark: SparkSession, out_path: str) -> DataFrame:
+    """Merge the streamed register partials (cell-wise max)."""
+    from ..operators.sketches import hll_merge
+
+    return hll_merge(spark.read.parquet(out_path))

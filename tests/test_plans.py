@@ -351,3 +351,40 @@ class TestDynamicPartitionPruning:
         assert "dynamicpruning" in plan.lower(), plan
         got = j.collect()
         assert len(got) == 1 and got[0]["o_orderpriority"] == "1-URGENT"
+
+
+class TestScaleOpsPlans:
+    def test_bloom_prejoin_broadcasts_filter(self, spark):
+        """x27: the bit set must broadcast; neither key set sort-merge joins."""
+        plan = plan_of(spark, "x27_bloom_prejoin")
+        assert "BroadcastExchange" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_hll_registers_partial_max(self, spark):
+        """a25: register build must partial-aggregate map-side (≤64 rows per
+        group leave each task before the exchange)."""
+        plan = plan_of(spark, "a25_hll_distinct_sketch")
+        assert "partial_max" in plan
+
+    def test_not_in_is_null_aware_single_column(self, spark):
+        """j11: NOT IN compiles to a BroadcastHashJoin LeftAnti with NO join
+        condition — the single-column null-aware anti join, not a cartesian
+        fallback."""
+        plan = plan_of(spark, "j11_not_in_null_aware")
+        assert "BroadcastHashJoin LeftAnti" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_zorder_is_pure_codegen(self, spark):
+        """x26: the Morton interleave must stay inside whole-stage codegen —
+        no UDF/BatchEvalPython node anywhere in the plan."""
+        plan = plan_of(spark, "x26_zorder_layout")
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "HashAggregate" in plan  # layouts are plain hash aggregates
+
+    def test_duplicate_spans_partial_combines(self, spark):
+        """d17: the window-hash duplicate detection aggregates with map-side
+        partials (the |tokens|-row explode collapses before the shuffle)."""
+        plan = plan_of(spark, "d17_duplicate_spans")
+        assert "partial_count" in plan

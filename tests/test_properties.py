@@ -543,3 +543,64 @@ def test_results_independent_of_shuffle_partitioning(spark):
         assert not mismatched, mismatched
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@FAST
+@given(
+    st.lists(st.integers(0, 10**6), min_size=1, max_size=40, unique=True),
+    st.lists(st.integers(0, 10**6), min_size=1, max_size=40, unique=True),
+)
+def test_bloom_never_false_negative(spark, members, probes):
+    """Bloom guarantee on arbitrary key sets: every true member passes,
+    whatever the overlap between build and probe sets."""
+    from data_etl_scripts_showcase__spark.operators.bloom import (
+        bloom_bits,
+        bloom_probe,
+    )
+
+    build = spark.createDataFrame([(k,) for k in members], "k bigint")
+    probe_keys = spark.createDataFrame(
+        [(k,) for k in set(members) | set(probes)], "k bigint"
+    )
+    res = bloom_probe(probe_keys, bloom_bits(build, "k"), "k").collect()
+    verdict = {r.k: r.bloom_pass for r in res}
+    assert all(verdict[k] for k in members)
+
+
+@FAST
+@given(
+    st.lists(st.integers(0, 10**9), min_size=1, max_size=60),
+    st.integers(1, 3),
+)
+def test_hll_registers_partition_independent(spark, keys, nparts):
+    """Sketch determinism: registers are identical under any partitioning
+    (max is order-independent) and duplicates never move them."""
+    from data_etl_scripts_showcase__spark.operators.sketches import hll_registers
+
+    df = spark.createDataFrame([(k,) for k in keys], "k bigint")
+    a = {
+        (r.idx, r.reg)
+        for r in hll_registers(df.repartition(1), "k").collect()
+    }
+    b = {
+        (r.idx, r.reg)
+        for r in hll_registers(df.repartition(nparts), "k").collect()
+    }
+    c = {
+        (r.idx, r.reg)
+        for r in hll_registers(df.unionAll(df), "k").collect()
+    }
+    assert a == b == c
+
+
+@FAST
+@given(st.lists(st.tuples(st.integers(0, 255), st.integers(0, 255)), min_size=1, max_size=50))
+def test_zvalue_roundtrip_property(spark, pts):
+    """Morton interleave inverts exactly for any (x, y) in [0,256)²."""
+    from data_etl_scripts_showcase__spark.operators.zorder import zvalue
+
+    df = spark.createDataFrame(pts, "x bigint, y bigint")
+    for r in df.select("x", "y", zvalue(F.col("x"), F.col("y")).alias("zv")).collect():
+        xx = sum(((r.zv >> (2 * i)) & 1) << i for i in range(8))
+        yy = sum(((r.zv >> (2 * i + 1)) & 1) << i for i in range(8))
+        assert (xx, yy) == (r.x, r.y)

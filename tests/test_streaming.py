@@ -217,3 +217,58 @@ class TestIdempotentEpochSink:
         assert again.count() == ev.count()
         assert again.select(F.sum("event_id")).collect()[0][0] == \
             ev.select(F.sum("event_id")).collect()[0][0]
+
+
+class TestPythonStreamSource:
+    def test_offset_checkpoint_resumes_not_replays(self, spark, tmp_path):
+        """The page-cursor offset persists in the checkpoint: a second run
+        against a GROWN endpoint (6 pages where there were 4) consumes only
+        the new pages — nextPageToken-as-offset gives exactly-once pages
+        across restarts."""
+        from data_etl_scripts_showcase__spark.sources.restpages import (
+            register_restpages,
+        )
+
+        register_restpages(spark)
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "rows")
+
+        def drain(n_pages: int) -> None:
+            stream = (
+                spark.readStream.format("restpages")
+                .option("pages", n_pages)
+                .option("page_size", 10)
+                .option("batch_pages", 10)
+                .load()
+            )
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        drain(4)
+        first = spark.read.parquet(out)
+        assert first.count() == 40
+        assert first.select("page").distinct().count() == 4
+
+        drain(6)
+        second = spark.read.parquet(out)
+        assert second.count() == 60  # +20 new rows, nothing replayed
+        assert second.groupBy("page").count().where(F.col("count") != 10).count() == 0
+
+    def test_read_between_offsets_replays_identically(self, spark):
+        """Recovery contract: readBetweenOffsets over a committed range
+        returns exactly the rows the original read produced."""
+        from data_etl_scripts_showcase__spark.sources.restpages import (
+            RestPagesStreamReader,
+        )
+
+        r = RestPagesStreamReader({"pages": "6", "page_size": "5", "batch_pages": "2"})
+        rows1, off1 = r.read({"page": 0})
+        replay = r.readBetweenOffsets({"page": 0}, off1)
+        assert sorted(rows1) == sorted(replay)
+        assert off1 == {"page": 2}

@@ -123,6 +123,42 @@ SHOWCASE = [
         "int8 quantization: one broadcast scale scalar, integer dot "
         "products in codegen — the corpus scan carries 4x fewer bytes",
     ),
+    (
+        "x27_bloom_prejoin",
+        "bloom pre-join: build side collapses to ≤8Ki distinct bit rows "
+        "(two partial aggregates) and BROADCASTS; probe is a broadcast "
+        "left join + conditional count — no shuffle of either key set",
+    ),
+    (
+        "x26_zorder_layout",
+        "Z-order layout: Morton interleave is pure shift/and codegen in "
+        "the scan projection; each layout is exactly one hash aggregate "
+        "on its file id",
+    ),
+    (
+        "d17_duplicate_spans",
+        "duplicated spans: window hashes from one explode, duplicate "
+        "detection one partial-combined aggregate on the hash, join back "
+        "by the same key — suffix-array semantics in shuffle-native form",
+    ),
+    (
+        "a25_hll_distinct_sketch",
+        "HLL sketch: partial_max register aggregate (≤64 rows/group "
+        "leave every task); estimate is scalar arithmetic on the tiny "
+        "register relation",
+    ),
+    (
+        "j11_not_in_null_aware",
+        "NOT IN compiled to a null-aware anti join: BroadcastHashJoin "
+        "LeftAnti with condition None (single-column NAAJ) — ANSI "
+        "three-valued NOT IN semantics with no cartesian fallback",
+    ),
+    (
+        "io7_python_datasource_pages",
+        "custom Python DataSource: BatchScanExec over restpages with one "
+        "input partition per page — pagination parallelised by the "
+        "scheduler, not a driver loop",
+    ),
 ]
 
 
