@@ -12,6 +12,7 @@ surface, plus the registry and maintenance verbs:
     python -m data_etl_scripts_showcase__spark query     --name q1_pricing_summary
     python -m data_etl_scripts_showcase__spark compact   --path /tmp/snap --part-col ds
     python -m data_etl_scripts_showcase__spark forget    --path /tmp/snap --part-col ds --key-col c_custkey --keys 3,7
+    python -m data_etl_scripts_showcase__spark fingerprint --table customer --against /tmp/copy
 
 ``--sf-dir`` defaults to $SPARK_GRAFT_SF_DIR (driver convention).
 """
@@ -58,6 +59,15 @@ def _parser() -> argparse.ArgumentParser:
     d.add_argument("--part-col", required=True)
     d.add_argument("--key-col", required=True)
     d.add_argument("--keys", required=True, help="comma-separated key values (ints)")
+
+    fp = sub.add_parser(
+        "fingerprint",
+        help="order-independent table checksum; with --against, verify a copy",
+    )
+    fp.add_argument("--table", required=True, help="source table name in --sf-dir")
+    fp.add_argument(
+        "--against", default=None, help="parquet path of a copy to verify"
+    )
     return p
 
 
@@ -112,6 +122,21 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.path, args.part_col, args.key_col, keys
         )
         print(f"rewrote partitions: {parts or 'none contained the keys'}")
+    elif args.cmd == "fingerprint":
+        from .sinks.quality import table_fingerprint
+        from .sources import load_table
+
+        src = load_table(spark, args.sf_dir, args.table)
+        n, fp = table_fingerprint(src)
+        print(f"{args.table}: rows={n} fingerprint={fp}")
+        if args.against:
+            copy = spark.read.parquet(args.against).select(*src.columns)
+            n2, fp2 = table_fingerprint(copy)
+            print(f"copy: rows={n2} fingerprint={fp2}")
+            if (n, fp) != (n2, fp2):
+                print("MISMATCH", file=sys.stderr)
+                return 1
+            print("MATCH")
     return 0
 
 

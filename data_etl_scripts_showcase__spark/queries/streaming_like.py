@@ -466,3 +466,94 @@ def st14_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("item_id").alias("max_id"),
     )
     return run_to_memory(agg, mode="complete")
+
+
+@register(
+    "st15_stream_left_outer_attribution",
+    oracle="""
+    WITH c AS (
+        SELECT event_id AS click_id, user_id AS c_user, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT event_id AS purchase_id, user_id AS p_user, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    bound AS (
+        SELECT least(
+                   (SELECT max(ts) FROM events WHERE event_type = 'click'),
+                   (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+               ) - INTERVAL 1 DAY - INTERVAL 2 HOUR AS safe_ts
+    )
+    SELECT c.click_id,
+           p.purchase_id,
+           (p.purchase_id IS NOT NULL) AS converted
+    FROM c
+    LEFT JOIN p
+      ON c.c_user = p.p_user
+     AND p.purchase_ts >= c.click_ts
+     AND p.purchase_ts <= c.click_ts + INTERVAL 1 DAY
+    CROSS JOIN bound
+    WHERE c.click_ts <= bound.safe_ts
+    """,
+    survey="§2.10 extended (stream-stream LEFT OUTER join: watermark-evicted non-conversions emitted as nulls)",
+)
+def st15_stream_left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click joins purchases
+    by the same user within 1 day — and clicks that never convert are
+    emitted WITH NULL once the watermark proves no future purchase can
+    match (state eviction is the emission trigger; an inner join — st7 —
+    would silently drop them).  Non-conversion is the signal funnel
+    analytics actually needs.
+
+    Oracle discipline: null emission near the end of a finite stream is
+    inherently partial (the last clicks' state is still live when
+    availableNow drains), so BOTH sides restrict to the provably-evicted
+    region — clicks older than the GLOBAL watermark bound (the min over
+    both inputs' max event time, since the engine's watermark is the min
+    across sources) minus horizon and slack.
+    Inside that region the streamed result equals the batch left join
+    exactly; outside it no engine-independent truth exists.  At 100 TB
+    the join state stays bounded by (watermark + horizon) per user — the
+    same eviction doing the semantic work here is what caps the state
+    store."""
+    ev = events_stream(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", "1 hour")
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", "1 hour")
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 DAY"))
+    )
+    j = clicks.join(purch, cond, "left_outer").select(
+        "click_id", "purchase_id", "click_ts"
+    )
+    emitted = run_to_memory(j, mode="append")
+
+    from ..sources import load_table
+
+    bev = load_table(spark, sf_dir, "events")
+    safe = bev.where(F.col("event_type").isin("click", "purchase")).groupBy(
+        "event_type"
+    ).agg(F.max("ts").alias("mx")).agg(
+        (
+            F.min("mx") - F.expr("INTERVAL 1 DAY") - F.expr("INTERVAL 2 HOUR")
+        ).alias("safe_ts")
+    )
+    return (
+        emitted.crossJoin(F.broadcast(safe))
+        .where(F.col("click_ts") <= F.col("safe_ts"))
+        .select(
+            "click_id",
+            "purchase_id",
+            F.col("purchase_id").isNotNull().alias("converted"),
+        )
+    )

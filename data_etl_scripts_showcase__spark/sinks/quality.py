@@ -67,3 +67,38 @@ def upsert_run_metrics(
         shutil.rmtree(path)
     shutil.move(staging, path)
     return spark.read.parquet(path)
+
+
+def table_fingerprint(df: DataFrame) -> tuple[int, int]:
+    """Order-independent content checksum: (n_rows, sum of per-row 32-bit
+    md5 hashes over ALL columns in a canonical string form).
+
+    Commutative-sum hashing makes the fingerprint identical under any row
+    order, partitioning, or file layout — so a 100 TB copy/migration
+    (the reference's MSSQL → CSV → GCS → BigQuery hop) verifies with one
+    scan per side and no sort.  Nulls are marked distinctly from empty
+    strings; column order follows the schema, so both sides must agree
+    on column order (use select to align first).  Doubles are formatted
+    by Spark's cast-to-string on BOTH sides, which is consistent
+    Spark-to-Spark; cross-engine comparison should canonicalize decimals
+    first (see x31_table_fingerprint).
+    """
+    from pyspark.sql import functions as F
+
+    canon = F.concat_ws(
+        "|",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            for c in df.columns
+        ],
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("bigint")
+    row = (
+        df.select(h.alias("_h"))
+        .agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("_h"), F.lit(0)).cast("bigint").alias("fp"),
+        )
+        .collect()[0]
+    )
+    return int(row.n), int(row.fp)

@@ -280,3 +280,30 @@ class TestCli:
         rc = main(["compact", "--path", base, "--part-col", "ds"])
         assert rc == 0
         assert spark.read.parquet(base).count() == n_before
+
+
+class TestFingerprintCli:
+    def test_cli_fingerprint_match_and_mismatch(self, spark, tmp_path, capsys):
+        """fingerprint verb: a faithful copy matches whatever the row order;
+        a corrupted copy is caught (exit 1)."""
+        from data_etl_scripts_showcase__spark.__main__ import main
+        from data_etl_scripts_showcase__spark.sources import load_table
+
+        sf = "/root/testdata/sf0.001"
+        src = load_table(spark, sf, "region")
+        good = str(tmp_path / "good")
+        # shuffle row order and file layout — fingerprint must not care
+        src.orderBy(F.rand(seed=1)).repartition(3).write.parquet(good)
+        rc = main(["--sf-dir", sf, "fingerprint", "--table", "region", "--against", good])
+        assert rc == 0
+        assert "MATCH" in capsys.readouterr().out
+
+        bad = str(tmp_path / "bad")
+        src.withColumn(
+            "r_name",
+            F.when(F.col("r_regionkey") == 0, F.lit("CORRUPTED")).otherwise(
+                F.col("r_name")
+            ),
+        ).write.parquet(bad)
+        rc = main(["--sf-dir", sf, "fingerprint", "--table", "region", "--against", bad])
+        assert rc == 1
