@@ -58,3 +58,38 @@ def interval_join(
         )
         .drop("_b")
     )
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_val: str,
+    eps: Column,
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """Band (theta) join: pairs with ``|left_val - right_val| <= eps``,
+    executed as an EQUALITY join on value buckets of width eps.
+
+    The naive plan for a band predicate is a nested-loop/cartesian join —
+    quadratic and a non-starter at scale.  Bucketing by ``floor(v / eps)``
+    guarantees any in-band partner sits in the same or an adjacent bucket,
+    so exploding the left side to its 3 neighbor buckets turns the theta
+    join into a hash-partitioned equality join (3x left fan-out, never
+    |L|x|R|), with the exact band predicate re-applied after.  Same trick
+    as the interval join above, applied to a symmetric numeric band.
+    ``extra_keys`` are additional equality keys (they ride the same
+    shuffle).
+    """
+    keys = list(extra_keys or [])
+    lb = F.floor(F.col(left_val) / eps).cast("bigint")
+    rb = F.floor(F.col(right_val) / eps).cast("bigint")
+    l3 = left.select(
+        "*", F.explode(F.array(lb - 1, lb, lb + 1)).alias("_band")
+    )
+    r1 = right.select("*", rb.alias("_band"))
+    return (
+        l3.join(r1, keys + ["_band"])
+        .where((F.col(left_val) - F.col(right_val)).between(-eps, eps))
+        .drop("_band")
+    )

@@ -294,3 +294,48 @@ def io7_python_datasource_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("item_id").alias("max_id"),
         F.countDistinct("payload").alias("n_payloads"),
     )
+
+
+@register(
+    "io8_python_datasource_sink",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+    FROM customer WHERE c_acctbal > 0 GROUP BY c_mktsegment
+    """,
+    survey="S10 extended (custom Python DataSource SINK: per-partition batched POST with 2-phase commit)",
+)
+def io8_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the CUSTOM PYTHON DATA SOURCE SINK
+    (sources/restpages.py RestPostDataSource): positive-balance customers
+    are written as per-partition 'POST batches' with the two-phase commit
+    protocol (stage per task → atomic manifest publish on driver commit),
+    then read back TRUSTING ONLY THE MANIFEST and re-aggregated; the
+    oracle aggregates the source directly, so a dropped batch, a
+    double-committed batch, or an orphaned stage file all surface as a
+    value mismatch.  This replaces the reference's O(n²) CSV rewrite +
+    sleep-based upload consistency (`main.py:710-715`,
+    `Gonukkad_Merchants.py:126-157`) with all-or-nothing visibility.
+    Balances travel as exact integer cents (the v9/x4 discipline) so the
+    JSON hop is lossless."""
+    import tempfile as _tf
+
+    from ..sources.restpages import read_manifest, register_restpages
+
+    register_restpages(spark)
+    out = _tf.mkdtemp(prefix="restpost_")
+    c = load_table(spark, sf_dir, "customer")
+    staged = c.where(F.col("c_acctbal") > 0).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+    )
+    staged.write.format("restpost").option("path", out).mode("append").save()
+    back = read_manifest(
+        spark, out, "c_custkey bigint, c_mktsegment string, bal_cents bigint"
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum("bal_cents").cast("bigint").alias("bal_cents"),
+    )

@@ -542,3 +542,50 @@ def j11_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_mktsegment
         """
     )
+
+
+@register(
+    "j12_band_join",
+    oracle="""
+    SELECT a.s_nationkey,
+           a.s_suppkey AS supp_a, b.s_suppkey AS supp_b,
+           round(abs(a.s_acctbal - b.s_acctbal), 2) AS bal_gap
+    FROM supplier a
+    JOIN supplier b
+      ON a.s_nationkey = b.s_nationkey
+     AND a.s_suppkey < b.s_suppkey
+     AND abs(a.s_acctbal - b.s_acctbal) <= 200.0
+    """,
+    survey="J-std extended (band/theta join |a-b|<=eps as bucketed equality join — no cartesian)",
+)
+def j12_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join: same-nation supplier pairs whose account balances differ
+    by at most 50.0 — the |a−b| ≤ ε theta predicate that naively plans as
+    a nested-loop join.  `operators.rangejoin.band_join` rewrites it to an
+    equality join on ε-width value buckets (left side exploded to its 3
+    neighbor buckets), so the plan is a hash-partitioned join with 3×
+    fan-out instead of |L|×|R| — the difference between feasible and
+    impossible at 100 TB.  The exact predicate re-applies post-join;
+    the oracle is the plain theta join."""
+    from ..operators.rangejoin import band_join
+
+    s = load_table(spark, sf_dir, "supplier")
+    a = s.select(
+        F.col("s_nationkey"),
+        F.col("s_suppkey").alias("supp_a"),
+        F.col("s_acctbal").alias("bal_a"),
+    )
+    b = s.select(
+        F.col("s_nationkey"),
+        F.col("s_suppkey").alias("supp_b"),
+        F.col("s_acctbal").alias("bal_b"),
+    )
+    pairs = band_join(
+        a, b, "bal_a", "bal_b", F.lit(200.0), extra_keys=["s_nationkey"]
+    ).where(F.col("supp_a") < F.col("supp_b"))
+    return pairs.select(
+        "s_nationkey",
+        "supp_a",
+        "supp_b",
+        F.round(F.abs(F.col("bal_a") - F.col("bal_b")), 2).alias("bal_gap"),
+    )

@@ -27,8 +27,10 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 
@@ -112,9 +114,98 @@ class RestPagesStreamReader(SimpleDataSourceStreamReader):
         pass  # nothing to acknowledge on the mock endpoint
 
 
+class StagedFile(WriterCommitMessage):
+    """Per-task commit message: the staged batch file this task produced."""
+
+    def __init__(self, path: str, n_rows: int):
+        self.path = path
+        self.n_rows = n_rows
+
+
+class RestPostDataSource(DataSource):
+    """``df.write.format("restpost").option("path", dir)`` sink.
+
+    The reference's only sinks are a full-file CSV rewrite per appended
+    row (`main.py:710-715` — the O(n²) anti-pattern) and a blocking GCS
+    upload with a sleep-based consistency wait (`Gonukkad_Merchants.py:
+    126-157`).  This is the engine-native custom sink: each task POSTs
+    its partition as one batch (mocked as a staged JSONL file) and
+    returns a commit message; the driver's ``commit`` publishes a
+    manifest ATOMICALLY listing exactly the acknowledged batches, and
+    ``abort`` discards staged output — the standard two-phase commit
+    that gives a REST/object-store sink all-or-nothing visibility with
+    no sleeps.  Readers trust only the manifest, so a failed task's
+    orphan stage files are invisible.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "restpost"
+
+    def schema(self) -> str:  # sink-only source; schema comes from the df
+        return "unused string"
+
+    def writer(self, schema, overwrite: bool) -> "RestPostWriter":
+        return RestPostWriter(self.options)
+
+
+class RestPostWriter(DataSourceWriter):
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator) -> StagedFile:
+        """Executor-side: one 'POST batch' per partition → staged file."""
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        fname = os.path.join(self.path, f"stage-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(fname, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return StagedFile(fname, n)
+
+    def commit(self, messages) -> None:
+        """Driver-side: publish the manifest of acknowledged batches."""
+        import json
+        import os
+
+        manifest = {
+            "files": sorted(m.path for m in messages),
+            "n_rows": sum(m.n_rows for m in messages),
+        }
+        tmp = os.path.join(self.path, "_MANIFEST.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.path, "_MANIFEST"))  # atomic publish
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.path)
+            except OSError:
+                pass
+
+
+def read_manifest(spark, path: str, schema: str):
+    """Read back ONLY the batches the manifest acknowledges."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_MANIFEST")) as f:
+        manifest = json.load(f)
+    return spark.read.schema(schema).json(manifest["files"])
+
+
 def register_restpages(spark) -> None:
-    """Idempotently register the source with the session."""
-    try:
-        spark.dataSource.register(RestPagesDataSource)
-    except Exception:
-        pass  # already registered in this session
+    """Idempotently register the connector's source and sink."""
+    for ds in (RestPagesDataSource, RestPostDataSource):
+        try:
+            spark.dataSource.register(ds)
+        except Exception:
+            pass  # already registered in this session

@@ -98,3 +98,29 @@ class TestOrcAndText:
         src = {r.text for r in d.select("text").collect()}
         got = {r.text for r in back.collect()}
         assert got == src
+
+
+class TestPythonDataSourceSink:
+    def test_manifest_ignores_orphan_stage_files(self, spark, tmp_path):
+        """Two-phase commit contract: readers trust the manifest, so an
+        orphaned stage file (a failed/zombie task's output) is invisible."""
+        from data_etl_scripts_showcase__spark.sources.restpages import (
+            read_manifest,
+            register_restpages,
+        )
+
+        register_restpages(spark)
+        out = str(tmp_path / "sink")
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k bigint, v string"
+        )
+        df.write.format("restpost").option("path", out).mode("append").save()
+
+        # zombie task drops an uncommitted stage file
+        with open(f"{out}/stage-zombie.jsonl", "w") as f:
+            f.write('{"k": 99, "v": "ghost"}\n')
+
+        back = read_manifest(spark, out, "k bigint, v string")
+        assert sorted((r.k, r.v) for r in back.collect()) == [
+            (1, "a"), (2, "b"), (3, "c")
+        ]
