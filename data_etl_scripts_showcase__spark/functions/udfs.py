@@ -122,3 +122,34 @@ class SplitSentencesUdtf:
             if part:
                 yield i, part, len(part)
                 i += 1
+
+
+class TopTokensUdtf:
+    """POLYMORPHIC Python UDTF (Spark 4 ``analyze`` surface): the output
+    schema is computed at plan time from the LITERAL ``k`` argument —
+    ``top_tokens(text, 3)`` returns columns (tok_1, tok_2, tok_3).  This
+    is the dynamic-schema table-function machinery (the engine-side
+    answer to the reference's ``rows[0].keys()`` runtime schemas,
+    SURVEY §1.2) done safely: the schema is resolved BEFORE execution,
+    so downstream operators bind columns statically."""
+
+    @staticmethod
+    def analyze(text, k):
+        from pyspark.sql.types import StringType, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        n = int(k.value)
+        schema = StructType()
+        for i in range(n):
+            schema = schema.add(f"tok_{i + 1}", StringType())
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, text, k):  # pragma: no cover - exercised via queries
+        import re
+
+        toks = []
+        if text:
+            norm = re.sub(r"\s+", " ", text.lower()).strip()
+            toks = norm.split(" ") if norm else []
+        n = int(k)
+        yield tuple(toks[i] if i < len(toks) else None for i in range(n))

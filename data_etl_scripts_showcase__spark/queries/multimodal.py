@@ -370,3 +370,92 @@ def mm8_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("actual_len").cast("bigint").alias("total_bytes"),
         )
     )
+
+
+@register(
+    "mm9_frame_feature_pooling",
+    oracle=f"""
+    WITH a AS (
+        SELECT doc_id AS asset_id,
+               octet_length(CAST(text AS BLOB)) AS blen,
+               md5(text) AS h
+        FROM documents
+        WHERE {_MEDIA_CASE} = 'video'
+    ),
+    p AS (
+        SELECT asset_id, h,
+               1 + blen % 32 AS n_frames
+        FROM a
+    ),
+    frames AS (
+        SELECT asset_id, h, CAST(i AS INTEGER) AS frame_idx
+        FROM p, LATERAL (
+            SELECT unnest(range(0, n_frames, greatest(1, (n_frames + 7) // 8))) AS i
+        )
+    ),
+    feat AS (
+        SELECT asset_id, frame_idx,
+               ('0x' || substr(md5(concat(h, ':', frame_idx::VARCHAR, ':0')), 1, 8))::BIGINT % 1000 AS f0,
+               ('0x' || substr(md5(concat(h, ':', frame_idx::VARCHAR, ':1')), 1, 8))::BIGINT % 1000 AS f1,
+               ('0x' || substr(md5(concat(h, ':', frame_idx::VARCHAR, ':2')), 1, 8))::BIGINT % 1000 AS f2,
+               ('0x' || substr(md5(concat(h, ':', frame_idx::VARCHAR, ':3')), 1, 8))::BIGINT % 1000 AS f3
+        FROM frames
+    )
+    SELECT asset_id,
+           CAST(count(*) AS BIGINT) AS n_frames_pooled,
+           round(avg(f0), 4) AS e0,
+           round(avg(f1), 4) AS e1,
+           round(avg(f2), 4) AS e2,
+           round(avg(f3), 4) AS e3
+    FROM feat GROUP BY asset_id
+    """,
+    survey="NS-mm extended (temporal pooling: per-frame features mean-pooled to an asset-level embedding)",
+)
+def mm9_frame_feature_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video → embedding, the full multimodal feature shape: decode
+    (stubbed container probe), evenly-spaced frame sampling (mm5's grid),
+    a per-frame feature vector (deterministic pseudo-features standing in
+    for a vision encoder — pure functions of the frame bytes), and MEAN
+    POOLING over the temporal axis into one asset-level embedding.  At
+    100 TB the pooling is the cheap half (a keyed aggregate over ≤8 rows
+    per asset); the encoder half is the mapInPandas batch stage mm2
+    already proves — this query pins the aggregation contract those
+    features feed.  Exact-integer features; only the final mean is float,
+    rounded to 4 dp."""
+    from ..operators.dedup import h32
+
+    assets = MM.to_assets(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    frames = MM.sample_video_frames(
+        assets, parallelism=spark.sparkContext.defaultParallelism
+    )
+    chk = assets.where(F.col("media_type") == "video").select(
+        "asset_id", F.md5("content").alias("h")
+    )
+    f = frames.join(chk, "asset_id")
+    def frame_feat(j: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("h"),
+                            F.lit(":"),
+                            F.col("frame_idx").cast("string"),
+                            F.lit(f":{j}"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 1000
+        ).alias(f"f{j}")
+
+    feats = [frame_feat(j) for j in range(4)]
+    feat = f.select("asset_id", "frame_idx", *feats)
+    return feat.groupBy("asset_id").agg(
+        F.count("*").alias("n_frames_pooled"),
+        *[F.round(F.avg(f"f{j}"), 4).alias(f"e{j}") for j in range(4)],
+    )

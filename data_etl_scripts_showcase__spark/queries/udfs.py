@@ -163,3 +163,38 @@ def udf5_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         approx_tokens("text").alias("approx_tokens"),
         sig("text").alias("sig"),
     )
+
+
+@register(
+    "udf6_polymorphic_udtf",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                   AS toks
+        FROM documents
+    )
+    SELECT doc_id, toks[1] AS tok_1, toks[2] AS tok_2, toks[3] AS tok_3
+    FROM t
+    """,
+    survey="§2.11 extended (polymorphic Python UDTF: plan-time dynamic schema via analyze())",
+)
+def udf6_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's polymorphic UDTF: ``analyze()`` derives the output
+    schema (tok_1..tok_k) from the literal ``k`` at PLAN time, so a
+    dynamic-width table function still binds statically downstream — the
+    safe version of the reference's runtime ``rows[0].keys()`` schemas
+    (SURVEY §1.2).  Row-at-a-time Python is the documented slow path
+    (mapInPandas is the hot-loop form); this pins the API surface,
+    verified value-for-value against the pure-SQL equivalent."""
+    from ..functions.udfs import TopTokensUdtf
+    from pyspark.sql.functions import lit, udtf
+
+    spark.udtf.register("top_tokens", udtf(TopTokensUdtf))
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("__docs_udtf6")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.tok_1, t.tok_2, t.tok_3
+        FROM __docs_udtf6 d, LATERAL top_tokens(d.text, 3) t
+        """
+    )
