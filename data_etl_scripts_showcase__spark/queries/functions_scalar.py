@@ -362,3 +362,42 @@ def f_null_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("o_totalprice"))
         .alias("nan_guarded"),
     )
+
+
+@register(
+    "f_collation_ci",
+    oracle="""
+    WITH m AS (
+        SELECT CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END AS mixed
+        FROM documents
+    )
+    SELECT CAST(count(DISTINCT mixed) AS BIGINT) AS n_raw_distinct,
+           CAST(count(DISTINCT lower(mixed)) AS BIGINT) AS n_ci_distinct,
+           CAST(count(CASE WHEN lower(mixed) = 'en' THEN 1 END) AS BIGINT) AS n_en_ci
+    FROM m
+    """,
+    survey="F-std extended (Spark 4 collations: case-insensitive compare/distinct via UTF8_LCASE)",
+)
+def f_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collation surface: the lang column is case-mangled
+    deterministically (even ids uppercased), then compared and
+    distinct-counted under the UTF8_LCASE collation — the engine-level
+    form of case-insensitive semantics, instead of sprinkling lower()
+    into every predicate (which defeats statistics and pushdown on
+    collated columns).  The raw distinct count doubles (EN vs en); the
+    collated one restores the true language count; equality against 'EN'
+    matches both cases.  Oracle uses explicit lower() — same semantics,
+    pre-collation style."""
+    d = load_table(spark, sf_dir, "documents")
+    mixed = F.when(F.col("doc_id") % 2 == 0, F.upper("lang")).otherwise(
+        F.col("lang")
+    )
+    m = d.select(
+        mixed.alias("mixed"),
+        F.collate(mixed, "UTF8_LCASE").alias("mixed_ci"),
+    )
+    return m.agg(
+        F.countDistinct("mixed").alias("n_raw_distinct"),
+        F.countDistinct("mixed_ci").alias("n_ci_distinct"),
+        F.count(F.when(F.col("mixed_ci") == F.lit("EN"), 1)).alias("n_en_ci"),
+    )

@@ -793,3 +793,35 @@ def x21_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
         F.min("doc_id").cast("bigint").alias("first_doc"),
     )
+
+
+@register(
+    "a26_approx_topk",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    ORDER BY n DESC, event_type LIMIT 3
+    """,
+    survey="A-std extended (approx_top_k heavy-hitter sketch — exact-regime contract vs true top-k)",
+)
+def a26_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's ``approx_top_k`` sketch queried in its exact regime:
+    with sketch capacity ≫ distinct keys the frequent-items sketch
+    degrades gracefully to the true top-k — which is the verifiable
+    contract (the same discipline as a18's HLL±5% and a21's quantile
+    bounds: an approximate operator earns its place by a checkable
+    guarantee, not trust).  At 100 TB cardinalities the same one-pass,
+    mergeable sketch keeps O(capacity) state per group where the exact
+    x11 heavy-hitters pipeline needs a full key aggregate; the sketch's
+    item counts remain exact for any item that never left the sketch.
+    Deterministic here: the 5 event types have distinct counts at every
+    generated SF (no tie-break ambiguity)."""
+    ev = load_table(spark, sf_dir, "events")
+    topk = ev.agg(
+        F.expr("approx_top_k(event_type, 3)").alias("tk")
+    ).select(F.explode("tk").alias("e"))
+    return topk.select(
+        F.col("e.item").alias("event_type"),
+        F.col("e.count").cast("bigint").alias("n"),
+    )
