@@ -557,3 +557,51 @@ def st15_stream_left_outer_attribution(spark: SparkSession, sf_dir: str) -> Data
             F.col("purchase_id").isNotNull().alias("converted"),
         )
     )
+
+
+@register(
+    "x33_snapshot_time_travel",
+    oracle="""
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+    """,
+    survey="S12 extended (snapshot time travel: VERSION AS OF over immutable snapshot versions)",
+)
+def x33_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the versioned SCD1 snapshot store: v0 is built
+    from events before the cutover, v1 merges in the rest — and a reader
+    asking for VERSION AS OF 0 gets exactly the pre-cutover state even
+    though v1 has since been published (immutable version directories
+    are what make the S12 promote safe to travel; the reference's
+    rename-sweep keeps only 'latest' and destroys history,
+    Gonukkad_Merchants.py:142-155).  The oracle recomputes the as-of
+    state straight from the pre-cutover events: users, cumulative event
+    count, and the latest event time the v0 snapshot had seen."""
+    import tempfile as _tf
+
+    from ..sources import load_table
+    from ..streaming.jobs import (
+        merge_snapshots,
+        read_snapshot_as_of,
+        user_snapshot,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    base = _tf.mkdtemp(prefix="timetravel_")
+    v0 = user_snapshot(ev.where(F.col("ts") < cut))
+    v0.write.parquet(f"{base}/v{0:09d}")
+    v1 = merge_snapshots(
+        spark.read.parquet(f"{base}/v{0:09d}"),
+        user_snapshot(ev.where(F.col("ts") >= cut)),
+    )
+    v1.write.parquet(f"{base}/v{1:09d}")
+
+    asof = read_snapshot_as_of(spark, base, 0)
+    return asof.agg(
+        F.count("*").alias("n_users"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.date_format(F.max("last_ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )

@@ -894,3 +894,68 @@ def t18_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("avg_logprob"), 6).alias("max_score"),
         F.round(F.avg("avg_logprob"), 6).alias("mean_score"),
     )
+
+
+@register(
+    "t19_hashed_linear_scorer",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    t AS (SELECT doc_id, unnest(toks) AS tok FROM n),
+    f AS (
+        SELECT doc_id,
+               (('0x' || substr(md5(concat('w:', tok)), 1, 8))::BIGINT % 201 - 100)
+                   AS w
+        FROM t
+    ),
+    s AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(w) AS BIGINT) AS logit_centi
+        FROM f GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, logit_centi,
+           round(1.0 / (1.0 + exp(-(logit_centi / (100.0 * n_tokens)))), 6) AS score,
+           (1.0 / (1.0 + exp(-(logit_centi / (100.0 * n_tokens)))) >= 0.5) AS keep
+    FROM s
+    """,
+    survey="NS-text extended (hashed-feature linear scorer: model-based quality filtering in codegen)",
+)
+def t19_hashed_linear_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, the fastText-linear-classifier shape
+    used to score web text for LLM corpora: each token hashes into a
+    weight (the hashing trick — no vocabulary table, fixed memory at any
+    vocab size), the per-doc logit is the mean token weight, and the
+    sigmoid score gates keep/drop.  The weights here are md5-derived
+    stand-ins for trained parameters, which keeps the full pipeline —
+    tokenize → hash → weight lookup → reduce → link function → gate —
+    oracle-verifiable end-to-end.  Everything is codegen expressions;
+    the logit accumulates in EXACT integer centi-units (the v9/x4
+    discipline), so only the final sigmoid is float, rounded to 6 dp.
+    Swapping in real weights is a broadcast-join against a (hash_bucket,
+    weight) table — same plan shape."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
+    w = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("w:"), F.col("tok"))), 1, 8), 16, 10
+        ).cast("bigint")
+        % 201
+        - 100
+    )
+    s = tok.select("doc_id", w.alias("w")).groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("w").cast("bigint").alias("logit_centi"),
+    )
+    score = 1.0 / (
+        1.0
+        + F.exp(
+            -(F.col("logit_centi") / (100.0 * F.col("n_tokens")))
+        )
+    )
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        "logit_centi",
+        F.round(score, 6).alias("score"),
+        (score >= 0.5).alias("keep"),
+    )

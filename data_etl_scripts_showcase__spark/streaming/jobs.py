@@ -408,6 +408,27 @@ def read_latest_snapshot(spark: SparkSession, base_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(base_dir, versions[-1]))
 
 
+def read_snapshot_as_of(
+    spark: SparkSession, base_dir: str, version: int
+) -> DataFrame:
+    """TIME TRAVEL: read the snapshot at or before ``version``.
+
+    Versions are immutable directories, so any historical state remains
+    readable after later merges — the Delta/Iceberg `VERSION AS OF`
+    semantics on plain parquet.  Readers pick the highest published
+    version ≤ the requested one; retention (sinks/retention.py) bounds
+    how far back travel reaches."""
+    import os
+
+    versions = sorted(
+        int(d[1:]) for d in os.listdir(base_dir) if d.startswith("v")
+    )
+    eligible = [v for v in versions if v <= version]
+    if not eligible:
+        raise ValueError(f"no snapshot version <= {version} in {base_dir}")
+    return spark.read.parquet(os.path.join(base_dir, f"v{eligible[-1]:09d}"))
+
+
 def has_transform_with_state_runtime() -> bool:
     """transformWithStateInPandas needs the protobuf runtime (its state
     API speaks StateMessage protos to the JVM).  Capability-gate, don't
