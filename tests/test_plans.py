@@ -388,3 +388,12 @@ class TestScaleOpsPlans:
         partials (the |tokens|-row explode collapses before the shuffle)."""
         plan = plan_of(spark, "d17_duplicate_spans")
         assert "partial_count" in plan
+
+
+class TestBandJoinPlan:
+    def test_band_join_is_not_cartesian(self, spark):
+        """j12: the |a-b|<=eps predicate must run as a bucketed equality
+        join, never a nested-loop/cartesian plan."""
+        plan = plan_of(spark, "j12_band_join")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

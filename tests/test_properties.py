@@ -604,3 +604,33 @@ def test_zvalue_roundtrip_property(spark, pts):
         xx = sum(((r.zv >> (2 * i)) & 1) << i for i in range(8))
         yy = sum(((r.zv >> (2 * i + 1)) & 1) << i for i in range(8))
         assert (xx, yy) == (r.x, r.y)
+
+
+@FAST
+@given(
+    st.lists(st.integers(0, 2000), min_size=1, max_size=30),
+    st.lists(st.integers(0, 2000), min_size=1, max_size=30),
+    st.sampled_from([7, 50, 137]),
+)
+def test_band_join_equals_brute_force(spark, lvals, rvals, eps):
+    """The bucketed band join returns exactly the |a-b|<=eps pair set of
+    the brute-force theta join, for any data and band width."""
+    from data_etl_scripts_showcase__spark.operators.rangejoin import band_join
+
+    l = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(lvals)], "lid bigint, lv double"
+    )
+    r = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(rvals)], "rid bigint, rv double"
+    )
+    got = {
+        (x.lid, x.rid)
+        for x in band_join(l, r, "lv", "rv", F.lit(float(eps))).collect()
+    }
+    want = {
+        (i, j)
+        for i, a in enumerate(lvals)
+        for j, b in enumerate(rvals)
+        if abs(a - b) <= eps
+    }
+    assert got == want
