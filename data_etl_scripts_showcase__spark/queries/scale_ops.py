@@ -513,3 +513,150 @@ def x32_pseudonymized_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("price").cast("double").alias("revenue"),
         )
     )
+
+
+# ------------------------------------------------ x34: k-anonymity audit
+
+
+@register(
+    "x34_k_anonymity_audit",
+    oracle="""
+    WITH q AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+               count(*) AS grp
+        FROM customer
+        GROUP BY 1, 2, 3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(count(CASE WHEN grp < 5 THEN 1 END) AS BIGINT) AS n_small_classes,
+           CAST(sum(CASE WHEN grp < 5 THEN grp ELSE 0 END) AS BIGINT) AS n_risky_rows,
+           CAST(min(grp) AS BIGINT) AS k_anonymity
+    FROM q
+    """,
+    survey="NS-privacy (k-anonymity audit: quasi-identifier equivalence classes below threshold)",
+)
+def x34_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification risk audit: group customers by their
+    quasi-identifier combination (nation, segment, coarse balance band)
+    and report how many equivalence classes fall below k=5 — rows in
+    such classes are re-identifiable by linking external data even after
+    direct identifiers are tokenized (x32's step).  The dataset's
+    k-anonymity IS the minimum class size.  This is the release gate a
+    privacy review runs before publishing an analytical extract; one
+    hash aggregate over the quasi-identifiers, O(classes) output at any
+    row count."""
+    c = load_table(spark, sf_dir, "customer")
+    q = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+    ).agg(F.count("*").alias("grp"))
+    return q.agg(
+        F.count("*").alias("n_classes"),
+        F.count(F.when(F.col("grp") < 5, 1)).alias("n_small_classes"),
+        F.sum(F.when(F.col("grp") < 5, F.col("grp")).otherwise(0))
+        .cast("bigint")
+        .alias("n_risky_rows"),
+        F.min("grp").cast("bigint").alias("k_anonymity"),
+    )
+
+
+# ------------------------------------------------ x35: geo radius join
+
+_GEO_PT = """
+        SELECT c_custkey AS id,
+               (('0x' || substr(md5(concat('lat:', c_custkey::VARCHAR)), 1, 8))::BIGINT % 12000) / 100.0 - 60.0 AS lat,
+               (('0x' || substr(md5(concat('lon:', c_custkey::VARCHAR)), 1, 8))::BIGINT % 36000) / 100.0 - 180.0 AS lon
+        FROM customer
+"""
+
+_HAV = """2.0 * 6371.0088 * asin(sqrt(
+               pow(sin(radians(b.lat - a.lat) / 2), 2)
+               + cos(radians(a.lat)) * cos(radians(b.lat))
+                 * pow(sin(radians(b.lon - a.lon) / 2), 2)))"""
+
+
+@register(
+    "x35_geo_radius_join",
+    oracle=f"""
+    WITH pts AS ({_GEO_PT})
+    SELECT a.id AS id_a, b.id AS id_b,
+           round({_HAV}, 3) AS dist_km
+    FROM pts a JOIN pts b ON a.id < b.id
+    WHERE round({_HAV}, 3) <= 50.0
+    """,
+    survey="NS-geo (radius self-join via lat/lon grid bucketing — haversine without a cartesian plan)",
+)
+def x35_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geospatial radius join: customer pairs within 50 km, with
+    deterministic synthetic coordinates (latitude capped to ±60° so one
+    1°×2° grid cell bounds the radius in both axes).  The engine plan is
+    the 2-D form of the band join: bucket every point into its grid
+    cell, explode one side to the 3×3 neighbor cells, hash-join on the
+    cell key, and apply exact haversine only to co-cell candidates —
+    |candidate| ≈ density × 9 cells instead of |P|² (the oracle IS the
+    quadratic join; at 100 TB only the bucketed form exists).  Distances
+    round to 3 dp (meter precision) on both sides."""
+    c = load_table(spark, sf_dir, "customer")
+
+    def hx(prefix: str):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), F.col("c_custkey").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        ((hx("lat:") % 12000) / 100.0 - 60.0).alias("lat"),
+        ((hx("lon:") % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    a = pts.select(
+        F.col("id").alias("id_a"), F.col("lat").alias("lat_a"), F.col("lon").alias("lon_a")
+    )
+    b = pts.select(
+        F.col("id").alias("id_b"), F.col("lat").alias("lat_b"), F.col("lon").alias("lon_b")
+    )
+    # 3x3 neighbor cells on the a-side; exact cell on the b-side
+    cells_a = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    (F.floor(F.col("lat_a")) + di).alias("latc"),
+                    (F.floor(F.col("lon_a") / 2) + dj).alias("lonc"),
+                )
+                for di in (-1, 0, 1)
+                for dj in (-1, 0, 1)
+            ]
+        )
+    )
+    ae = a.select("*", cells_a.alias("cell")).select(
+        "id_a", "lat_a", "lon_a", F.col("cell.latc").alias("latc"), F.col("cell.lonc").alias("lonc")
+    )
+    be = b.select(
+        "*",
+        F.floor(F.col("lat_b")).alias("latc"),
+        F.floor(F.col("lon_b") / 2).alias("lonc"),
+    )
+    cand = ae.join(be, ["latc", "lonc"]).where(F.col("id_a") < F.col("id_b"))
+    hav = (
+        2.0
+        * 6371.0088
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(F.col("lat_b") - F.col("lat_a")) / 2), 2)
+                + F.cos(F.radians("lat_a"))
+                * F.cos(F.radians("lat_b"))
+                * F.pow(F.sin(F.radians(F.col("lon_b") - F.col("lon_a")) / 2), 2)
+            )
+        )
+    )
+    return (
+        cand.select("id_a", "id_b", F.round(hav, 3).alias("dist_km"))
+        .where(F.col("dist_km") <= 50.0)
+    )

@@ -825,3 +825,39 @@ def a26_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.item").alias("event_type"),
         F.col("e.count").cast("bigint").alias("n"),
     )
+
+
+@register(
+    "a27_regression_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           round(regr_avgx(l_extendedprice, l_quantity), 6) AS avg_x,
+           round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_y
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    survey="A-std extended (OLS regression aggregates: slope/intercept/R2 as one-pass co-moments)",
+)
+def a27_regression_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares fit of extendedprice on quantity
+    via the SQL-standard ``regr_*`` aggregate family — trend estimation
+    as a ONE-PASS aggregate (slope, intercept, R², means), no ML library
+    and no second scan.  Like a15/a16, the co-moment state merges under
+    partial aggregation (Welford-style), so the plan is identical to a
+    `sum`: map-side partials, one shuffle of O(groups) co-moment
+    triples, whatever the row count.  Results round to absorb the last
+    ulps of accumulation order (both engines use numerically stable
+    merges)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).cast("bigint").alias("n"),
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.regr_avgx(y, x), 6).alias("avg_x"),
+        F.round(F.regr_avgy(y, x), 4).alias("avg_y"),
+    )
