@@ -526,6 +526,14 @@ def test_results_independent_of_shuffle_partitioning(spark):
         "v10_quantized_topk",       # quantized ranking
         "x21_sequence_packing",     # running-sum packing
         "j10_scd2_point_in_time",   # as-of fill
+        "a25_hll_distinct_sketch",  # HLL registers + estimate
+        "x27_bloom_prejoin",        # bloom bits + probe accounting
+        "d17_duplicate_spans",      # window-hash dedup
+        "x26_zorder_layout",        # Morton layout spans
+        "t18_perplexity_buckets",   # global ntile tiers
+        "j12_band_join",            # bucketed theta join
+        "x31_table_fingerprint",    # commutative sum-of-hashes
+        "x35_geo_radius_join",      # 2-D grid candidate join
     ]
     registry = load_all()
     sf = "/root/testdata/sf0.001"
