@@ -339,3 +339,56 @@ def io8_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("bal_cents").cast("bigint").alias("bal_cents"),
     )
+
+
+@register(
+    "io9_csv_corrupt_quarantine",
+    oracle="""
+    WITH g AS (
+        SELECT i FROM (SELECT unnest(range(0, 100)) AS i) WHERE i % 10 <> 0
+    )
+    SELECT CAST(100 AS BIGINT) AS n_rows,
+           CAST((SELECT count(*) FROM g) AS BIGINT) AS n_good,
+           CAST(10 AS BIGINT) AS n_quarantined,
+           CAST((SELECT sum(i * 2) FROM g) AS BIGINT) AS val_sum
+    """,
+    survey="S4 extended (CSV PERMISSIVE corrupt-record quarantine — x12's JSON discipline for CSV)",
+)
+def io9_csv_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-CSV quarantine: a synthetic file where every 10th line is
+    garbage is read in PERMISSIVE mode with ``columnNameOfCorruptRecord``
+    — bad lines land intact in the quarantine column instead of aborting
+    the job (FAILFAST) or vanishing (DROPMALFORMED), so the pipeline can
+    COUNT, inspect, and replay them (x12's malformed-JSON discipline
+    applied to the reference's primary interchange format, S4).  The
+    oracle recomputes the expected good/quarantined split and the
+    good-row aggregate arithmetically from the same deterministic
+    generator."""
+    import os
+    import tempfile as _tf
+
+    tmp = _tf.mkdtemp(prefix="csvq_")
+    path = os.path.join(tmp, "input.csv")
+    with open(path, "w") as f:
+        f.write("id,val\n")
+        for i in range(100):
+            f.write(f"bad_line_{i}\n" if i % 10 == 0 else f"{i},{i * 2}\n")
+    df = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .schema("id int, val int, _corrupt string")
+        .csv(path)
+    )
+    # CSV parser caveat (documented Spark behavior): column pruning changes
+    # what the parser attempts, so the corrupt column must be materialized
+    # from a full-schema parse before aggregating over it.
+    df = df.cache()
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("_corrupt").isNull(), 1)).alias("n_good"),
+        F.count("_corrupt").alias("n_quarantined"),
+        F.sum(F.when(F.col("_corrupt").isNull(), F.col("val")))
+        .cast("bigint")
+        .alias("val_sum"),
+    )

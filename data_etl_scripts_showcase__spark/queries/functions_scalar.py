@@ -401,3 +401,46 @@ def f_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("mixed_ci").alias("n_ci_distinct"),
         F.count(F.when(F.col("mixed_ci") == F.lit("EN"), 1)).alias("n_en_ci"),
     )
+
+
+@register(
+    "f_ansi_safe_arith",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount = 0 THEN NULL
+                ELSE round(l_extendedprice / l_discount, 4) END AS price_per_disc,
+           CASE WHEN l_orderkey = 0 THEN 0
+                WHEN l_orderkey = 1 THEN 9223372036854775807
+                ELSE NULL END AS overflow_guarded,
+           (['a','b','c'])[l_linenumber] AS third_letter
+    FROM lineitem
+    """,
+    survey="F-std extended (ANSI-mode error discipline: try_divide/try_multiply/try_element_at)",
+)
+def f_ansi_safe_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 runs ANSI mode BY DEFAULT: division by zero, integer
+    overflow, and out-of-range array access all RAISE instead of
+    silently producing nulls/wraparound — the correctness posture the
+    reference's swallow-and-continue error handling (SURVEY §5) inverts.
+    Where null-on-error is the intended semantics, the engine says so
+    EXPLICITLY with the try_* family: try_divide (zero divisors →
+    null), try_multiply (overflow → null — orderkey×INT64_MAX overflows
+    for every key above 1), try_element_at (out-of-range → null, here
+    line numbers beyond the 3-letter array).  The oracle encodes the
+    same semantics as CASE guards; an engine that silently wrapped or
+    errored would diverge immediately."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide(F.col("l_extendedprice"), F.col("l_discount")), 4
+        ).alias("price_per_disc"),
+        F.try_multiply(
+            F.col("l_orderkey"), F.lit(9223372036854775807).cast("bigint")
+        ).alias("overflow_guarded"),
+        F.try_element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+            F.col("l_linenumber"),
+        ).alias("third_letter"),
+    )
