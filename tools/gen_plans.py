@@ -159,6 +159,17 @@ SHOWCASE = [
         "input partition per page — pagination parallelised by the "
         "scheduler, not a driver loop",
     ),
+    (
+        "x35_geo_radius_join",
+        "geo radius join: 2-D grid-cell equality join (3x3 neighbor "
+        "explode) with exact haversine only on co-cell candidates — no "
+        "cartesian/nested-loop node anywhere",
+    ),
+    (
+        "j12_band_join",
+        "|a-b|<=eps theta join as an eps-bucket equality join with 3x "
+        "left fan-out — hash join, not BroadcastNestedLoopJoin",
+    ),
 ]
 
 
