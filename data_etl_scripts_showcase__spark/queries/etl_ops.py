@@ -788,3 +788,63 @@ def x30_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_rows") / F.avg("n_rows").over(W.partitionBy()), 6
         ).alias("load_factor"),
     )
+
+
+@register(
+    "x36_write_sizing_planner",
+    oracle="""
+    WITH rows_sized AS (
+        SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+               octet_length(CAST(concat_ws('|',
+                   o_orderkey::VARCHAR, o_custkey::VARCHAR, o_orderstatus,
+                   CAST(o_totalprice AS DECIMAL(18,2))::VARCHAR,
+                   CAST(o_orderdate AS DATE)::VARCHAR, o_orderpriority) AS BLOB)) AS nbytes
+        FROM orders
+    )
+    SELECT ym,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(nbytes) AS BIGINT) AS est_bytes,
+           CAST(greatest(1, ceil(sum(nbytes) / 65536.0)) AS BIGINT) AS target_files
+    FROM rows_sized GROUP BY ym
+    """,
+    survey="S11 extended (write sizing planner: per-partition target file count from estimated bytes)",
+)
+def x36_write_sizing_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The small-files problem, prevented instead of cured: before a
+    partitioned write, estimate each partition's serialized size (exact
+    canonical byte length per row — a cheap aggregate) and derive the
+    repartition count that lands ~64 KiB files (64-128 MiB in
+    production).  Feeding ``target_files`` into a per-partition
+    ``repartition(n)`` (or rebalance hint) keeps every output file in
+    the scanner's sweet spot, so the compaction pass (x19's sibling
+    `compact_partitions`) becomes a rare repair, not a scheduled tax.
+    One aggregate over the canonical projection — the same single-pass
+    shape as x23's manifest."""
+    o = load_table(spark, sf_dir, "orders")
+    nbytes = F.octet_length(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            dec2("o_totalprice").cast("string"),
+            F.col("o_orderdate").cast("date").cast("string"),
+            F.col("o_orderpriority"),
+        )
+    )
+    return (
+        o.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+            nbytes.alias("nbytes"),
+        )
+        .groupBy("ym")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("nbytes").cast("bigint").alias("est_bytes"),
+            F.greatest(
+                F.lit(1), F.ceil(F.sum("nbytes") / 65536.0)
+            )
+            .cast("bigint")
+            .alias("target_files"),
+        )
+    )
