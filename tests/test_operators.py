@@ -676,3 +676,41 @@ class TestTriangles:
             [(i, i + 1) for i in range(10)], "src bigint, dst bigint"
         )
         assert triangles(path).count() == 0
+
+
+class TestSnapshotTimeTravel:
+    def test_as_of_picks_highest_eligible_version(self, spark, tmp_path):
+        import pytest
+
+        from data_etl_scripts_showcase__spark.streaming.jobs import (
+            read_snapshot_as_of,
+        )
+
+        base = str(tmp_path)
+        for v, n in ((0, 1), (1, 2), (5, 3)):
+            spark.createDataFrame([(i,) for i in range(n)], "k bigint").write.parquet(
+                f"{base}/v{v:09d}"
+            )
+        assert read_snapshot_as_of(spark, base, 0).count() == 1
+        assert read_snapshot_as_of(spark, base, 3).count() == 2  # gap → v1
+        assert read_snapshot_as_of(spark, base, 99).count() == 3
+        with pytest.raises(ValueError):
+            read_snapshot_as_of(spark, base, -1)
+
+
+class TestBandJoinKeys:
+    def test_extra_keys_restrict_pairs(self, spark):
+        from data_etl_scripts_showcase__spark.operators.rangejoin import band_join
+
+        l = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 10.0)], "lid bigint, g string, lv double"
+        )
+        r = spark.createDataFrame(
+            [(3, "a", 11.0), (4, "b", 100.0)], "rid bigint, g string, rv double"
+        )
+        got = {
+            (x.lid, x.rid)
+            for x in band_join(l, r, "lv", "rv", F.lit(5.0), extra_keys=["g"]).collect()
+        }
+        # (1,3): same group, in band. (2,3): in band but wrong group. (2,4): group ok, out of band.
+        assert got == {(1, 3)}
