@@ -49,6 +49,48 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
     return ab.join(bc, "b").join(ac, ["a", "c"]).select("a", "b", "c")
 
 
+def label_propagation(
+    edges: DataFrame, src: str = "src", dst: str = "dst", n_iter: int = 3
+) -> DataFrame:
+    """Synchronous label-propagation community detection → (id, community).
+
+    Each round every node adopts the most frequent label among its
+    neighbors (ties → smallest label; a node with no majority change
+    keeps drifting toward the deterministic fixpoint).  Unlike connected
+    components (which merges everything reachable), LP splits a component
+    into densely-connected communities — the cluster granularity used to
+    pick canonical representatives inside large near-dup families.
+
+    Determinism: a FIXED iteration count and a total (count DESC, label
+    ASC) ordering make the result exactly reproducible on any engine —
+    the same discipline as pr1's integer PageRank.  Each round is one
+    edge-list join + one (node, label) aggregate + one argmax window;
+    state is 1 row/node.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().persist()
+    labels = sym.select(F.col("a").alias("id")).distinct().select(
+        "id", F.col("id").alias("community")
+    )
+    from pyspark.sql import Window as W
+
+    for _ in range(n_iter):
+        nbr = sym.join(labels, sym["b"] == labels["id"]).select(
+            F.col("a").alias("id"), F.col("community").alias("lab")
+        )
+        counts = nbr.groupBy("id", "lab").agg(F.count("*").alias("n"))
+        w = W.partitionBy("id").orderBy(F.col("n").desc(), F.col("lab").asc())
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("id", F.col("lab").alias("community"))
+        )
+    sym.unpersist()
+    return labels
+
+
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 15
 ) -> DataFrame:

@@ -1150,3 +1150,60 @@ def d18_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(inter / lb, 6).alias("contain_b_in_a"),
         )
     )
+
+
+def _lp_iter_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+        SELECT id, lab AS community FROM (
+            SELECT e.a AS id, {prev}.community AS lab, count(*) AS n,
+                   row_number() OVER (
+                       PARTITION BY e.a
+                       ORDER BY count(*) DESC, {prev}.community ASC
+                   ) AS rn
+            FROM lp_edges e JOIN {prev} ON e.b = {prev}.id
+            GROUP BY e.a, {prev}.community
+        ) WHERE rn = 1
+    )"""
+
+
+@register(
+    "pr3_label_propagation",
+    oracle=f"""
+    WITH {_BANDS_CTE},
+    cand AS ({_CAND_SQL}),
+    lp_edges AS (
+        SELECT id_a AS a, id_b AS b FROM cand
+        UNION
+        SELECT id_b AS a, id_a AS b FROM cand
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM lp_edges),
+    lp0 AS (SELECT id, id AS community FROM nodes),
+    {_lp_iter_sql("lp0", "lp1")},
+    {_lp_iter_sql("lp1", "lp2")},
+    {_lp_iter_sql("lp2", "lp3")}
+    SELECT id AS doc_id, CAST(community AS BIGINT) AS community FROM lp3
+    """,
+    survey="NS-dedup extended (label-propagation communities: majority-label iteration with deterministic ties)",
+)
+def pr3_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the LSH candidate graph by 3 rounds of
+    synchronous label propagation — where d9's connected components merge
+    everything REACHABLE, LP splits a component along its dense cores
+    (majority vote of neighbor labels, ties to the smallest label), the
+    granularity used to pick canonical representatives inside large
+    near-dup families.  Fixed iteration count + total (count DESC, label
+    ASC) ordering = bit-exact reproducibility on any engine (pr1's
+    determinism discipline, applied to a voting rather than summing
+    iteration).  Per round: one edge join + one (node, label) aggregate
+    + one argmax window — state 1 row/node, same Pregel schedule as
+    pr1/d9."""
+    from ..operators.graph import label_propagation
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = DD.minhash_signature(
+        docs, "doc_id", "text", parallelism=spark.sparkContext.defaultParallelism
+    )
+    pairs = DD.candidate_pairs(DD.lsh_buckets(sig, "doc_id"), "doc_id")
+    out = label_propagation(pairs, "id_a", "id_b", n_iter=3)
+    return out.select(F.col("id").alias("doc_id"), "community")
