@@ -714,3 +714,42 @@ class TestBandJoinKeys:
         }
         # (1,3): same group, in band. (2,3): in band but wrong group. (2,4): group ok, out of band.
         assert got == {(1, 3)}
+
+
+class TestLabelPropagation:
+    def test_barbell_splits_where_cc_merges(self, spark):
+        """Two triangles joined by one bridge edge: connected components
+        collapses everything to one label; label propagation keeps the two
+        dense cores as separate communities."""
+        from data_etl_scripts_showcase__spark.operators.graph import (
+            connected_components,
+            label_propagation,
+        )
+
+        edges = spark.createDataFrame(
+            [
+                (1, 2), (2, 3), (1, 3),   # triangle A
+                (4, 5), (5, 6), (4, 6),   # triangle B
+                (3, 4),                   # bridge
+            ],
+            "src bigint, dst bigint",
+        )
+        cc = {r.component for r in connected_components(edges).collect()}
+        assert cc == {1}
+        lp = {r.id: r.community for r in label_propagation(edges).collect()}
+        assert lp[1] == lp[2] == lp[3]
+        assert lp[4] == lp[5] == lp[6]
+        assert lp[1] != lp[4]
+
+    def test_deterministic_under_partitioning(self, spark):
+        from data_etl_scripts_showcase__spark.operators.graph import (
+            label_propagation,
+        )
+
+        edges = spark.createDataFrame(
+            [(i, (i * 7) % 23) for i in range(40) if i != (i * 7) % 23],
+            "src bigint, dst bigint",
+        )
+        a = sorted(tuple(r) for r in label_propagation(edges.repartition(1)).collect())
+        b = sorted(tuple(r) for r in label_propagation(edges.repartition(13)).collect())
+        assert a == b
