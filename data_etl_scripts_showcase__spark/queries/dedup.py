@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as DD
 from ..operators.similarity import cosine
+from .text_analysis import QUALITY_SQL
 from ..sources import load_table
 from . import register
 
@@ -1207,3 +1208,93 @@ def pr3_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = DD.candidate_pairs(DD.lsh_buckets(sig, "doc_id"), "doc_id")
     out = label_propagation(pairs, "id_a", "id_b", n_iter=3)
     return out.select(F.col("id").alias("doc_id"), "community")
+
+
+@register(
+    "d20_canonical_selection",
+    oracle=f"""
+    WITH RECURSIVE
+    {_BANDS_CTE},
+    {_VERIFIED_CTE},
+    sym AS (
+        SELECT id_a AS a, id_b AS b FROM verified
+        UNION
+        SELECT id_b AS a, id_a AS b FROM verified
+    ),
+    reach(id, r) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+    q AS (SELECT doc_id, round(quality_score, 6) AS qs FROM ({QUALITY_SQL}) t),
+    ranked AS (
+        SELECT c.component, c.doc_id, q.qs,
+               row_number() OVER (
+                   PARTITION BY c.component ORDER BY q.qs DESC, c.doc_id ASC
+               ) AS rn
+        FROM comp c JOIN q ON q.doc_id = c.doc_id
+    )
+    SELECT CAST(component AS BIGINT) AS component,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS canonical_doc,
+           round(max(CASE WHEN rn = 1 THEN qs END), 6) AS canonical_quality
+    FROM ranked GROUP BY component
+    """,
+    survey="NS-dedup extended (canonical selection: keep the highest-quality copy per near-dup cluster)",
+)
+def d20_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection: inside each exact near-dup
+    cluster (d9's connected components), keep the HIGHEST-QUALITY copy
+    (t2's heuristic, ties to the smallest id) instead of d8's blind
+    min-id rule — real training pipelines keep the cleanest rendering of
+    a duplicated page, not the first-crawled one.  Output per cluster:
+    size, the canonical doc, and its quality.  The plan composes three
+    existing operators (LSH verify → iterative CC → broadcast-joined
+    quality scores + one argmax window keyed on the component) — no new
+    shuffle shapes, which is the point: dedup policy changes are
+    plan-level swaps, not rewrites."""
+    from ..operators.graph import connected_components
+    from ..operators import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select("doc_id", DD.tokens("text").alias("_toks")).select(
+        "doc_id", DD.ngrams_from_tokens(F.col("_toks")).alias("grams")
+    )
+    sig = DD.minhash_signature(
+        docs, "doc_id", "text", parallelism=spark.sparkContext.defaultParallelism
+    )
+    cand = DD.candidate_pairs(DD.lsh_buckets(sig, "doc_id"), "doc_id")
+    ga = grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b"))
+    verified = (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .where(DD.jaccard(F.col("grams_a"), F.col("grams_b")) >= 0.5)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(verified, "id_a", "id_b").select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    q = docs.select(
+        "doc_id", F.round(TX.quality_score("text"), 6).alias("qs")
+    )
+    from pyspark.sql import Window as W
+
+    ranked = comp.join(q, "doc_id").withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("component").orderBy(
+                F.col("qs").desc(), F.col("doc_id").asc()
+            )
+        ),
+    )
+    return ranked.groupBy("component").agg(
+        F.count("*").alias("n_members"),
+        F.min(F.when(F.col("rn") == 1, F.col("doc_id")))
+        .cast("bigint")
+        .alias("canonical_doc"),
+        F.round(F.max(F.when(F.col("rn") == 1, F.col("qs"))), 6).alias(
+            "canonical_quality"
+        ),
+    )
