@@ -797,3 +797,113 @@ def v12_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("_is_delta") == 1, 1)).alias("n_delta"),
         F.count("*").alias("n_total"),
     )
+
+
+@register(
+    "v13_two_stage_retrieval",
+    oracle=f"""
+    WITH s AS (
+        SELECT 127.0 / max(m) AS scale
+        FROM (SELECT list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS m
+              FROM embeddings)
+    ),
+    qv AS (SELECT vec_id, {_Q8} AS q8 FROM embeddings, s),
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(range(1, len(q.q8) + 1), i -> q.q8[i] * c.q8[i])) AS BIGINT) AS qdot
+        FROM qv q, qv c
+        WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id
+    ),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY qdot DESC, neighbor_id ASC
+                   ) AS rn
+            FROM dots
+        ) WHERE rn <= 10
+    ),
+    rr AS (
+        SELECT sh.query_id, sh.neighbor_id,
+               round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(c.embedding AS DOUBLE[])), 6) AS sim
+        FROM short sh
+        JOIN embeddings q ON q.vec_id = sh.query_id
+        JOIN embeddings c ON c.vec_id = sh.neighbor_id
+    )
+    SELECT query_id, neighbor_id, sim,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+           ) AS INTEGER) AS rank
+    FROM rr QUALIFY rank <= 3
+    """,
+    survey="NS-sim extended (two-stage retrieval: compressed-domain shortlist, exact-score rerank)",
+)
+def v13_two_stage_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE production retrieval shape: a cheap compressed-domain first
+    pass (v10's int8 integer dot products over 4×-smaller vectors) cuts
+    the corpus to a 10-candidate shortlist per query, then ONLY the
+    shortlist pays for exact float cosine — top-3 final.  At 100 TB the
+    first pass is the only corpus-wide scan (memory-bandwidth-bound,
+    integer SIMD), and the rerank touches k×|queries| rows; recall lost
+    to quantization is auditable against v1's exact baseline on the same
+    query set.  Shortlist ranking is exact integer math; the rerank
+    rounds to 6 dp with id tie-break — both deterministic."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vals = F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    mx = e.select(F.max(F.array_max(vals)).alias("m")).select(
+        (F.lit(127.0) / F.col("m")).alias("scale")
+    )
+    q8 = F.transform(
+        "embedding",
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127),
+                F.floor(x.cast("double") * F.col("scale") + F.lit(0.5)).cast("int"),
+            ),
+        ),
+    )
+    qv = e.crossJoin(F.broadcast(mx)).select("vec_id", q8.alias("q8"))
+    queries = qv.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("q8").alias("q8_q")
+    )
+    pairs = F.broadcast(queries).crossJoin(
+        qv.select(F.col("vec_id").alias("neighbor_id"), "q8")
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    qdot = F.aggregate(
+        F.zip_with("q8_q", "q8", lambda a, b: (a * b).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w1 = W.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        pairs.select("query_id", "neighbor_id", qdot.alias("qdot"))
+        .withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+    qe = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    ce = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
+    )
+    rr = (
+        short.join(F.broadcast(qe), "query_id")
+        .join(ce, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(SIM.cosine("qvec", "cvec"), 6).alias("sim"),
+        )
+    )
+    w2 = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rr.withColumn("rank", F.row_number().over(w2).cast("int"))
+        .where(F.col("rank") <= 3)
+    )
