@@ -591,7 +591,8 @@ _HAV = """2.0 * 6371.0088 * asin(sqrt(
 def x35_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geospatial radius join: customer pairs within 50 km, with
     deterministic synthetic coordinates (latitude capped to ±60° so one
-    1°×2° grid cell bounds the radius in both axes).  The engine plan is
+    1°×2° grid cell bounds the radius in both axes; longitude cells form
+    a modular ring so antimeridian neighbors still meet).  The engine plan is
     the 2-D form of the band join: bucket every point into its grid
     cell, explode one side to the 3×3 neighbor cells, hash-join on the
     cell key, and apply exact haversine only to co-cell candidates —
@@ -623,12 +624,17 @@ def x35_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("id_b"), F.col("lat").alias("lat_b"), F.col("lon").alias("lon_b")
     )
     # 3x3 neighbor cells on the a-side; exact cell on the b-side
+    # longitude cells wrap at the antimeridian (179.9E and 179.9W are
+    # neighbors on the sphere, exactly as haversine sees them) — cell ids
+    # are taken modulo the 180-cell ring on BOTH sides of the join.
     cells_a = F.explode(
         F.array(
             *[
                 F.struct(
                     (F.floor(F.col("lat_a")) + di).alias("latc"),
-                    (F.floor(F.col("lon_a") / 2) + dj).alias("lonc"),
+                    F.pmod(F.floor(F.col("lon_a") / 2) + dj, F.lit(180)).alias(
+                        "lonc"
+                    ),
                 )
                 for di in (-1, 0, 1)
                 for dj in (-1, 0, 1)
@@ -641,7 +647,7 @@ def x35_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     be = b.select(
         "*",
         F.floor(F.col("lat_b")).alias("latc"),
-        F.floor(F.col("lon_b") / 2).alias("lonc"),
+        F.pmod(F.floor(F.col("lon_b") / 2), F.lit(180)).alias("lonc"),
     )
     cand = ae.join(be, ["latc", "lonc"]).where(F.col("id_a") < F.col("id_b"))
     hav = (
