@@ -753,3 +753,57 @@ class TestLabelPropagation:
         a = sorted(tuple(r) for r in label_propagation(edges.repartition(1)).collect())
         b = sorted(tuple(r) for r in label_propagation(edges.repartition(13)).collect())
         assert a == b
+
+
+class TestGeoGridWrap:
+    def test_antimeridian_pair_is_found(self, spark):
+        """179.9E and 179.9W at the same latitude are ~22 km apart on the
+        sphere; the modular longitude ring must bring them into the same
+        candidate neighborhood (a flat grid would never join them)."""
+        from pyspark.sql import functions as F
+
+        pts = spark.createDataFrame(
+            [(1, 10.0, 179.9), (2, 10.0, -179.9), (3, 10.0, 0.0)],
+            "id bigint, lat double, lon double",
+        )
+        a = pts.select(
+            F.col("id").alias("id_a"),
+            F.col("lat").alias("lat_a"),
+            F.col("lon").alias("lon_a"),
+        )
+        b = pts.select(
+            F.col("id").alias("id_b"),
+            F.col("lat").alias("lat_b"),
+            F.col("lon").alias("lon_b"),
+        )
+        cells_a = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.floor(F.col("lat_a")) + di).alias("latc"),
+                        F.pmod(
+                            F.floor(F.col("lon_a") / 2) + dj, F.lit(180)
+                        ).alias("lonc"),
+                    )
+                    for di in (-1, 0, 1)
+                    for dj in (-1, 0, 1)
+                ]
+            )
+        )
+        ae = a.select("*", cells_a.alias("c")).select(
+            "id_a", "lat_a", "lon_a", "c.latc", "c.lonc"
+        )
+        be = b.select(
+            "*",
+            F.floor(F.col("lat_b")).alias("latc"),
+            F.pmod(F.floor(F.col("lon_b") / 2), F.lit(180)).alias("lonc"),
+        )
+        cand = (
+            ae.join(be, ["latc", "lonc"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        got = {tuple(r) for r in cand.collect()}
+        assert (1, 2) in got        # wrapped neighbors meet
+        assert (1, 3) not in got    # far-apart points never pair
