@@ -848,3 +848,60 @@ def x36_write_sizing_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("target_files"),
         )
     )
+
+
+@register(
+    "x37_cdc_apply",
+    oracle="""
+    WITH log AS (
+        SELECT o_custkey AS key,
+               o_orderkey AS seq,
+               CASE o_orderkey % 10 WHEN 0 THEN 'D' WHEN 1 THEN 'I' ELSE 'U' END AS op,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS val
+        FROM orders
+    ),
+    latest AS (
+        SELECT key, seq, op, val,
+               row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+        FROM log
+    )
+    SELECT key AS c_custkey,
+           CAST(seq AS BIGINT) AS last_seq,
+           op AS last_op,
+           CAST(val AS DOUBLE) AS last_val
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+    survey="S13/x4 extended (CDC ops-log replay: ordered I/U/D stream to final table state)",
+)
+def x37_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply — the Debezium-shaped primitive underneath every
+    replicated table: an ordered change log of Insert/Update/Delete ops
+    per key (synthesized deterministically from orders; seq = the change
+    LSN) collapses to final state by LAST-WINS per key, with a trailing
+    Delete erasing the key entirely.  x4's MERGE applies one delta batch;
+    this replays an arbitrary-length history in ONE windowed pass — the
+    bulk-backfill path when a replica bootstraps from the full log.  At
+    100 TB the window rides a single hash shuffle on the key, and the
+    same plan incrementalizes per batch (each micro-batch's last-wins
+    merges associatively with stored state — st10's snapshot mechanics).
+    Exact decimal values; deterministic seq ordering."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    log = o.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 10 == 0, "D")
+        .when(F.col("o_orderkey") % 10 == 1, "I")
+        .otherwise("U")
+        .alias("op"),
+        dec2("o_totalprice").alias("val"),
+    )
+    w = W.partitionBy("key").orderBy(F.col("seq").desc())
+    latest = log.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return latest.where(F.col("op") != "D").select(
+        F.col("key").alias("c_custkey"),
+        F.col("seq").cast("bigint").alias("last_seq"),
+        F.col("op").alias("last_op"),
+        F.col("val").cast("double").alias("last_val"),
+    )
