@@ -807,3 +807,50 @@ class TestGeoGridWrap:
         got = {tuple(r) for r in cand.collect()}
         assert (1, 2) in got        # wrapped neighbors meet
         assert (1, 3) not in got    # far-apart points never pair
+
+
+class TestCdcIncrementalMerge:
+    def test_batched_replay_equals_one_shot(self, spark):
+        """x37's associativity claim: replaying the change log in any batch
+        slicing, merging each batch's last-wins into running state (with
+        delete tombstones RETAINED in state), converges to the one-shot
+        replay exactly; tombstones only drop at read time."""
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
+        rows = [
+            (k, seq, op, float(v))
+            for seq, (k, op, v) in enumerate(
+                [
+                    (1, "I", 10), (2, "I", 20), (1, "U", 11), (3, "I", 30),
+                    (2, "D", 0), (1, "U", 12), (3, "U", 31), (2, "I", 21),
+                    (3, "D", 0), (1, "D", 0), (1, "I", 13),
+                ]
+            )
+        ]
+        schema = "key bigint, seq bigint, op string, val double"
+
+        def last_wins(df):
+            w = W.partitionBy("key").orderBy(F.col("seq").desc())
+            return (
+                df.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .drop("rn")
+            )
+
+        full = spark.createDataFrame(rows, schema)
+        one_shot = last_wins(full).where(F.col("op") != "D")
+
+        for cuts in ([4], [2, 7], [1, 5, 9]):
+            bounds = [0, *cuts, len(rows)]
+            state = None
+            for lo, hi in zip(bounds, bounds[1:]):
+                batch = spark.createDataFrame(rows[lo:hi], schema)
+                delta = last_wins(batch)
+                state = delta if state is None else last_wins(state.unionByName(delta))
+            live = state.where(F.col("op") != "D")
+            assert sorted(map(tuple, live.collect())) == sorted(
+                map(tuple, one_shot.collect())
+            ), cuts
+        # final state: key 2 live at 21, key 1 re-inserted at 13, key 3 deleted
+        assert sorted((r.key, r.val) for r in one_shot.collect()) == [(1, 13.0), (2, 21.0)]
