@@ -989,3 +989,106 @@ def w22_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p_next"),
     )
+
+
+@register(
+    "w23_linear_interpolation",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+    grid AS (
+        SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        FROM span
+    ),
+    j AS (
+        SELECT g.user_id, g.day, d.v
+        FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    ),
+    br AS (
+        SELECT user_id, day, v,
+               last_value(v IGNORE NULLS) OVER wp AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+                   OVER wp AS pd,
+               first_value(v IGNORE NULLS) OVER wn AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+                   OVER wn AS nd
+        FROM j
+        WINDOW wp AS (PARTITION BY user_id ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY user_id ORDER BY day
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id,
+           strftime(day, '%Y-%m-%d') AS day,
+           v IS NULL AS is_gap,
+           round(CASE
+               WHEN v IS NOT NULL THEN v
+               WHEN pv IS NULL THEN nv
+               WHEN nv IS NULL THEN pv
+               ELSE pv + (nv - pv) * date_diff('day', pd, day)
+                              / date_diff('day', pd, nd)
+           END, 4) AS value_interp
+    FROM br
+    """,
+    survey="W-std extended (time-series gap fill by LINEAR interpolation between bracketing samples)",
+)
+def w23_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap fill by linear interpolation: the per-user daily grid of w11,
+    but each missing day takes the value LERPED between its bracketing
+    known samples (edges fall back to nearest-known) — the fill that
+    respects trends, where forward-fill (w11) flat-lines them.  Both
+    bracketing scans are windows over the SAME user-keyed sort the grid
+    join already produced: one shuffle total, and the grid explode stays
+    data-proportional (each user expands only their own span).  The lerp
+    is the identical IEEE expression on both engines, rounded to 4 dp."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(dec2("value")).cast("double").alias("v"))
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    j = grid.join(daily, ["user_id", "day"], "left")
+    wp = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    known_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    br = j.select(
+        "user_id",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(known_day, ignorenulls=True).over(wp).alias("pd"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(known_day, ignorenulls=True).over(wn).alias("nd"),
+    )
+    lerp = F.col("pv") + (F.col("nv") - F.col("pv")) * F.datediff(
+        F.col("day"), F.col("pd")
+    ) / F.datediff(F.col("nd"), F.col("pd"))
+    return br.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("v").isNull().alias("is_gap"),
+        F.round(
+            F.when(F.col("v").isNotNull(), F.col("v"))
+            .when(F.col("pv").isNull(), F.col("nv"))
+            .when(F.col("nv").isNull(), F.col("pv"))
+            .otherwise(lerp),
+            4,
+        ).alias("value_interp"),
+    )
