@@ -105,11 +105,16 @@ def connected_components(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct()
     sym = sym.persist()
+    # localCheckpoint (not just persist): ``labels`` appears twice in each
+    # round's plan (union + join), so the LOGICAL tree doubles per round —
+    # a deep component (long chain) grows it 2^rounds and OOMs the driver
+    # even though the cached execution is fine.  Checkpointing cuts the
+    # lineage to a leaf so every round's plan is constant-size.
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("component"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         nbr = sym.join(labels, sym["b"] == labels["id"]).select(
@@ -119,7 +124,7 @@ def connected_components(
             labels.unionByName(nbr)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -127,9 +132,114 @@ def connected_components(
             .where(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     sym.unpersist()
+    return labels
+
+
+def connected_components_alternating(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 12
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star rounds
+    → (id, component = component min id).
+
+    The min-label propagation above (:func:`connected_components`) needs
+    O(component diameter) rounds — fine for shallow near-dup clusters,
+    quadratic pain on a 100 TB graph with a long chain.  The alternating
+    algorithm (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond") converges in O(log n) rounds regardless of diameter by
+    rewiring the edge set itself toward a star per component:
+
+      large-star: every neighbor v > u is re-pointed at m(u) = min(N(u) ∪ u)
+      small-star: every neighbor v ≤ u (and u) is re-pointed at m(u)
+
+    Both steps are one groupBy(min) + one self-join on the node id — the
+    exchange is reused between them — and both strictly preserve
+    connectivity while never increasing the edge count.  At the fixpoint
+    every edge is (component-min, member), read off as the labeling.
+
+    Fixpoint detection: edge-set equality between rounds, checked with a
+    single aggregate (count + bit_xor of xxhash64(u, v) — order-free, overflow-free) instead of a set
+    difference — one action per round, no second shuffle.  The labeling
+    itself is the unique CC fixpoint, so determinism matches
+    :func:`connected_components` exactly (asserted in tests).
+    """
+    canon = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("u"),
+        F.greatest(F.col(src), F.col(dst)).alias("v"),
+    )
+    # node set from the RAW edges: a self-loop node has no non-loop edge
+    # but still belongs in the labeling (as its own singleton component).
+    nodes = (
+        canon.select(F.col("u").alias("id"))
+        .unionByName(canon.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = (
+        canon.where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _edge_digest(e: DataFrame):
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        sym = e.select("u", "v").unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        j = sym.join(mins, "u")
+        if large:
+            out = j.where(F.col("v") > F.col("u")).select(
+                F.col("v").alias("a"), F.col("m").alias("b")
+            )
+        else:
+            out = j.where(F.col("v") <= F.col("u")).select(
+                F.col("v").alias("a"), F.col("m").alias("b")
+            ).unionByName(
+                mins.select(F.col("u").alias("a"), F.col("m").alias("b"))
+            )
+        return (
+            out.where(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+            )
+            .distinct()
+        )
+
+    # each _star references its input in a self-join (sym ⋈ mins(sym)), so
+    # the LOGICAL plan grows ~16× per round — caching truncates execution
+    # but not the plan tree, and Catalyst chokes on the exponential tree
+    # after a few rounds.  localCheckpoint materializes the round AND cuts
+    # the lineage to a leaf, keeping every round's plan constant-size.
+    # (On a cluster, swap for rdd.checkpoint() if executor loss during the
+    # loop must be survivable.)
+    digest = _edge_digest(cur)
+    for _ in range(max_iter):
+        nxt = _star(_star(cur, large=True), large=False).localCheckpoint(
+            eager=True
+        )
+        nxt_digest = _edge_digest(nxt)
+        cur = nxt
+        if nxt_digest == digest:
+            break
+        digest = nxt_digest
+
+    # fixpoint: every edge is (component-min, member); roots label themselves.
+    member_labels = cur.groupBy(F.col("v").alias("id")).agg(
+        F.min("u").alias("_c")
+    )
+    labels = nodes.join(member_labels, "id", "left").select(
+        "id", F.coalesce(F.col("_c"), F.col("id")).alias("component")
+    )
     return labels

@@ -64,6 +64,7 @@ def load_all() -> dict[str, Query]:
         pipelines_q,
         relational,
         scale_ops,
+        scale_ops2,
         similarity,
         statistics,
         streaming_like,

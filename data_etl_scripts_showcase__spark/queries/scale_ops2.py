@@ -1,0 +1,228 @@
+"""Round-2 scale-infrastructure operators: zone-map pruning, distributed
+row-id assignment, and O(log n) connected components.
+
+Same charter as scale_ops.py — operations a 100 TB training-data pipeline
+leans on daily, expressed as pure DataFrame aggregates with deterministic
+outputs so the DuckDB oracle reproduces every bit:
+
+- x38: file-level min/max zone maps + scan-pruning simulation — the
+  statistic behind parquet row-group skipping and Iceberg/Delta file
+  pruning, and the quantitative motivation for x26's Z-order layout
+  (a clustered column prunes, an uncorrelated one doesn't).
+- x39: global contiguous row ids WITHOUT a single-partition global sort —
+  the distributed zipWithIndex every training-data pipeline needs for
+  stable example ids.
+- pr4: connected components by alternating large-star/small-star rounds
+  (Kiveris et al. 2014) — O(log n) rounds vs the min-label loop's
+  O(diameter), the CC formulation that survives long chains at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from . import register
+from .dedup import _BANDS_CTE, _CAND_SQL
+from ..operators import dedup as DD
+
+
+# ------------------------------------------------------- x38: zone maps
+
+_PRICE_LO, _PRICE_HI = 150000.0, 200000.0
+_DATE_CUT = "1997-06-01"
+
+
+@register(
+    "x38_zone_map_pruning",
+    oracle=f"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS file_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price,
+           CAST(min(o_orderdate) AS DATE) AS min_date,
+           CAST(max(o_orderdate) AS DATE) AS max_date,
+           (max(o_totalprice) >= {_PRICE_LO}
+            AND min(o_totalprice) <= {_PRICE_HI}) AS scan_for_price_pred,
+           (max(o_orderdate) >= DATE '{_DATE_CUT}') AS scan_for_date_pred
+    FROM orders
+    GROUP BY strftime(o_orderdate, '%Y-%m')
+    """,
+    survey="NS-layout (file-level min/max zone maps + pruning simulation — the row-group-skipping statistic)",
+)
+def x38_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning audit: treat each o_orderdate month as one ingest
+    file, compute its min/max zone maps for o_totalprice and o_orderdate,
+    and decide per file whether two predicates could skip it:
+
+      price BETWEEN 150k AND 200k  — uncorrelated with the file key, so
+                                     zone maps barely prune (every file
+                                     spans nearly the full price range);
+      o_orderdate >= 1997-06-01    — identical to the file key, so all
+                                     earlier files are skipped outright.
+
+    This is exactly the statistic a parquet reader consults per row group
+    and an Iceberg/Delta planner consults per file; the contrast between
+    the two flags is the quantitative case for clustering the layout on
+    the filter column (x26 Z-order).  One hash aggregate — no shuffle
+    beyond the groupBy, output is one row per file."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("file_id")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+        (
+            (F.max("o_totalprice") >= _PRICE_LO)
+            & (F.min("o_totalprice") <= _PRICE_HI)
+        ).alias("scan_for_price_pred"),
+        (F.max("o_orderdate") >= F.lit(_DATE_CUT).cast("date")).alias(
+            "scan_for_date_pred"
+        ),
+    )
+
+
+# -------------------------------------------------- x39: global row ids
+
+
+def global_row_ids(
+    df: DataFrame, bucket_col, order_cols: list[str], id_name: str = "row_id"
+) -> DataFrame:
+    """Contiguous global ordinals 0..N-1 in ``order_cols`` order, without
+    a single-partition global sort.
+
+    The naive ``row_number() OVER (ORDER BY ...)`` collapses the whole
+    table onto one task — a non-starter at 100 TB.  This is the
+    distributed form (the DataFrame zipWithIndex):
+
+      1. bucket every row by a DATA-DERIVED range key (``bucket_col`` must
+         sort consistently with ``order_cols``' leading column);
+      2. one tiny aggregate: rows per bucket → cumulative offsets via a
+         window over the (small) bucket list — |buckets| rows, not |rows|;
+      3. broadcast the offsets back and add the intra-bucket
+         ``row_number`` (shuffles by bucket only — the window partition).
+
+    Ids are a pure function of the data (bucket boundaries are values,
+    not partitioner samples), so the result is deterministic under any
+    partitioning — unlike ``monotonically_increasing_id`` or RDD
+    zipWithIndex, whose values depend on task layout.  Skewed buckets
+    bound the window-task size; pick ``bucket_col`` granularity
+    accordingly (months here → ~1/84th of the table per task).
+    """
+    b = df.withColumn("_bkt", bucket_col)
+    offsets = (
+        b.groupBy("_bkt")
+        .agg(F.count("*").alias("_n"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_bkt", "_offset")
+    )
+    intra = F.row_number().over(
+        Window.partitionBy("_bkt").orderBy(*[F.col(c) for c in order_cols])
+    )
+    return (
+        b.join(F.broadcast(offsets), "_bkt")
+        .withColumn(id_name, (F.col("_offset") + intra - 1).cast("bigint"))
+        .drop("_bkt", "_offset")
+    )
+
+
+@register(
+    "x39_global_row_ids",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(row_number() OVER (ORDER BY o_orderdate, o_orderkey) - 1
+                AS BIGINT) AS row_id
+    FROM orders
+    """,
+    survey="NS-layout (distributed zipWithIndex: contiguous global ordinals without a single-partition sort)",
+)
+def x39_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable example ids for a training corpus: contiguous 0..N-1 in
+    (o_orderdate, o_orderkey) order via bucketed offsets + intra-bucket
+    row_number (see :func:`global_row_ids`).  The oracle is the
+    single-partition window this operator exists to avoid — identical
+    output, radically different plan."""
+    o = load_table(spark, sf_dir, "orders")
+    with_ids = global_row_ids(
+        o,
+        F.date_format("o_orderdate", "yyyy-MM"),
+        ["o_orderdate", "o_orderkey"],
+    )
+    return with_ids.select("o_orderkey", "row_id")
+
+
+# ------------------------------------------ pr4: alternating-rounds CC
+
+
+@register(
+    "pr4_cc_alternating",
+    oracle=f"""
+    WITH RECURSIVE
+    {_BANDS_CTE},
+    cand AS ({_CAND_SQL}),
+    verified AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN g ga ON ga.doc_id = c.id_a
+        JOIN g gb ON gb.doc_id = c.id_b
+        WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                  / len(list_distinct(ga.grams || gb.grams)) >= 0.5
+    ),
+    sym AS (
+        SELECT id_a AS a, id_b AS b FROM verified
+        UNION
+        SELECT id_b AS a, id_a AS b FROM verified
+    ),
+    reach(id, r) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id
+    )
+    SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+    FROM reach GROUP BY id
+    """,
+    survey="NS-dedup (connected components in O(log n) rounds — alternating large-star/small-star)",
+)
+def pr4_cc_alternating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same dedup clusters as d9, computed by the alternating large-star/
+    small-star algorithm (operators/graph.connected_components_alternating)
+    instead of min-label propagation.  Both converge to the unique
+    min-id-per-component fixpoint — the oracle (recursive CTE transitive
+    closure) and d9 agree bit-for-bit — but the alternating form needs
+    O(log n) rounds where label propagation needs O(diameter): the version
+    to run when near-dup families chain into long paths at corpus scale."""
+    from ..operators.graph import connected_components_alternating
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select("doc_id", DD.tokens("text").alias("_toks")).select(
+        "doc_id", DD.ngrams_from_tokens(F.col("_toks")).alias("grams")
+    )
+    sig = DD.minhash_signature(
+        docs, "doc_id", "text", parallelism=spark.sparkContext.defaultParallelism
+    )
+    cand = DD.candidate_pairs(DD.lsh_buckets(sig, "doc_id"), "doc_id")
+    ga = grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b"))
+    verified = (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .where(DD.jaccard(F.col("grams_a"), F.col("grams_b")) >= 0.5)
+        .select("id_a", "id_b")
+    )
+    return connected_components_alternating(verified, "id_a", "id_b").select(
+        F.col("id").alias("doc_id"), "component"
+    )

@@ -854,3 +854,84 @@ class TestCdcIncrementalMerge:
             ), cuts
         # final state: key 2 live at 21, key 1 re-inserted at 13, key 3 deleted
         assert sorted((r.key, r.val) for r in one_shot.collect()) == [(1, 13.0), (2, 21.0)]
+
+
+class TestAlternatingCC:
+    """connected_components_alternating ≡ connected_components (r2 pr4)."""
+
+    def _both(self, spark, rows):
+        from data_etl_scripts_showcase__spark.operators.graph import (
+            connected_components,
+            connected_components_alternating,
+        )
+
+        e = spark.createDataFrame(rows, "src bigint, dst bigint")
+        a = {
+            (r.id, r.component)
+            for r in connected_components(e).collect()
+        }
+        b = {
+            (r.id, r.component)
+            for r in connected_components_alternating(e).collect()
+        }
+        return a, b
+
+    def test_long_chain_matches_label_propagation(self, spark):
+        # a 12-node path — the diameter case the alternating form exists
+        # for: label propagation needs ~12 rounds, alternating ~log2(12).
+        rows = [(i, i + 1) for i in range(1, 12)] + [(20, 21), (30, 30)]
+        a, b = self._both(spark, rows)
+        assert a == b
+        assert {c for _, c in a} == {1, 20, 30} - {30} | {30}
+
+    def test_star_and_cycle(self, spark):
+        rows = [(1, k) for k in (2, 3, 4, 5)] + [(10, 11), (11, 12), (12, 10)]
+        a, b = self._both(spark, rows)
+        assert a == b
+        comps = {}
+        for node, c in b:
+            comps.setdefault(c, set()).add(node)
+        assert comps == {1: {1, 2, 3, 4, 5}, 10: {10, 11, 12}}
+
+    def test_reversed_and_duplicate_edges(self, spark):
+        a, b = self._both(spark, [(2, 1), (1, 2), (2, 3), (3, 2), (5, 4)])
+        assert a == b == {(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)}
+
+
+class TestGlobalRowIds:
+    def test_matches_global_window_and_partitioning_independent(self, spark):
+        from data_etl_scripts_showcase__spark.queries.scale_ops2 import (
+            global_row_ids,
+        )
+
+        rows = [(k, f"2024-{1 + k % 3:02d}-{1 + k % 27:02d}") for k in range(200)]
+        df = spark.createDataFrame(rows, "k bigint, d string").select(
+            "k", F.col("d").cast("date").alias("d")
+        )
+        expected = {
+            (r.k, r.rid)
+            for r in df.selectExpr(
+                "k", "row_number() over (order by d, k) - 1 as rid"
+            ).collect()
+        }
+        for nparts in (1, 7):
+            got = global_row_ids(
+                df.repartition(nparts),
+                F.date_format("d", "yyyy-MM"),
+                ["d", "k"],
+            )
+            assert {(r.k, r.row_id) for r in got.collect()} == expected
+
+    def test_ids_are_contiguous(self, spark):
+        from data_etl_scripts_showcase__spark.queries.scale_ops2 import (
+            global_row_ids,
+        )
+
+        df = spark.createDataFrame(
+            [(i, i % 5) for i in range(50)], "k bigint, b bigint"
+        )
+        ids = sorted(
+            r.row_id
+            for r in global_row_ids(df, F.col("b"), ["b", "k"]).collect()
+        )
+        assert ids == list(range(50))
