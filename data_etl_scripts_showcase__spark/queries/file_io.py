@@ -392,3 +392,53 @@ def io9_csv_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("val_sum"),
     )
+
+
+@register(
+    "io10_compaction_roundtrip",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y') AS ds,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+           CAST(1 AS BIGINT) AS n_files
+    FROM orders GROUP BY strftime(o_orderdate, '%Y')
+    """,
+    survey="S11 (small-file compaction: fragmented streaming appends → one file per partition, verified through the read path)",
+)
+def io10_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE as a driver-checkable round trip: write orders fragmented
+    (6 shuffled files per year partition — the steady state a streaming
+    append sink leaves behind), run ``sinks.compact_partitions``, then
+    read back and report per-partition row count, exact price sum, AND the
+    physical file count via ``input_file_name()``.  The oracle pins
+    ``n_files = 1``: the compaction contract itself is part of the
+    correctness gate, not just the data content.  At 100 TB the rewrite
+    touches only fragmented partitions (file-preservation discipline
+    asserted in tests/test_pipelines.py) and each partition compacts in
+    one task."""
+    from ..sinks import compact_partitions
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy").alias("ds"),
+    )
+    base = _tmp("io10_compact_")
+    (
+        o.repartition(6)  # fragment: every year partition lands 6 files
+        .write.mode("overwrite")
+        .partitionBy("ds")
+        .parquet(base)
+    )
+    compact_partitions(spark, base, "ds", max_files=1)
+    # partition-column type inference turns ds into int on read; pin string
+    back = (
+        spark.read.parquet(base)
+        .withColumn("ds", F.col("ds").cast("string"))
+        .withColumn("_f", F.input_file_name())
+    )
+    return back.groupBy("ds").agg(
+        F.count("*").alias("n"),
+        F.sum(dec2("o_totalprice")).cast("double").alias("price_sum"),
+        F.countDistinct("_f").alias("n_files"),
+    )

@@ -226,3 +226,269 @@ def pr4_cc_alternating(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_alternating(verified, "id_a", "id_b").select(
         F.col("id").alias("doc_id"), "component"
     )
+
+
+# ------------------------------- a28: mergeable histogram quantiles
+
+_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+_NBINS = 64
+
+
+@register(
+    "a28_histogram_quantile_audit",
+    oracle=f"""
+    WITH mm AS (
+        SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+               CAST(count(*) AS DOUBLE) AS n_rows
+        FROM orders
+    ),
+    hist AS (
+        SELECT least(CAST(floor((o_totalprice - mm.lo) / ((mm.hi - mm.lo) / {_NBINS})) AS BIGINT),
+                     {_NBINS - 1}) AS bin,
+               CAST(count(*) AS DOUBLE) AS cnt
+        FROM orders, mm GROUP BY 1
+    ),
+    cum AS (
+        SELECT bin, cnt,
+               coalesce(sum(cnt) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cum_prev
+        FROM hist
+    ),
+    qs AS (SELECT unnest([{", ".join(str(q) for q in _QS)}]) AS q),
+    est AS (
+        SELECT qs.q,
+               round(mm.lo + (CAST(c.bin AS DOUBLE) + (qs.q * mm.n_rows - c.cum_prev) / c.cnt)
+                             * ((mm.hi - mm.lo) / {_NBINS}), 2) AS est_price,
+               (mm.hi - mm.lo) / {_NBINS} AS w
+        FROM qs, mm
+        JOIN cum c ON c.cum_prev < qs.q * mm.n_rows
+                  AND qs.q * mm.n_rows <= c.cum_prev + c.cnt
+    ),
+    ex AS (
+        SELECT unnest([{", ".join(str(q) for q in _QS)}]) AS q,
+               unnest(quantile_cont(o_totalprice, [{", ".join(str(q) for q in _QS)}])) AS exact
+        FROM orders
+    )
+    SELECT est.q, est.est_price,
+           abs(est.est_price - ex.exact) <= est.w AS within_one_bin
+    FROM est JOIN ex ON est.q = ex.q
+    """,
+    survey="NS-sketch (mergeable equi-width histogram → interpolated quantiles, audited against the exact sort)",
+)
+def a28_histogram_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from a MERGEABLE histogram, audited against the exact
+    aggregate.  The 100 TB shape: per-partition equi-width bin counts are
+    additive partials (map-side combined, mergeable across days exactly
+    like the CMS/HLL sketches), and any quantile is then read off the
+    64-row histogram by interpolation — no sort, no percentile state
+    proportional to data.  The audit joins the exact ``percentile``
+    (affordable at test SF, the thing you CAN'T run at 100 TB) and checks
+    the estimate lands within one bin width — the estimator's guarantee.
+
+    Every arithmetic step is mirrored token-for-token in the oracle so the
+    interpolated doubles are bit-identical; the exact side differs by ulps
+    between engines, which the one-bin tolerance absorbs."""
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    mm = o.agg(
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.count("*").cast("double").alias("n_rows"),
+        F.expr(
+            f"percentile(o_totalprice, array({', '.join(str(q) for q in _QS)}))"
+        ).alias("exacts"),
+    )
+    binned = o.join(F.broadcast(mm.select("lo", "hi"))).select(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / _NBINS)
+            ).cast("bigint"),
+            F.lit(_NBINS - 1),
+        ).alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(F.count("*").cast("double").alias("cnt"))
+    cum = hist.select(
+        "bin",
+        "cnt",
+        F.coalesce(
+            F.sum("cnt").over(
+                Window.orderBy("bin").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0.0),
+        ).alias("cum_prev"),
+    )
+    qs = mm.select(
+        F.posexplode(F.array(*[F.lit(q) for q in _QS])).alias("i", "q"),
+        "lo",
+        "hi",
+        "n_rows",
+        "exacts",
+    ).select(
+        "q",
+        "lo",
+        "hi",
+        "n_rows",
+        F.col("exacts").getItem(F.col("i")).alias("exact"),
+    )
+    est = qs.join(
+        F.broadcast(cum),
+        (F.col("cum_prev") < F.col("q") * F.col("n_rows"))
+        & (F.col("q") * F.col("n_rows") <= F.col("cum_prev") + F.col("cnt")),
+    ).select(
+        "q",
+        F.round(
+            F.col("lo")
+            + (
+                F.col("bin").cast("double")
+                + (F.col("q") * F.col("n_rows") - F.col("cum_prev"))
+                / F.col("cnt")
+            )
+            * ((F.col("hi") - F.col("lo")) / _NBINS),
+            2,
+        ).alias("est_price"),
+        (
+            F.abs(
+                F.col("lo")
+                + (
+                    F.col("bin").cast("double")
+                    + (F.col("q") * F.col("n_rows") - F.col("cum_prev"))
+                    / F.col("cnt")
+                )
+                * ((F.col("hi") - F.col("lo")) / _NBINS)
+                - F.col("exact")
+            )
+            <= (F.col("hi") - F.col("lo")) / _NBINS
+        ).alias("within_one_bin"),
+    )
+    return est
+
+
+# --------------------------------------- d21: URL canonicalization dedup
+
+# deterministic noisy URL synthesis: four surface forms of the same
+# logical resource, keyed by event_id % 4 (mixed-case host, reordered
+# params, tracking params, fragment).  Mirrored verbatim in the oracle.
+_RAW_URL_SQL = """
+    CASE CAST(event_id % 4 AS INTEGER)
+      WHEN 0 THEN concat('https://api.example.com/v1/items?user=', CAST(user_id AS VARCHAR), '&type=', event_type)
+      WHEN 1 THEN concat('https://API.Example.COM/v1/items/?type=', event_type, '&user=', CAST(user_id AS VARCHAR))
+      WHEN 2 THEN concat('https://api.example.com/v1/items?utm_source=feed&user=', CAST(user_id AS VARCHAR), '&type=', event_type, '&utm_campaign=x')
+      ELSE concat('https://api.EXAMPLE.com/v1/items?user=', CAST(user_id AS VARCHAR), '&utm_medium=rss&type=', event_type, '#frag')
+    END
+"""
+
+
+@register(
+    "d21_url_canonical_dedup",
+    oracle=f"""
+    WITH raw AS (
+        SELECT event_id, {_RAW_URL_SQL} AS url FROM events
+    ),
+    parts AS (
+        SELECT event_id, url,
+               lower(regexp_extract(url, '^([a-z]+)://([^/?#]+)', 2)) AS host,
+               rtrim(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1), '/') AS path,
+               regexp_extract(url, '\\?([^#]*)', 1) AS query
+        FROM raw
+    ),
+    canon AS (
+        SELECT event_id, url,
+               concat('https://', host, path, '?',
+                      list_aggr(list_sort(list_filter(string_split(query, '&'),
+                                                      x -> NOT starts_with(x, 'utm_'))),
+                                'string_agg', '&')) AS canonical_url
+        FROM parts
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_raw_forms,
+           min(event_id) AS rep_event_id
+    FROM canon GROUP BY canonical_url
+    """,
+    survey="NS-dedup (URL canonicalization dedup: case-fold host, strip tracking params/fragment, sort query — crawl-pipeline exact dedup)",
+)
+def d21_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-style URL dedup: four deterministic surface variants of each
+    logical resource (mixed-case host, reordered query, utm_* tracking
+    params, fragment) collapse to one canonical form — lowercase host,
+    trailing-slash-stripped path, tracking params dropped, remaining
+    params sorted.  Grouping by the canonical URL is then EXACT dedup
+    (one hash shuffle on the canonical key, same plan shape as d1); the
+    per-group distinct-raw-form count shows how many surface variants the
+    canonicalizer folded.  All pure codegen string expressions — no UDF."""
+    ev = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    raw = ev.select(
+        "event_id",
+        F.when(
+            (F.col("event_id") % 4).cast("int") == 0,
+            F.concat(
+                F.lit("https://api.example.com/v1/items?user="),
+                uid,
+                F.lit("&type="),
+                F.col("event_type"),
+            ),
+        )
+        .when(
+            (F.col("event_id") % 4).cast("int") == 1,
+            F.concat(
+                F.lit("https://API.Example.COM/v1/items/?type="),
+                F.col("event_type"),
+                F.lit("&user="),
+                uid,
+            ),
+        )
+        .when(
+            (F.col("event_id") % 4).cast("int") == 2,
+            F.concat(
+                F.lit("https://api.example.com/v1/items?utm_source=feed&user="),
+                uid,
+                F.lit("&type="),
+                F.col("event_type"),
+                F.lit("&utm_campaign=x"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://api.EXAMPLE.com/v1/items?user="),
+                uid,
+                F.lit("&utm_medium=rss&type="),
+                F.col("event_type"),
+                F.lit("#frag"),
+            )
+        )
+        .alias("url"),
+    )
+    host = F.lower(F.regexp_extract("url", r"^([a-z]+)://([^/?#]+)", 2))
+    path = F.regexp_replace(
+        F.regexp_extract("url", r"^[a-zA-Z]+://[^/?#]+([^?#]*)", 1),
+        "/+$",
+        "",
+    )
+    query = F.regexp_extract("url", r"\?([^#]*)", 1)
+    canonical = F.concat(
+        F.lit("https://"),
+        host,
+        path,
+        F.lit("?"),
+        F.array_join(
+            F.array_sort(
+                F.filter(
+                    F.split(query, "&"),
+                    lambda x: ~x.startswith("utm_"),
+                )
+            ),
+            "&",
+        ),
+    )
+    return (
+        raw.select("event_id", "url", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("url").alias("n_raw_forms"),
+            F.min("event_id").alias("rep_event_id"),
+        )
+    )
