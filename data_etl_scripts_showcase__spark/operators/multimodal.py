@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import h32 as dedup_h32
+
 MEDIA_TYPES = ["image", "audio", "video"]
 
 # Output schema of the decode/feature stage (DDL, used by mapInPandas).
@@ -286,3 +288,88 @@ def sample_video_frames(assets: DataFrame, parallelism: int | None = None) -> Da
     if parallelism:
         video = video.repartition(parallelism)
     return video.mapInPandas(sample_video_frames_stub, FRAME_SCHEMA)
+
+
+def phash32_stub(
+    assets: DataFrame, id_col: str = "asset_id", content_col: str = "content"
+) -> DataFrame:
+    """32-bit perceptual-hash STUB over binary content → (id, phash).
+
+    A real pHash DCTs the decoded image; that codec path is this module's
+    documented NotImplementedError seam (:func:`decode_real`).  The stub
+    keeps the property that matters to the PIPELINE — similar payloads →
+    small hamming distance — by computing a SimHash over the payload's
+    byte trigrams (hex-encoded so the shingling is pure codegen and any
+    SQL engine reproduces it).  One explode + one 32-conditional-sum
+    groupBy, same plan shape as text SimHash (operators/dedup.simhash32).
+    """
+    hx = assets.select(
+        F.col(id_col), F.hex(F.col(content_col)).alias("hx")
+    ).where(F.length("hx") >= 6)
+    sh = hx.select(
+        id_col,
+        F.explode(
+            F.expr("transform(sequence(1, length(hx) - 5, 2), i -> substring(hx, i, 6))")
+        ).alias("shingle"),
+    ).withColumn("h", dedup_h32("shingle", 7))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(32)
+    ]
+    sums = sh.groupBy(id_col).agg(*aggs)
+    ph = None
+    for i in range(32):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(2**i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        ph = bit if ph is None else ph + bit
+    return sums.select(F.col(id_col), ph.alias("phash"))
+
+
+def hamming_band_pairs(
+    phashes: DataFrame, id_col: str = "asset_id", max_hamming: int = 3
+) -> DataFrame:
+    """Multi-index hamming search: near-dup pairs with hamming ≤ 3 over
+    32-bit phashes, WITHOUT an all-pairs comparison.
+
+    Pigeonhole: split the hash into 4 bytes; any pair within hamming 3
+    has < 4 differing bits, so at least one byte matches exactly.  The
+    plan is therefore: explode each hash to its 4 (band, byte) keys,
+    equality self-join on the key (the same bucket-join shape as MinHash
+    LSH), and verify exact hamming only on co-bucket candidates —
+    |candidates| ≈ collisions per byte-bucket instead of |assets|².
+    Recall is exactly 100% by construction, unlike probabilistic LSH.
+    """
+    banded = phashes.select(
+        id_col,
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("phash"), 8 * i)
+                        .bitwiseAND(255)
+                        .alias("bv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "phash", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+    a = banded.select(
+        "band", "bv", F.col(id_col).alias("id_a"), F.col("phash").alias("ph_a")
+    )
+    b = banded.select(
+        "band", "bv", F.col(id_col).alias("id_b"), F.col("phash").alias("ph_b")
+    )
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (
+        a.join(b, ["band", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

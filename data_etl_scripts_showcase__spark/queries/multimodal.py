@@ -459,3 +459,68 @@ def mm9_frame_feature_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_frames_pooled"),
         *[F.round(F.avg(f"f{j}"), 4).alias(f"e{j}") for j in range(4)],
     )
+
+
+_PH_SUMS = ",\n               ".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(32)
+)
+_PH_VAL = " + ".join(
+    f"(CASE WHEN b{i} > 0 THEN {2**i}::BIGINT ELSE 0::BIGINT END)"
+    for i in range(32)
+)
+_PH_BANDS = " UNION ALL ".join(
+    f"SELECT asset_id, {i} AS band, (phash >> {8 * i}) & 255 AS bv FROM ph"
+    for i in range(4)
+)
+
+
+@register(
+    "mm10_phash_neardup",
+    oracle=f"""
+    WITH img AS (
+        SELECT doc_id AS asset_id, hex(encode(text)) AS hx
+        FROM documents WHERE doc_id % 3 = 0 AND length(hex(encode(text))) >= 6
+    ),
+    sh AS (
+        SELECT asset_id,
+               unnest(list_transform(range(1, greatest(length(hx) - 5, 0) + 1, 2),
+                                     i -> substr(hx, i, 6))) AS shingle
+        FROM img
+    ),
+    eh AS (
+        SELECT asset_id,
+               ('0x' || substr(md5(concat('7:', shingle)), 1, 8))::BIGINT AS h
+        FROM sh
+    ),
+    sums AS (SELECT asset_id, {_PH_SUMS} FROM eh GROUP BY asset_id),
+    ph AS (SELECT asset_id, {_PH_VAL} AS phash FROM sums),
+    banded AS ({_PH_BANDS}),
+    cand AS (
+        SELECT DISTINCT x.asset_id AS id_a, y.asset_id AS id_b
+        FROM banded x JOIN banded y
+          ON x.band = y.band AND x.bv = y.bv AND x.asset_id < y.asset_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(pa.phash, pb.phash)) AS INTEGER) AS hamming
+    FROM cand c
+    JOIN ph pa ON pa.asset_id = c.id_a
+    JOIN ph pb ON pb.asset_id = c.id_b
+    WHERE bit_count(xor(pa.phash, pb.phash)) <= 3
+    """,
+    survey="NS-mm,NS-dedup (perceptual-hash near-dup images: stub pHash + multi-index hamming search, exact recall by pigeonhole)",
+)
+def mm10_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image detection: stub pHash over the image assets'
+    binary payloads (operators/multimodal.phash32_stub — the real DCT
+    pHash slots into the decode_real seam), then multi-index hamming
+    search (hamming ≤ 3 via 4-byte pigeonhole banding + equality
+    self-join — 100% recall without an all-pairs plan).  Metadata pruning
+    does its job first: only ``media_type = 'image'`` rows are hashed, a
+    predicate on a plain column that never touches the blobs."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = MM.to_assets(docs, "doc_id", "text").where(
+        F.col("media_type") == "image"
+    )
+    ph = MM.phash32_stub(assets)
+    return MM.hamming_band_pairs(ph)

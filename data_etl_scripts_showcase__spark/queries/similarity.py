@@ -907,3 +907,93 @@ def v13_two_stage_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         rr.withColumn("rank", F.row_number().over(w2).cast("int"))
         .where(F.col("rank") <= 3)
     )
+
+
+@register(
+    "v14_matryoshka_retrieval",
+    oracle=f"""
+    WITH sl AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(CAST(q.embedding[1:16] AS DOUBLE[]),
+                                            CAST(c.embedding[1:16] AS DOUBLE[])), 6) AS sim16
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id
+    ),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY sim16 DESC, neighbor_id ASC
+                   ) AS rn
+            FROM sl
+        ) WHERE rn <= 10
+    )
+    SELECT s.query_id, s.neighbor_id,
+           round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])), 6) AS sim,
+           CAST(row_number() OVER (
+               PARTITION BY s.query_id
+               ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                     CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                        s.neighbor_id ASC
+           ) AS INTEGER) AS rank
+    FROM short s
+    JOIN embeddings q ON q.vec_id = s.query_id
+    JOIN embeddings c ON c.vec_id = s.neighbor_id
+    QUALIFY rank <= 3
+    """,
+    survey="NS-sim extended (Matryoshka retrieval: truncated-dimension shortlist, full-dimension rerank)",
+)
+def v14_matryoshka_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) two-stage retrieval: the corpus-wide first pass
+    scores only the FIRST 16 of 64 dimensions — a 4× cut in memory
+    bandwidth and FLOPs, the dimension-truncation counterpart of v13's
+    int8 quantization (MRL-trained embeddings order information by
+    prefix, so the head dims carry most of the ranking signal) — then
+    only the 10-candidate shortlist pays full-dimension cosine for the
+    final top-3.  At 100 TB the head-dim slice is ALSO the storage story:
+    the first pass reads a 16-dim column (or the prefix of a fixed-size
+    array column), never the full vectors.  Determinism: both stages
+    round to 6 dp with neighbor-id tie-break."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    head = e.select(
+        "vec_id", F.slice("embedding", 1, 16).alias("h16")
+    )
+    queries = head.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("h16").alias("qh")
+    )
+    pairs = (
+        F.broadcast(queries)
+        .crossJoin(head.select(F.col("vec_id").alias("neighbor_id"), "h16"))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    sim16 = F.round(SIM.cosine("qh", "h16"), 6)
+    w1 = W.partitionBy("query_id").orderBy(
+        F.col("sim16").desc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        pairs.select("query_id", "neighbor_id", sim16.alias("sim16"))
+        .withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+    qe = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    ce = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
+    )
+    w2 = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        short.join(F.broadcast(qe), "query_id")
+        .join(ce, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(SIM.cosine("qvec", "cvec"), 6).alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(w2).cast("int"))
+        .where(F.col("rank") <= 3)
+    )

@@ -959,3 +959,52 @@ def t19_hashed_linear_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(score, 6).alias("score"),
         (score >= 0.5).alias("keep"),
     )
+
+
+@register(
+    "t20_bpe_merge_rank",
+    oracle=f"""
+    WITH n AS (SELECT {_TOKS} AS toks FROM documents),
+    tok AS (SELECT unnest(toks) AS t FROM n),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, greatest(length(t) - 1, 0) + 1),
+                                     i -> substr(t, i, 2))) AS pair
+        FROM tok
+    ),
+    c AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY pair)
+    SELECT CAST(row_number() OVER (ORDER BY n DESC, pair ASC) AS INTEGER) AS merge_rank,
+           pair, n
+    FROM c ORDER BY n DESC, pair ASC LIMIT 32
+    """,
+    survey="NS-text (BPE merge ranking: corpus-wide adjacent-character pair counts → top merge candidates)",
+)
+def t20_bpe_merge_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of BPE vocabulary training at corpus scale: count
+    every adjacent character pair inside every token occurrence, rank the
+    top-32 merge candidates (count DESC, pair ASC — the deterministic
+    tie-break real tokenizer trainers need for reproducible vocabs).
+
+    Plan shape: explode to pairs → ONE hash aggregate with map-side
+    combine (the pair vocabulary is tiny, so partials collapse hard) →
+    top-k on the few-hundred-row count table.  Full BPE training iterates
+    this with the chosen merge applied; each iteration is this same
+    aggregate, which is why the one-pass shape is the thing to get right
+    at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(TX.tokens("text")).alias("t")).where(
+        F.length("t") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count("*").alias("n"))
+    top = counts.orderBy(F.col("n").desc(), F.col("pair").asc()).limit(32)
+    return top.select(
+        F.row_number()
+        .over(W.orderBy(F.col("n").desc(), F.col("pair").asc()))
+        .alias("merge_rank"),
+        "pair",
+        "n",
+    )

@@ -935,3 +935,55 @@ class TestGlobalRowIds:
             for r in global_row_ids(df, F.col("b"), ["b", "k"]).collect()
         )
         assert ids == list(range(50))
+
+
+class TestPhashBanding:
+    def test_pigeonhole_recall_is_exact(self, spark):
+        """Every pair with hamming ≤ 3 shares ≥1 of 4 byte-bands, so the
+        banded join must find exactly the brute-force pair set."""
+        from data_etl_scripts_showcase__spark.operators.multimodal import (
+            hamming_band_pairs,
+        )
+
+        rows = [
+            (1, 0x11223344),
+            (2, 0x11223345),   # ham 1 vs id1
+            (3, 0x11223377),   # ham vs id1: 0x44^0x77=0x33 -> 4 bits (excluded)
+            (4, 0x91223344),   # ham 1 vs id1 (high byte)
+            (5, 0x0F0F0F0F),   # far from everything
+        ]
+        df = spark.createDataFrame(rows, "asset_id bigint, phash bigint")
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in hamming_band_pairs(df).collect()
+        }
+        import itertools
+
+        brute = set()
+        for (ia, pa), (ib, pb) in itertools.combinations(rows, 2):
+            h = bin(pa ^ pb).count("1")
+            if h <= 3:
+                brute.add((min(ia, ib), max(ia, ib), h))
+        assert got == brute
+        assert (1, 2, 1) in got and (1, 4, 1) in got
+
+    def test_phash_similar_payloads_close(self, spark):
+        from data_etl_scripts_showcase__spark.operators.multimodal import (
+            phash32_stub,
+        )
+        from pyspark.sql import functions as F
+
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        rows = [
+            (1, base),
+            (2, base + " tail-edit"),    # near-dup payload
+            (3, "completely different payload content entirely " * 8),
+        ]
+        df = spark.createDataFrame(rows, "asset_id bigint, text string").select(
+            "asset_id", F.encode("text", "UTF-8").alias("content")
+        )
+        ph = {r.asset_id: r.phash for r in phash32_stub(df).collect()}
+        near = bin(ph[1] ^ ph[2]).count("1")
+        far = bin(ph[1] ^ ph[3]).count("1")
+        assert near < far
+        assert near <= 6
