@@ -492,3 +492,192 @@ def d21_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("event_id").alias("rep_event_id"),
         )
     )
+
+
+# -------------------------------- x40: sketch join-size estimation
+
+_CMS_W = 256
+_CMS_D = 4
+
+
+def _cms_cells_sql(src: str, alias: str) -> str:
+    """Per-key counts of ``src`` folded into the 4×256 count-min grid."""
+    rows = " UNION ALL ".join(
+        f"SELECT {r} AS row, (('0x' || substr(md5(concat('{r}:', CAST(k AS VARCHAR))), 1, 8))::BIGINT"
+        f" % {_CMS_W}) AS bucket, n FROM {alias}_keys"
+        for r in range(_CMS_D)
+    )
+    return f"""
+    {alias}_keys AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS n FROM {src} GROUP BY user_id),
+    {alias}_cells AS (
+        SELECT row, bucket, CAST(sum(n) AS BIGINT) AS n
+        FROM ({rows}) GROUP BY row, bucket
+    )"""
+
+
+@register(
+    "x40_join_size_estimate",
+    oracle=f"""
+    WITH
+    {_cms_cells_sql("events", "a")},
+    {_cms_cells_sql("(SELECT * FROM events WHERE event_type = 'click')", "b")},
+    est AS (
+        SELECT a.row, CAST(sum(a.n * b.n) AS BIGINT) AS est_pairs
+        FROM a_cells a JOIN b_cells b ON a.row = b.row AND a.bucket = b.bucket
+        GROUP BY a.row
+    ),
+    ex AS (
+        SELECT CAST(sum(a.n * b.n) AS BIGINT) AS exact_pairs
+        FROM a_keys a JOIN b_keys b ON a.k = b.k
+    )
+    SELECT est.row AS cms_row, est.est_pairs, ex.exact_pairs,
+           est.est_pairs >= ex.exact_pairs AS is_upper_bound
+    FROM est, ex
+    """,
+    survey="NS-sketch (join-cardinality estimation: count-min inner product — the optimizer statistic, sketch-sized state)",
+)
+def x40_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predict a join's output size BEFORE running it: |A ⋈_k B| =
+    Σ_k cnt_A(k)·cnt_B(k), estimated as the inner product of the two
+    sides' count-min grids (Σ_cell a·b per hash row — each row is an
+    upper bound because collisions only add mass; the min over rows is
+    the working estimate).  This is the statistic a planner wants for
+    join reordering / skew pre-detection at 100 TB: each side is
+    sketched independently in one pass (4×256 cells regardless of
+    cardinality, mergeable across shards like a24), and the product
+    costs 1 Ki multiplies — vs actually running the join.  The audit
+    joins the exact Σ product; ``is_upper_bound`` is the CMS guarantee
+    and must be TRUE on every row."""
+    from ..operators.sketches import cms_build
+
+    ev = load_table(spark, sf_dir, "events")
+    a = cms_build(ev, "user_id")
+    b = cms_build(ev.where(F.col("event_type") == "click"), "user_id")
+    est = (
+        a.alias("a")
+        .join(b.alias("b"), ["row", "bucket"])
+        .groupBy("row")
+        .agg(
+            F.sum(F.col("a.n") * F.col("b.n")).cast("bigint").alias("est_pairs")
+        )
+        .select(F.col("row").alias("cms_row"), "est_pairs")
+    )
+    ka = ev.groupBy("user_id").agg(F.count("*").alias("na"))
+    kb = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("nb"))
+    )
+    exact = (
+        ka.join(kb, "user_id")
+        .agg(F.sum(F.col("na") * F.col("nb")).cast("bigint").alias("exact_pairs"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "cms_row",
+        "est_pairs",
+        "exact_pairs",
+        (F.col("est_pairs") >= F.col("exact_pairs")).alias("is_upper_bound"),
+    )
+
+
+# ------------------------------------- a29: HLL set operations
+
+_HLL_REGS_SQL = """
+    SELECT idx, max(rho) AS reg FROM (
+        SELECT hv % 64 AS idx,
+               CASE WHEN hv // 64 = 0 THEN 27
+                    ELSE 27 - length(bin(hv // 64)) END AS rho
+        FROM (
+            SELECT ('0x' || substr(md5(concat('91:', user_id::VARCHAR)), 1, 8))::BIGINT AS hv
+            FROM events WHERE event_type = '{etype}'
+        )
+    ) GROUP BY idx
+"""
+
+_HLL_EST_SQL = """
+    SELECT round(CASE WHEN (0.709 * 64 * 64 * 134217728.0) / z_scaled <= 160.0
+                      AND v_empty > 0
+                      THEN 64.0 * ln(64.0 / v_empty)
+                      ELSE (0.709 * 64 * 64 * 134217728.0) / z_scaled
+                 END, 4) AS est
+    FROM (
+        SELECT CAST(64 - count(*) AS BIGINT) AS v_empty,
+               CAST(CAST(sum(1::BIGINT << (27 - reg)) AS BIGINT)
+                    + (64 - count(*)) * 134217728 AS BIGINT) AS z_scaled
+        FROM {regs}
+    )
+"""
+
+
+@register(
+    "a29_hll_set_ops",
+    oracle=f"""
+    WITH ra AS ({_HLL_REGS_SQL.format(etype="click")}),
+    rb AS ({_HLL_REGS_SQL.format(etype="purchase")}),
+    ru AS (
+        SELECT idx, max(reg) AS reg
+        FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY idx
+    ),
+    ea AS ({_HLL_EST_SQL.format(regs="ra")}),
+    eb AS ({_HLL_EST_SQL.format(regs="rb")}),
+    eu AS ({_HLL_EST_SQL.format(regs="ru")}),
+    ex AS (
+        SELECT CAST(count(DISTINCT CASE WHEN event_type IN ('click', 'purchase')
+                                        THEN user_id END) AS BIGINT) AS exact_union,
+               CAST((SELECT count(*) FROM
+                      (SELECT user_id FROM events WHERE event_type = 'click'
+                       INTERSECT
+                       SELECT user_id FROM events WHERE event_type = 'purchase'))
+                    AS BIGINT) AS exact_intersection
+        FROM events
+    )
+    SELECT ea.est AS est_click, eb.est AS est_purchase, eu.est AS est_union,
+           round(ea.est + eb.est - eu.est, 4) AS est_intersection,
+           ex.exact_union, ex.exact_intersection
+    FROM ea, eb, eu, ex
+    """,
+    survey="NS-sketch (HLL set algebra: union by register max, intersection by inclusion-exclusion, audited vs exact)",
+)
+def a29_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set algebra on HyperLogLog sketches: |clickers ∪ buyers|
+    comes from merging the two register tables cell-wise (max — the HLL
+    union is EXACT over sketches, losslessly mergeable at any shard
+    count), and |clickers ∩ buyers| by inclusion–exclusion over the three
+    estimates.  This is the segment-overlap question every audience /
+    contamination analysis asks at 100 TB, answered from two 64-row
+    register tables instead of a user-level join; the audit columns carry
+    the exact counts (affordable at test SF) alongside."""
+    from ..operators.sketches import hll_estimate, hll_merge, hll_registers
+
+    ev = load_table(spark, sf_dir, "events")
+    ra = hll_registers(ev.where(F.col("event_type") == "click"), "user_id")
+    rb = hll_registers(ev.where(F.col("event_type") == "purchase"), "user_id")
+    ru = hll_merge(ra, rb)
+
+    def est(regs, name):
+        return hll_estimate(regs).select(F.col("est_distinct").alias(name))
+
+    ea, eb, eu = est(ra, "est_click"), est(rb, "est_purchase"), est(ru, "est_union")
+    exact_union = (
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_union"))
+    )
+    clickers = ev.where(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    exact_inter = clickers.intersect(buyers).agg(
+        F.count("*").cast("bigint").alias("exact_intersection")
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .select(
+            "est_click",
+            "est_purchase",
+            "est_union",
+            F.round(
+                F.col("est_click") + F.col("est_purchase") - F.col("est_union"), 4
+            ).alias("est_intersection"),
+        )
+        .crossJoin(F.broadcast(exact_union))
+        .crossJoin(F.broadcast(exact_inter))
+    )

@@ -1092,3 +1092,67 @@ def w23_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("value_interp"),
     )
+
+
+@register(
+    "w24_seasonal_anomaly",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    f AS (
+        SELECT event_type, day, n,
+               lag(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS expected
+        FROM d
+    ),
+    r AS (
+        SELECT event_type, day, n, expected,
+               n - expected AS residual
+        FROM f WHERE expected IS NOT NULL
+    ),
+    s AS (
+        SELECT event_type,
+               round(2.0 * stddev_samp(residual), 4) AS threshold
+        FROM r GROUP BY event_type
+    )
+    SELECT r.event_type, strftime(r.day, '%Y-%m-%d') AS day, r.n, r.expected,
+           CAST(r.residual AS BIGINT) AS residual,
+           abs(CAST(r.residual AS DOUBLE)) > s.threshold AS is_anomaly
+    FROM r JOIN s USING (event_type)
+    """,
+    survey="W-std extended (seasonal-naive anomaly detection: lag-7 forecast + residual sigma gate)",
+)
+def w24_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly monitoring over the event stream: per-type daily
+    counts, a seasonal-naive forecast (same weekday last week — lag 7 in
+    the ordered day series), and a 2σ residual gate.  This is the
+    pipeline-health check a 100 TB ingest runs nightly: one aggregate to
+    days (the only full-data pass), then windows and the sigma gate on
+    the tiny (type × day) series.  Residuals are exact BIGINTs; the one
+    float (the σ threshold) is rounded to 4 dp on both sides so the
+    boolean gate compares identically."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("n"))
+    w = W.partitionBy("event_type").orderBy("day")
+    r = (
+        d.withColumn("expected", F.lag("n", 7).over(w))
+        .where(F.col("expected").isNotNull())
+        .withColumn("residual", F.col("n") - F.col("expected"))
+    )
+    s = r.groupBy("event_type").agg(
+        F.round(2.0 * F.stddev_samp("residual"), 4).alias("threshold")
+    )
+    return r.join(F.broadcast(s), "event_type").select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        "expected",
+        F.col("residual").cast("bigint").alias("residual"),
+        (F.abs(F.col("residual").cast("double")) > F.col("threshold")).alias(
+            "is_anomaly"
+        ),
+    )
