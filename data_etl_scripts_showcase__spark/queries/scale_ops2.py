@@ -681,3 +681,61 @@ def a29_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(exact_union))
         .crossJoin(F.broadcast(exact_inter))
     )
+
+
+# -------------------------- x41: deterministic weighted sampling
+
+
+@register(
+    "x41_weighted_sample",
+    oracle="""
+    WITH k AS (
+        SELECT doc_id, CAST(length(text) AS DOUBLE) AS weight,
+               round(ln((('0x' || substr(md5(concat('13:', doc_id::VARCHAR)), 1, 8))::BIGINT + 1)
+                        / 4294967296.0)
+                     / CAST(length(text) AS DOUBLE), 8) AS es_key
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id, weight, es_key,
+           CAST(row_number() OVER (ORDER BY es_key DESC, doc_id ASC) AS INTEGER) AS rank
+    FROM k ORDER BY es_key DESC, doc_id ASC LIMIT 64
+    """,
+    survey="NS-sample (Efraimidis-Spirakis weighted sampling without replacement — deterministic hash-derived randomness, one top-k pass)",
+)
+def x41_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, the Efraimidis–Spirakis
+    way: each row draws u ∈ (0,1] and competes with key ln(u)/w — the
+    top-k keys are exactly a weighted sample without replacement.  Two
+    properties make this the 100 TB sampler: it is ONE top-k pass (no
+    sequential reservoir, partials merge as per-partition top-k like any
+    argmax), and u is hash-derived from the row id, so the sample is a
+    pure function of the data — reproducible across runs, engines, and
+    partitionings (the same determinism discipline as x2's hash sample,
+    extended to weights).  Here weight = document length: longer docs
+    proportionally likelier, the token-budget-biased pick of x8 done
+    probabilistically."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("13:"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h + 1) / F.lit(4294967296.0)
+    w = F.length("text").cast("double")
+    k = d.select(
+        "doc_id",
+        w.alias("weight"),
+        F.round(F.log(u) / w, 8).alias("es_key"),
+    )
+    top = k.orderBy(F.col("es_key").desc(), F.col("doc_id").asc()).limit(64)
+    return top.select(
+        "doc_id",
+        "weight",
+        "es_key",
+        F.row_number()
+        .over(Window.orderBy(F.col("es_key").desc(), F.col("doc_id").asc()))
+        .cast("int")
+        .alias("rank"),
+    )

@@ -605,3 +605,32 @@ def x33_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").cast("bigint").alias("n_events"),
         F.date_format(F.max("last_ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
     )
+
+
+@register(
+    "st16_stream_row_ids",
+    oracle="""
+    SELECT event_id,
+           CAST(row_number() OVER (ORDER BY ts, event_id) - 1 AS BIGINT) AS row_id
+    FROM events
+    """,
+    survey="§2.10 extended, NS-layout (contiguous example ids maintained across micro-batches, sink-derived offsets)",
+)
+def st16_stream_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming example-id assignment: the events stream lands with
+    contiguous global row ids, batch offsets chained through the sink
+    (streaming/jobs.streaming_row_ids).  With availableNow over one
+    input file the assignment equals the batch zipWithIndex exactly —
+    the oracle is the single-partition window x39 exists to avoid;
+    multi-batch contiguity and replay-idempotence are asserted in
+    tests/test_streaming.py."""
+    import tempfile
+
+    from ..streaming.jobs import events_stream, streaming_row_ids
+
+    out = tempfile.mkdtemp(prefix="st16_rowids_")
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    streaming_row_ids(events_stream(spark, sf_dir), out)
+    return spark.read.parquet(out).select("event_id", "row_id")

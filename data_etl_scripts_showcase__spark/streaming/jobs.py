@@ -644,3 +644,56 @@ def read_hll(spark: SparkSession, out_path: str) -> DataFrame:
     from ..operators.sketches import hll_merge
 
     return hll_merge(spark.read.parquet(out_path))
+
+
+def streaming_row_ids(
+    events: DataFrame, out_path: str
+) -> None:
+    """Contiguous global row ids maintained ACROSS micro-batches: each
+    batch's rows get ids [offset, offset + |batch|) where offset is the
+    total row count already committed to the sink — the streaming form of
+    the distributed zipWithIndex (queries/scale_ops2.global_row_ids),
+    with the cross-batch offset carried by the sink itself instead of a
+    driver counter (restart-safe: a recovered query re-derives the offset
+    from committed data, and an epoch replay overwrites its own ids).
+
+    Within a batch, ids follow (ts, event_id) order via the same bucketed
+    offsets + intra-bucket row_number plan — no single-partition sort at
+    any batch size.  Ids are dense and unique by construction:
+    batch-internal ids are a permutation of [0, |batch|) and offsets
+    chain exactly."""
+    import os
+
+    from pyspark.sql.utils import AnalysisException
+    from ..queries.scale_ops2 import global_row_ids
+
+    def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        offset = 0
+        if os.path.isdir(out_path):
+            try:
+                offset = spark.read.parquet(out_path).where(
+                    F.col("epoch") < F.lit(int(epoch_id))
+                ).count()
+            except AnalysisException:
+                offset = 0
+        with_ids = global_row_ids(
+            batch,
+            F.col("ts").cast("date").cast("string"),
+            ["ts", "event_id"],
+        ).select(
+            "event_id",
+            (F.col("row_id") + F.lit(offset)).alias("row_id"),
+            F.lit(int(epoch_id)).alias("epoch"),
+        )
+        with_ids.write.mode("overwrite").parquet(
+            f"{out_path}/epoch={int(epoch_id)}"
+        )
+
+    q = (
+        events.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_rowids_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -642,3 +642,87 @@ def test_band_join_equals_brute_force(spark, lvals, rvals, eps):
         if abs(a - b) <= eps
     }
     assert got == want
+
+
+_SLOW_GRAPH = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@_SLOW_GRAPH
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_cc_alternating_equals_min_label(spark, edges):
+    """Both CC formulations converge to the identical min-id-per-component
+    fixpoint on arbitrary graphs (self-loops, duplicates, any topology) —
+    the unique-fixpoint property that makes the O(log n) alternating form
+    a drop-in for the O(diameter) label loop."""
+    from data_etl_scripts_showcase__spark.operators.graph import (
+        connected_components,
+        connected_components_alternating,
+    )
+
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    a = {(r.id, r.component) for r in connected_components(df).collect()}
+    b = {
+        (r.id, r.component)
+        for r in connected_components_alternating(df).collect()
+    }
+    assert a == b
+
+    # reference: union-find on the driver
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        parent[find(x)] = find(y)
+
+    for u, v in edges:
+        union(u, v)
+    comps = {}
+    for node in parent:
+        comps.setdefault(find(node), set()).add(node)
+    expected = {
+        (n, min(members)) for members in comps.values() for n in members
+    }
+    assert b == expected
+
+
+@_SLOW_GRAPH
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1000), st.integers(0, 5)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_global_row_ids_dense_and_order_preserving(spark, rows):
+    """global_row_ids assigns exactly 0..N-1 in (bucket, key) order for
+    any bucket skew, including all-one-bucket and one-row buckets."""
+    from data_etl_scripts_showcase__spark.queries.scale_ops2 import (
+        global_row_ids,
+    )
+
+    df = spark.createDataFrame(rows, "k bigint, b bigint")
+    got = {
+        r.k: r.row_id
+        for r in global_row_ids(df, F.col("b"), ["b", "k"]).collect()
+    }
+    expected = {
+        k: i for i, (k, _) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
+    }
+    assert got == expected

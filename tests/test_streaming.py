@@ -272,3 +272,75 @@ class TestPythonStreamSource:
         replay = r.readBetweenOffsets({"page": 0}, off1)
         assert sorted(rows1) == sorted(replay)
         assert off1 == {"page": 2}
+
+
+class TestStreamingRowIds:
+    def test_multibatch_ids_contiguous_and_replay_idempotent(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Three micro-batches (maxFilesPerTrigger=1) must produce dense
+        unique ids 0..N-1 with offsets chained through the sink, and
+        replaying an epoch must overwrite its own ids, not append."""
+        import pyspark.sql.functions as F
+
+        from data_etl_scripts_showcase__spark.sources import load_table
+        from data_etl_scripts_showcase__spark.streaming.jobs import (
+            streaming_row_ids,
+        )
+
+        ev = load_table(spark, sf_dir, "events").limit(300)
+        src = str(tmp_path / "src")
+        for i in range(3):
+            ev.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        n = spark.read.parquet(src).count()
+
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = str(tmp_path / "out")
+        streaming_row_ids(stream, out)
+
+        got = spark.read.parquet(out)
+        ids = sorted(r.row_id for r in got.select("row_id").collect())
+        assert ids == list(range(n))
+
+        # replay one epoch verbatim → same total, same dense id set
+        epochs = sorted(
+            r.epoch for r in got.select("epoch").distinct().collect()
+        )
+        assert len(epochs) >= 2
+        replay_epoch = epochs[1]
+        batch = spark.read.parquet(f"{out}/epoch={replay_epoch}")
+        # reconstruct the original batch input rows for that epoch
+        replay_rows = spark.read.parquet(src).join(
+            batch.select("event_id"), "event_id"
+        )
+        from data_etl_scripts_showcase__spark.streaming import jobs as J
+
+        # simulate the foreachBatch replay path directly
+        import os
+
+        offset = spark.read.parquet(out).where(
+            F.col("epoch") < replay_epoch
+        ).count()
+        from data_etl_scripts_showcase__spark.queries.scale_ops2 import (
+            global_row_ids,
+        )
+
+        with_ids = global_row_ids(
+            replay_rows,
+            F.col("ts").cast("date").cast("string"),
+            ["ts", "event_id"],
+        ).select(
+            "event_id",
+            (F.col("row_id") + F.lit(offset)).alias("row_id"),
+            F.lit(int(replay_epoch)).alias("epoch"),
+        )
+        with_ids.write.mode("overwrite").parquet(f"{out}/epoch={replay_epoch}")
+        ids2 = sorted(r.row_id for r in spark.read.parquet(out).collect())
+        assert ids2 == list(range(n))
