@@ -79,6 +79,20 @@ HEADLINE = [
     "x30_partition_skew_report",  # shuffle-skew observability
     "x31_table_fingerprint",  # order-independent migration checksum
     "io7_python_datasource_pages",  # Spark 4 Python DataSource
+    # round-2 additions:
+    "x38_zone_map_pruning",  # file-level min/max pruning statistic
+    "x39_global_row_ids",  # distributed zipWithIndex
+    "pr4_cc_alternating",  # O(log n) large-star/small-star CC
+    "a28_histogram_quantile_audit",  # mergeable histogram quantiles
+    "io10_compaction_roundtrip",  # small-file OPTIMIZE through the read path
+    "d21_url_canonical_dedup",  # crawl URL canonicalization dedup
+    "mm10_phash_neardup",  # stub pHash + multi-index hamming search
+    "t20_bpe_merge_rank",  # BPE merge-candidate ranking
+    "v14_matryoshka_retrieval",  # truncated-dim shortlist + full rerank
+    "x40_join_size_estimate",  # CMS inner-product join cardinality
+    "a29_hll_set_ops",  # HLL union/intersection algebra
+    "w24_seasonal_anomaly",  # lag-7 forecast residual gate
+    "x41_weighted_sample",  # Efraimidis-Spirakis weighted top-k sample
 ]
 
 

@@ -397,3 +397,40 @@ class TestBandJoinPlan:
         plan = plan_of(spark, "j12_band_join")
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestRound2Plans:
+    def test_global_row_ids_no_global_sort_of_data(self, spark):
+        """x39: the table-wide window must partition by bucket; the only
+        SinglePartition exchange feeds the tiny offsets aggregate, which
+        then broadcasts back."""
+        plan = plan_of(spark, "x39_global_row_ids")
+        assert "hashpartitioning(_bkt" in plan
+        assert "BroadcastExchange" in plan
+        # the data path (scan -> final window) must not be single-partition:
+        # the one SinglePartition exchange sits under a HashAggregate.
+        assert plan.count("SinglePartition") <= 1
+
+    def test_phash_banding_is_hash_join(self, spark):
+        """mm10: hamming candidate generation is an equality join on the
+        (band, byte) key — never a nested-loop/cartesian plan."""
+        plan = plan_of(spark, "mm10_phash_neardup")
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_join_size_estimate_joins_sketches_not_rows(self, spark):
+        """x40: the estimate join must consume aggregated relations (grids /
+        per-key counts), proven by partial aggregates on both inputs."""
+        plan = plan_of(spark, "x40_join_size_estimate")
+        assert "partial_count" in plan or "partial_sum" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_matryoshka_first_pass_reads_head_slice(self, spark):
+        """v14: the corpus-wide stage projects slice(embedding, 1, 16); the
+        full embedding appears only via the shortlist rerank joins."""
+        plan = plan_of(spark, "v14_matryoshka_retrieval")
+        assert "slice(embedding" in plan
+        # the corpus-wide stage is a broadcast of the bounded 8-query side
+        # (documented pattern); a true data-by-data product would surface as
+        # CartesianProduct.
+        assert "CartesianProduct" not in plan

@@ -170,6 +170,32 @@ SHOWCASE = [
         "|a-b|<=eps theta join as an eps-bucket equality join with 3x "
         "left fan-out — hash join, not BroadcastNestedLoopJoin",
     ),
+    (
+        "x39_global_row_ids",
+        "distributed zipWithIndex: the only unpartitioned window runs on "
+        "the |buckets|-row offsets relation (broadcast back); the data "
+        "window is partitioned by bucket — no Exchange SinglePartition "
+        "over the table itself",
+    ),
+    (
+        "mm10_phash_neardup",
+        "multi-index hamming search: 4-byte band explode then equality "
+        "self-join on (band, byte) — hash join on the bucket key, exact "
+        "hamming only on co-bucket candidates, no all-pairs node",
+    ),
+    (
+        "x40_join_size_estimate",
+        "join-size estimation: both inputs collapse to 4x256 sketch "
+        "grids (partial-combined aggregates) before the tiny cell join; "
+        "the exact-audit join runs on per-key count relations, never raw "
+        "rows x raw rows",
+    ),
+    (
+        "v14_matryoshka_retrieval",
+        "Matryoshka retrieval: corpus pass projects slice(embedding,1,16) "
+        "only (head dims), queries broadcast; full-dim cosine appears "
+        "solely in the 10-row-per-query rerank join",
+    ),
 ]
 
 
