@@ -243,3 +243,59 @@ def connected_components_alternating(
         "id", F.coalesce(F.col("_c"), F.col("id")).alias("component")
     )
     return labels
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Minimum hop count from any node in ``sources`` (one column ``id``)
+    to every reachable node → (id, hops).
+
+    Frontier-free formulation (simpler to reason about at scale than
+    delta-frontier BFS, and every round is the same two-op plan): each
+    round recomputes dist(v) = min(dist(v), min_{u∈N(v)} dist(u)+1) —
+    one edge join + one keyed min — until the distance table stops
+    changing.  Rounds needed = eccentricity of the source set; state is
+    1 row per reached node.  Distances are a unique fixpoint (min over
+    monotone candidates), so the result is deterministic under any
+    partitioning, and every round localCheckpoints to keep the plan
+    constant-size (same lineage discipline as the CC loops above).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    dist = sources.select(
+        F.col("id"), F.lit(0).cast("bigint").alias("hops")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        via = sym.join(dist, sym["a"] == dist["id"]).select(
+            F.col("b").alias("id"), (F.col("hops") + 1).alias("hops")
+        )
+        new_dist = (
+            dist.unionByName(via)
+            .groupBy("id")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_dist.alias("n")
+            .join(dist.alias("o"), "id", "left")
+            .where(
+                F.col("o.hops").isNull()
+                | (F.col("n.hops") != F.col("o.hops"))
+            )
+            .count()
+        )
+        dist = new_dist
+        if changed == 0:
+            break
+    sym.unpersist()
+    return dist

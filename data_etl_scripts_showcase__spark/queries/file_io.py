@@ -442,3 +442,42 @@ def io10_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec2("o_totalprice")).cast("double").alias("price_sum"),
         F.countDistinct("_f").alias("n_files"),
     )
+
+
+@register(
+    "io11_compressed_csv_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum,
+           true AS all_gz
+    FROM lineitem WHERE l_orderkey % 50 = 0
+    GROUP BY l_returnflag
+    """,
+    survey="S4,S5 extended (codec-compressed CSV round trip: gzip sink + declared-schema source, codec verified through file listing)",
+)
+def io11_compressed_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round trip through a compression codec: gzip on write (the
+    archival default for interchange files a 100 TB pipeline emits —
+    splittability doesn't matter for write-once interchange, size does),
+    schema-declared read back, and the codec itself asserted by checking
+    every physical file carries the .gz suffix (``all_gz`` must be true —
+    pinned in the oracle like io10's file count).  Exact-decimal sum
+    proves values survive the text encode/decode."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 50 == 0
+    ).select("l_orderkey", "l_returnflag", "l_quantity")
+    out = _tmp("io11_gzcsv_")
+    li.write.mode("overwrite").option("compression", "gzip").csv(
+        out, header=True
+    )
+    back = read_csv(
+        spark,
+        out,
+        "l_orderkey bigint, l_returnflag string, l_quantity double",
+    ).withColumn("_f", F.input_file_name())
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(dec2("l_quantity")).cast("double").alias("qty_sum"),
+        F.every(F.col("_f").endswith(".gz")).alias("all_gz"),
+    )

@@ -739,3 +739,137 @@ def x41_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("rank"),
     )
+
+
+# ---------------------- x42: incremental zone-map maintenance
+
+
+@register(
+    "x42_zone_map_maintenance",
+    oracle=f"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS file_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price,
+           CAST(min(o_orderdate) AS DATE) AS min_date,
+           CAST(max(o_orderdate) AS DATE) AS max_date
+    FROM orders
+    GROUP BY strftime(o_orderdate, '%Y-%m')
+    """,
+    survey="NS-layout (zone-map manifest maintained incrementally: delta-batch stats merged by min/min-max/max-sum, no base rescan)",
+)
+def x42_zone_map_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest maintenance without rescanning history: the zone-map
+    table (x38's statistic) is ALGEBRAIC — counts add, mins min, maxes
+    max — so a delta batch's per-file stats merge into the existing
+    manifest with one tiny aggregate over (old manifest ∪ delta stats).
+    Here the base manifest covers o_orderkey % 10 != 0 and the delta is
+    the remaining tenth; the merged manifest must equal the
+    from-scratch manifest over everything (the oracle) bit-for-bit.
+    At 100 TB this is how table statistics stay current per ingest:
+    O(|delta| + |files|) work, the base data is never read again —
+    the same partials discipline as x14's incremental aggregate and the
+    streaming sketches."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def stats(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("file_id")
+        ).agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.min("o_orderdate").alias("min_date"),
+            F.max("o_orderdate").alias("max_date"),
+        )
+
+    base_manifest = stats(o.where(F.col("o_orderkey") % 10 != 0))
+    delta_stats = stats(o.where(F.col("o_orderkey") % 10 == 0))
+    return (
+        base_manifest.unionByName(delta_stats)
+        .groupBy("file_id")
+        .agg(
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.min("min_price").alias("min_price"),
+            F.max("max_price").alias("max_price"),
+            F.min("min_date").alias("min_date"),
+            F.max("max_date").alias("max_date"),
+        )
+    )
+
+
+# ------------------------------------------- pr5: BFS hop distances
+
+
+@register(
+    "pr5_bfs_hops",
+    oracle=f"""
+    WITH RECURSIVE
+    {_BANDS_CTE},
+    cand AS ({_CAND_SQL}),
+    verified AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN g ga ON ga.doc_id = c.id_a
+        JOIN g gb ON gb.doc_id = c.id_b
+        WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                  / len(list_distinct(ga.grams || gb.grams)) >= 0.5
+    ),
+    sym AS (
+        SELECT id_a AS a, id_b AS b FROM verified
+        UNION
+        SELECT id_b AS a, id_a AS b FROM verified
+    ),
+    reach(id, r) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id
+    ),
+    comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id),
+    src AS (SELECT id FROM comp WHERE id = c),
+    walk(id, d) AS (
+        SELECT id, 0::BIGINT FROM src
+        UNION
+        SELECT s.b, walk.d + 1 FROM walk JOIN sym s ON s.a = walk.id
+        WHERE walk.d < 20
+    )
+    SELECT id AS doc_id, min(d) AS hops FROM walk GROUP BY id
+    """,
+    survey="NS-dedup extended (multi-source BFS: hop distance to each near-dup cluster's canonical representative)",
+)
+def pr5_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum hop distance from each near-dup cluster's canonical
+    representative (its min doc_id, d8/d9's survivor) to every member —
+    'how far does this duplication chain from its canonical copy', the
+    chain-depth signal that says when greedy pairwise dedup (d8) diverges
+    from transitive dedup (d9).  Multi-source BFS: all component minima
+    seed distance 0 in ONE run (operators/graph.bfs_hops — each round is
+    one edge join + one keyed min; rounds = max cluster eccentricity, 1
+    row/node state).  The fourth iterative graph algorithm on the shared
+    edge pipeline (CC, PageRank, label propagation, BFS); the oracle
+    walks the same graph from the same roots via recursive CTE."""
+    from ..operators.graph import bfs_hops
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select("doc_id", DD.tokens("text").alias("_toks")).select(
+        "doc_id", DD.ngrams_from_tokens(F.col("_toks")).alias("grams")
+    )
+    sig = DD.minhash_signature(
+        docs, "doc_id", "text", parallelism=spark.sparkContext.defaultParallelism
+    )
+    cand = DD.candidate_pairs(DD.lsh_buckets(sig, "doc_id"), "doc_id")
+    ga = grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b"))
+    verified = (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .where(DD.jaccard(F.col("grams_a"), F.col("grams_b")) >= 0.5)
+        .select("id_a", "id_b")
+    ).localCheckpoint(eager=True)
+    from ..operators.graph import connected_components_alternating
+
+    comps = connected_components_alternating(verified, "id_a", "id_b")
+    sources = comps.where(F.col("id") == F.col("component")).select("id")
+    return bfs_hops(verified, sources, "id_a", "id_b").select(
+        F.col("id").alias("doc_id"), "hops"
+    )
