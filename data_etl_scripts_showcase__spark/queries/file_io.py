@@ -481,3 +481,47 @@ def io11_compressed_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum(dec2("l_quantity")).cast("double").alias("qty_sum"),
         F.every(F.col("_f").endswith(".gz")).alias("all_gz"),
     )
+
+
+@register(
+    "io12_dpp_star_join",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+    FROM orders WHERE substr(o_orderpriority, 1, 1) = '1'
+    GROUP BY o_orderpriority
+    """,
+    survey="S3/J-std extended (dynamic partition pruning: dim filter prunes fact partitions at runtime, driven end-to-end)",
+)
+def io12_dpp_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The star-join scan pattern that carries 100 TB warehouses: the fact
+    table is written partitioned on the join attribute, the dimension
+    filter is on a NON-join column (so no static partition filter can be
+    inferred — only Dynamic Partition Pruning's runtime subquery prunes),
+    and the fact scan ends up reading just the partitions the dim filter
+    selects.  tests/test_plans.py asserts the ``dynamicpruning``
+    expression in this exact plan; this query makes the path
+    driver-checkable end-to-end through a real partitioned write +
+    pruned read + aggregate."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    base = _tmp("io12_dpp_")
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(base)
+    fact = spark.read.parquet(base)
+    dim = (
+        o.select("o_orderpriority")
+        .distinct()
+        .withColumn("urgency_code", F.substring("o_orderpriority", 1, 1))
+        .where(F.col("urgency_code") == "1")
+        .select("o_orderpriority")
+    )
+    return (
+        fact.join(dim, "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec2("o_totalprice")).cast("double").alias("price_sum"),
+        )
+    )

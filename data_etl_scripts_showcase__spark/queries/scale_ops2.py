@@ -873,3 +873,62 @@ def pr5_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_hops(verified, sources, "id_a", "id_b").select(
         F.col("id").alias("doc_id"), "hops"
     )
+
+
+# ----------------------- a30: exact time-decayed counters
+
+
+@register(
+    "a30_time_decayed_counts",
+    oracle="""
+    WITH anchor AS (SELECT CAST(max(ts) AS DATE) AS d0 FROM events),
+    daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    w AS (
+        SELECT event_type, n,
+               least(CAST(floor(date_diff('day', day, anchor.d0) / 7) AS BIGINT), 9) AS wk
+        FROM daily, anchor
+    )
+    SELECT event_type,
+           CAST(sum(n) AS BIGINT) AS n_total,
+           CAST(sum(n * (1::BIGINT << CAST(9 - wk AS INTEGER))) AS BIGINT) AS decayed_units,
+           CAST(sum(n * (1::BIGINT << CAST(9 - wk AS INTEGER))) AS DOUBLE) / 512.0 AS decayed_count
+    FROM w GROUP BY event_type
+    """,
+    survey="A-std extended (exponentially time-decayed counters in exact integer units — trending metric, mergeable partials)",
+)
+def a30_time_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending metric: each event contributes 2^-(age_weeks) with a
+    7-day half-life (capped at 9 weeks), so recent activity dominates —
+    the decayed counter every freshness-aware ranking uses.  The exact-
+    integer trick: week-granular decay makes every weight a power of two,
+    so scaling by 2^9 turns the whole aggregate into BIGINT arithmetic —
+    bit-identical under any partitioning/engine (the v9/x4 micro-unit
+    discipline applied to decay), and the partials stay additive/
+    mergeable across shards and days like every sketch here.  One
+    full-data pass to daily counts; the decay algebra runs on the tiny
+    (type × day) relation."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").cast("date").alias("d0"))
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("n"))
+    w = daily.crossJoin(F.broadcast(anchor)).select(
+        "event_type",
+        "n",
+        F.least(
+            F.floor(F.datediff(F.col("d0"), F.col("day")) / 7).cast("bigint"),
+            F.lit(9).cast("bigint"),
+        ).alias("wk"),
+    )
+    # python F.shiftleft wants a literal bit count; the SQL form takes an
+    # expression — 2^(9-wk) stays exact BIGINT for wk in [0, 9].
+    units = F.expr("n * shiftleft(CAST(1 AS BIGINT), CAST(9 - wk AS INT))")
+    return w.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum(units).cast("bigint").alias("decayed_units"),
+        (F.sum(units).cast("double") / 512.0).alias("decayed_count"),
+    )

@@ -1156,3 +1156,61 @@ def w24_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_anomaly"
         ),
     )
+
+
+@register(
+    "w25_target_encoding_loo",
+    oracle="""
+    WITH g AS (
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_cat,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_cat
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderkey, o.o_orderpriority,
+           CAST(CASE WHEN g.n_cat = 1 THEN NULL
+                     ELSE round((g.sum_cat - CAST(o.o_totalprice AS DECIMAL(18,2)))
+                                / (g.n_cat - 1), 4)
+                END AS DOUBLE) AS te_loo,
+           CAST(round(g.sum_cat / g.n_cat, 4) AS DOUBLE) AS te_naive
+    FROM orders o JOIN g USING (o_orderpriority)
+    WHERE o.o_orderkey % 20 = 0
+    """,
+    survey="W-std extended, NS-mlprep (leave-one-out target encoding: leakage-free categorical feature via group sums minus self)",
+)
+def w25_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target encoding done leakage-free: each row's category feature is
+    the mean target of OTHER rows in its category — (Σ_cat − y_i)/(n_cat
+    − 1) — the leave-one-out form that keeps a row's own label out of its
+    feature (the same leakage discipline as d15's split).  Plan: one
+    per-category aggregate (tiny — broadcast back), then pure arithmetic
+    per row; no window over the full table, no shuffle of the fact beyond
+    the aggregate.  Sums ride exact DECIMAL so the division inputs are
+    bit-identical on both engines; the quotient rounds to 4 dp.  The
+    naive (leaky) mean rides alongside for comparison."""
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_cat"),
+        F.sum(dec2("o_totalprice")).alias("sum_cat"),
+    )
+    return (
+        o.where(F.col("o_orderkey") % 20 == 0)
+        .join(F.broadcast(g), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.when(F.col("n_cat") == 1, F.lit(None))
+            .otherwise(
+                F.round(
+                    (F.col("sum_cat") - dec2("o_totalprice"))
+                    / (F.col("n_cat") - 1),
+                    4,
+                )
+            )
+            .cast("double")
+            .alias("te_loo"),
+            F.round(F.col("sum_cat") / F.col("n_cat"), 4)
+            .cast("double")
+            .alias("te_naive"),
+        )
+    )
