@@ -273,3 +273,72 @@ def m9_higher_order_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter("qtys", lambda x: x > 25.0)).alias("n_big"),
         F.aggregate("qtys", F.lit(0.0), lambda a, x: a + x).alias("qty_sum"),
     )
+
+
+@register(
+    "m10_map_higher_order",
+    oracle="""
+    WITH m AS (
+        SELECT o_orderkey,
+               map_entries(MAP(['status', 'priority', 'cust'],
+                               [o_orderstatus, o_orderpriority, CAST(o_custkey AS VARCHAR)])) AS ent
+        FROM orders WHERE o_orderkey % 40 = 0
+    )
+    SELECT o_orderkey,
+           list_aggr(list_sort(list_transform(
+               list_filter(ent, e -> e.value IS NOT NULL AND len(e.value) > 1),
+               e -> concat(e.key, '=', upper(e.value)))),
+               'string_agg', '|') AS upper_props,
+           CAST(len(list_filter(ent, e -> contains(e.value, '1'))) AS INTEGER) AS n_with_one,
+           list_aggr(list_sort(list_transform(ent, e -> concat(e.key, ':', CAST(len(e.value) AS VARCHAR)))),
+                     'string_agg', '|') AS key_lengths
+    FROM m
+    """,
+    survey="M-std extended (map higher-order functions: map_filter / transform_values / entries projection, driver-hashable)",
+)
+def m10_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed higher-order surface: build a string map per order, then
+    map_filter (predicate over k,v), transform_values (upper), and an
+    entries projection (value lengths) — all codegen lambda expressions,
+    no Python.  Every map output is projected through sorted
+    ``array_join`` scalars (the m8 discipline) so the driver can hash it;
+    map iteration order is never relied upon."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 40 == 0)
+    m = o.select(
+        "o_orderkey",
+        F.create_map(
+            F.lit("status"), F.col("o_orderstatus"),
+            F.lit("priority"), F.col("o_orderpriority"),
+            F.lit("cust"), F.col("o_custkey").cast("string"),
+        ).alias("props"),
+    )
+    filtered = F.map_filter(
+        "props", lambda k, v: v.isNotNull() & (F.length(v) > 1)
+    )
+    uppered = F.transform_values(filtered, lambda k, v: F.upper(v))
+    return m.select(
+        "o_orderkey",
+        F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.map_entries(uppered),
+                    lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+                )
+            ),
+            "|",
+        ).alias("upper_props"),
+        F.size(F.map_filter("props", lambda k, v: v.contains("1")))
+        .cast("int")
+        .alias("n_with_one"),
+        F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.map_entries("props"),
+                    lambda e: F.concat(
+                        e["key"], F.lit(":"), F.length(e["value"]).cast("string")
+                    ),
+                )
+            ),
+            "|",
+        ).alias("key_lengths"),
+    )

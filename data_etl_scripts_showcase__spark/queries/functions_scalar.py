@@ -444,3 +444,35 @@ def f_ansi_safe_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linenumber"),
         ).alias("third_letter"),
     )
+
+
+@register(
+    "f_regexp_surface",
+    oracle=r"""
+    SELECT doc_id,
+           coalesce(list_aggr(regexp_extract_all(text, '[0-9]+'), 'string_agg', '|'), '') AS all_numbers,
+           CAST(len(regexp_extract_all(text, '[A-Z][a-z]+')) AS INTEGER) AS n_capitalized,
+           regexp_replace(text, '\s+', '_', 'g') AS squashed,
+           regexp_matches(text, '(?i)lorem|ipsum') AS mentions_lorem
+    FROM documents WHERE doc_id % 20 = 0
+    """,
+    survey="F-std extended (regexp surface: extract_all / match count / global replace / boolean match)",
+)
+def f_regexp_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The regexp function family beyond single-group extract (F2's digits
+    filter): ``regexp_extract_all`` (every match, projected through
+    array_join for driver hashing), match counting, global replace, and
+    boolean ``rlike`` with an inline case-insensitive flag.  All codegen —
+    regexes compile once per task, not per row."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
+    return d.select(
+        "doc_id",
+        F.array_join(F.regexp_extract_all("text", F.lit("[0-9]+")), "|").alias(
+            "all_numbers"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit("[A-Z][a-z]+")))
+        .cast("int")
+        .alias("n_capitalized"),
+        F.regexp_replace("text", r"\s+", "_").alias("squashed"),
+        F.col("text").rlike("(?i)lorem|ipsum").alias("mentions_lorem"),
+    )

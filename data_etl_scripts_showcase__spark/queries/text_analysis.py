@@ -1008,3 +1008,77 @@ def t20_bpe_merge_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pair",
         "n",
     )
+
+
+@register(
+    "t22_vocab_overlap",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest({_TOKS}) AS t FROM documents
+    ),
+    c AS (SELECT source, t, count(*) AS n FROM tok GROUP BY source, t),
+    top AS (
+        SELECT source, t FROM (
+            SELECT source, t,
+                   row_number() OVER (PARTITION BY source ORDER BY n DESC, t ASC) AS rn
+            FROM c
+        ) WHERE rn <= 200
+    ),
+    sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_vocab FROM top GROUP BY source),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_common
+        FROM top a JOIN top b ON a.t = b.t AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT i.src_a, i.src_b, sa.n_vocab AS n_a, sb.n_vocab AS n_b, i.n_common,
+           round(CAST(i.n_common AS DOUBLE) / (sa.n_vocab + sb.n_vocab - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    """,
+    survey="NS-text extended (cross-source vocabulary overlap: top-k vocab per source, pairwise Jaccard — mixture curation signal)",
+)
+def t22_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How similar are my corpus sources?  Top-200 vocabulary per source
+    (deterministic count-desc/token-asc rank) and pairwise Jaccard
+    between every source pair — the signal mixture curation uses to spot
+    near-redundant sources before weighting them (x16's resample decides
+    WITH this).  Plan: one token aggregate (map-side combined — the only
+    full-data pass), per-source top-k windows on the count relation, and
+    an equality self-join on token over ≤200·|sources| rows."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(TX.tokens("text")).alias("t"))
+    c = tok.groupBy("source", "t").agg(F.count("*").alias("n"))
+    w = W.partitionBy("source").orderBy(F.col("n").desc(), F.col("t").asc())
+    top = (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 200)
+        .select("source", "t")
+    )
+    sizes = top.groupBy("source").agg(F.count("*").cast("bigint").alias("n_vocab"))
+    a = top.select(F.col("source").alias("src_a"), "t")
+    b = top.select(F.col("source").alias("src_b"), "t")
+    inter = (
+        a.join(b, "t")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n_vocab").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n_vocab").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
