@@ -589,3 +589,79 @@ def j12_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "supp_b",
         F.round(F.abs(F.col("bal_a") - F.col("bal_b")), 2).alias("bal_gap"),
     )
+
+
+@register(
+    "j13_bitemporal_asof",
+    oracle="""
+    WITH vers AS (
+        SELECT c_custkey, v,
+               CAST(DATE '1995-01-01' + INTERVAL ((c_custkey % 300) + 180 * v) DAY AS DATE) AS valid_from,
+               CAST(DATE '1995-01-01' + INTERVAL ((c_custkey % 300) + 180 * v + (c_custkey % 30)) DAY AS DATE) AS tx_from
+        FROM customer, (SELECT unnest([0, 1]) AS v)
+    ),
+    known AS (
+        SELECT * FROM vers
+        WHERE tx_from <= DATE '1996-07-01' AND valid_from <= DATE '1996-06-01'
+    )
+    SELECT c_custkey, CAST(v AS INTEGER) AS version,
+           strftime(valid_from, '%Y-%m-%d') AS valid_from,
+           strftime(tx_from, '%Y-%m-%d') AS tx_from
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY c_custkey ORDER BY valid_from DESC, tx_from DESC, v DESC
+        ) AS rn
+        FROM known
+    ) WHERE rn = 1
+    """,
+    survey="J-std extended (bitemporal AS OF: valid-time plus transaction-time point query — what did we believe, when)",
+)
+def j13_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal point query: from versioned records carrying BOTH a
+    valid-time (when the fact was true in the world) and a transaction
+    time (when the warehouse learned it), answer 'as the system stood on
+    T, what did we believe was true at V' — the audit/backtest semantics
+    SCD2 (x9) and valid-time point-in-time joins (j10) can't express
+    alone, because a late-arriving correction must be invisible to
+    queries pinned before its tx time.  Plan: filter both time axes
+    (pushable predicates), then the same deterministic argmax-per-key
+    window as A7 — no new physical machinery, which is the point:
+    bitemporality is a modeling discipline over ordinary columns."""
+    from pyspark.sql import Window as W
+
+    c = load_table(spark, sf_dir, "customer")
+    vers = c.select(
+        "c_custkey", F.explode(F.array(F.lit(0), F.lit(1))).alias("v")
+    ).select(
+        "c_custkey",
+        "v",
+        F.date_add(
+            F.lit("1995-01-01").cast("date"),
+            ((F.col("c_custkey") % 300) + 180 * F.col("v")).cast("int"),
+        ).alias("valid_from"),
+        F.date_add(
+            F.lit("1995-01-01").cast("date"),
+            (
+                (F.col("c_custkey") % 300)
+                + 180 * F.col("v")
+                + (F.col("c_custkey") % 30)
+            ).cast("int"),
+        ).alias("tx_from"),
+    )
+    known = vers.where(
+        (F.col("tx_from") <= F.lit("1996-07-01").cast("date"))
+        & (F.col("valid_from") <= F.lit("1996-06-01").cast("date"))
+    )
+    w = W.partitionBy("c_custkey").orderBy(
+        F.col("valid_from").desc(), F.col("tx_from").desc(), F.col("v").desc()
+    )
+    return (
+        known.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "c_custkey",
+            F.col("v").cast("int").alias("version"),
+            F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+            F.date_format("tx_from", "yyyy-MM-dd").alias("tx_from"),
+        )
+    )

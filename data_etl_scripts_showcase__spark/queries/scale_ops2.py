@@ -932,3 +932,72 @@ def a30_time_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(units).cast("bigint").alias("decayed_units"),
         (F.sum(units).cast("double") / 512.0).alias("decayed_count"),
     )
+
+
+# ------------------------- a31: co-occurrence lift mining
+
+
+@register(
+    "a31_cooccurrence_lift",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id, event_type FROM events),
+    tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events),
+    s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY event_type),
+    p AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_both
+        FROM u a JOIN u b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.type_a, p.type_b, sa.n AS n_a, sb.n AS n_b, p.n_both, tot.n_users,
+           round(CAST(p.n_both AS DOUBLE) * tot.n_users / (sa.n * sb.n), 6) AS lift
+    FROM p
+    JOIN s sa ON sa.event_type = p.type_a
+    JOIN s sb ON sb.event_type = p.type_b
+    CROSS JOIN tot
+    """,
+    survey="A-std extended (co-occurrence mining: pairwise support + lift over per-user behavior sets)",
+)
+def a31_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence over user behavior: for every pair of
+    event types, how many users do both, and the lift
+    P(a,b)/(P(a)·P(b)) that says whether they co-occur beyond chance —
+    the association signal behind recommendation and anomalous-pairing
+    audits.  Plan: distinct (user, type) first (one shuffle — the only
+    full-data pass), then the pair self-join runs on ≤|types| rows per
+    user (bounded fan-out, same blocked-pairs shape as d6); marginals
+    broadcast back.  Lift's inputs are exact BIGINTs; the one division
+    rounds to 6 dp."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select("user_id", "event_type").distinct()
+    tot = ev.agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    s = u.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n"))
+    a = u.select("user_id", F.col("event_type").alias("type_a"))
+    b = u.select("user_id", F.col("event_type").alias("type_b"))
+    p = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+    )
+    sa = s.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = s.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        p.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            "n_users",
+            F.round(
+                F.col("n_both").cast("double")
+                * F.col("n_users")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

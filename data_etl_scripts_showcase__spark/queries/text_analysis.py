@@ -1082,3 +1082,54 @@ def t22_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "t23_chunk_windows",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    starts AS (
+        SELECT doc_id, toks,
+               unnest(range(1, greatest(len(toks) - 16, 1) + 1, 48)) AS start
+        FROM n WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST((start - 1) / 48 AS INTEGER) AS chunk_idx,
+           CAST(least(64, len(toks) - start + 1) AS INTEGER) AS n_tokens,
+           md5(list_aggr(toks[start:least(start + 63, len(toks))], 'string_agg', ' ')) AS chunk_md5
+    FROM starts
+    """,
+    survey="NS-text extended (RAG chunking: fixed-size overlapping token windows, content-addressed by digest)",
+)
+def t23_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-ready chunking: every document splits into 64-token
+    windows with stride 48 (16-token overlap, so no boundary sentence is
+    lost to a cut) — THE preprocessing step between a raw corpus and an
+    embedding index.  A trailing stub shorter than the overlap folds into
+    the previous window (starts stop at len−16).  Chunks are emitted
+    content-addressed (md5 of the joined tokens) rather than as raw text,
+    which is both driver-hashable and the dedup-friendly form a chunk
+    store keys on.  One tokenize + one explode of the per-doc start list;
+    at 100 TB each doc's chunk fan-out is |tokens|/48, embarrassingly
+    parallel, no shuffle at all."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", TX.tokens("text").alias("toks")).where(
+        F.size("toks") > 0
+    )
+    starts = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.expr("sequence(1, greatest(size(toks) - 16, 1), 48)")
+        ).alias("start"),
+    )
+    return starts.select(
+        "doc_id",
+        ((F.col("start") - 1) / 48).cast("int").alias("chunk_idx"),
+        F.least(F.lit(64), F.size("toks") - F.col("start") + 1)
+        .cast("int")
+        .alias("n_tokens"),
+        F.md5(
+            F.array_join(F.expr("slice(toks, start, 64)"), " ")
+        ).alias("chunk_md5"),
+    )
