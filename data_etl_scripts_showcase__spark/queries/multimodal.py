@@ -524,3 +524,91 @@ def mm10_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ph = MM.phash32_stub(assets)
     return MM.hamming_band_pairs(ph)
+
+
+@register(
+    "mm11_vad_segments",
+    oracle=f"""
+    WITH a AS (
+        SELECT doc_id AS asset_id, md5(text) AS h,
+               2048 + octet_length(CAST(text AS BLOB)) % 8192 AS n_samples
+        FROM documents
+        WHERE {_MEDIA_CASE} = 'audio'
+    ),
+    chunks AS (
+        SELECT asset_id, h, CAST(i AS INTEGER) AS chunk_idx
+        FROM a, LATERAL (SELECT unnest(range(0, (n_samples - 1024) // 512 + 1)) AS i)
+    ),
+    e AS (
+        SELECT asset_id, chunk_idx,
+               CAST(('0x' || substr(md5(concat(h, ':', CAST(chunk_idx AS VARCHAR))), 1, 4))::BIGINT % 1000
+                    AS BIGINT) AS energy
+        FROM chunks
+    ),
+    act AS (
+        SELECT asset_id, chunk_idx, energy,
+               chunk_idx - row_number() OVER (PARTITION BY asset_id ORDER BY chunk_idx) AS island
+        FROM e WHERE energy >= 300
+    )
+    SELECT asset_id,
+           CAST(min(chunk_idx) AS INTEGER) AS seg_start_chunk,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(energy) AS BIGINT) AS energy_sum
+    FROM act GROUP BY asset_id, island
+    """,
+    survey="NS-mm extended (voice-activity segmentation: stub chunk energies + gaps-and-islands merge — audio curation shape)",
+)
+def mm11_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity detection over chunked audio, the curation step
+    that decides which spans of 100 TB of audio are worth transcribing:
+    per-chunk energy (STUB — deterministic from the payload digest; a
+    real energy/VAD model slots into the same per-chunk scalar), a
+    threshold gate, and consecutive active chunks merged into segments
+    via gaps-and-islands (w7's sessionization algebra applied to media
+    windows).  The chunk grid is mm3's mapInPandas fan-out; everything
+    after it is codegen windows — Python never sees inactive chunks'
+    neighbors."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = MM.to_assets(docs, "doc_id", "text")
+    chunks = MM.chunk_audio(
+        assets, parallelism=spark.sparkContext.defaultParallelism
+    )
+    sums = assets.select(
+        "asset_id", F.md5(F.col("content").cast("string")).alias("h")
+    )
+    e = chunks.join(sums, "asset_id").select(
+        "asset_id",
+        "chunk_idx",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("h"),
+                            F.lit(":"),
+                            F.col("chunk_idx").cast("string"),
+                        )
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 1000
+        ).alias("energy"),
+    )
+    act = e.where(F.col("energy") >= 300).withColumn(
+        "island",
+        F.col("chunk_idx")
+        - F.row_number().over(
+            W.partitionBy("asset_id").orderBy("chunk_idx")
+        ),
+    )
+    return act.groupBy("asset_id", "island").agg(
+        F.min("chunk_idx").cast("int").alias("seg_start_chunk"),
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum("energy").cast("bigint").alias("energy_sum"),
+    ).drop("island")
