@@ -1001,3 +1001,208 @@ def a31_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ------------------- x43: temperature-scaled mixture allocation
+
+_MIX_BUDGET = 10000
+
+
+@register(
+    "x43_temperature_mixture",
+    oracle=f"""
+    WITH s AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               round(sqrt(CAST(count(*) AS DOUBLE)), 6) AS w
+        FROM documents GROUP BY source
+    ),
+    t AS (SELECT sum(w) AS wsum, CAST(sum(n_docs) AS BIGINT) AS n_total FROM s),
+    q AS (
+        SELECT s.source, s.n_docs, s.w,
+               CAST(floor(s.w * {_MIX_BUDGET} / t.wsum) AS BIGINT) AS base_quota,
+               s.w * {_MIX_BUDGET} / t.wsum
+                 - floor(s.w * {_MIX_BUDGET} / t.wsum) AS remainder
+        FROM s, t
+    ),
+    leftover AS (SELECT CAST({_MIX_BUDGET} - sum(base_quota) AS BIGINT) AS extra FROM q),
+    r AS (
+        SELECT q.*, row_number() OVER (ORDER BY remainder DESC, source ASC) AS rr
+        FROM q
+    )
+    SELECT source, n_docs,
+           CAST(base_quota + CASE WHEN rr <= leftover.extra THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+    FROM r, leftover
+    """,
+    survey="NS-sample extended (temperature-scaled mixture quotas: n^0.5 weights + largest-remainder integer allocation, sums exactly to budget)",
+)
+def x43_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture design for corpus sampling: per-source quotas ∝ n^0.5 —
+    the temperature-scaled sampling (τ = 2) that up-weights small
+    sources so they aren't drowned by the head, exactly the multilingual
+    / multi-source balancing trick LLM data recipes use.  Fractional
+    quotas become integers by the largest-remainder method (floor + top
+    remainders get the leftover units, ties by source name), so the
+    allocation sums to the budget EXACTLY and deterministically — no
+    float drift deciding who gets the last example.  All the algebra
+    runs on the |sources|-row aggregate; x16's resampler consumes these
+    quotas."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
+    s = s.select(
+        "source",
+        "n_docs",
+        F.round(F.sqrt(F.col("n_docs").cast("double")), 6).alias("w"),
+    )
+    t = s.agg(F.sum("w").alias("wsum"))
+    q = s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        F.floor(F.col("w") * _MIX_BUDGET / F.col("wsum"))
+        .cast("bigint")
+        .alias("base_quota"),
+        (
+            F.col("w") * _MIX_BUDGET / F.col("wsum")
+            - F.floor(F.col("w") * _MIX_BUDGET / F.col("wsum"))
+        ).alias("remainder"),
+    )
+    leftover = q.agg(
+        (F.lit(_MIX_BUDGET) - F.sum("base_quota")).cast("bigint").alias("extra")
+    )
+    r = q.withColumn(
+        "rr",
+        F.row_number().over(
+            Window.orderBy(F.col("remainder").desc(), F.col("source").asc())
+        ),
+    )
+    return r.crossJoin(F.broadcast(leftover)).select(
+        "source",
+        "n_docs",
+        (
+            F.col("base_quota")
+            + F.when(F.col("rr") <= F.col("extra"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("quota"),
+    )
+
+
+# ----------------- pr6: k-hop neighborhood sampling (GNN prep)
+
+
+@register(
+    "pr6_khop_neighbor_sample",
+    oracle=f"""
+    WITH
+    {_BANDS_CTE},
+    cand AS ({_CAND_SQL}),
+    verified AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN g ga ON ga.doc_id = c.id_a
+        JOIN g gb ON gb.doc_id = c.id_b
+        WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                  / len(list_distinct(ga.grams || gb.grams)) >= 0.5
+    ),
+    sym AS (
+        SELECT id_a AS a, id_b AS b FROM verified
+        UNION
+        SELECT id_b AS a, id_a AS b FROM verified
+    ),
+    ranked AS (
+        SELECT a, b,
+               row_number() OVER (
+                   PARTITION BY a
+                   ORDER BY ('0x' || substr(md5(concat(CAST(a AS VARCHAR), ':', CAST(b AS VARCHAR))), 1, 8))::BIGINT,
+                            b
+               ) AS rk
+        FROM sym
+    ),
+    hop1 AS (SELECT a AS root, b AS n1 FROM ranked WHERE rk <= 3),
+    hop2 AS (
+        SELECT h.root, h.n1, r.b AS n2
+        FROM hop1 h JOIN ranked r ON r.a = h.n1
+        WHERE r.rk <= 3 AND r.b <> h.root
+    )
+    SELECT root, CAST(1 AS INTEGER) AS hop, CAST(NULL AS BIGINT) AS via, n1 AS neighbor
+    FROM hop1
+    UNION ALL
+    SELECT root, CAST(2 AS INTEGER) AS hop, n1 AS via, n2 AS neighbor
+    FROM hop2
+    """,
+    survey="NS-dedup extended (GraphSAGE-style k-hop neighborhood sampling: deterministic hash-ranked fan-out caps)",
+)
+def pr6_khop_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GNN training-data prep over the near-dup graph: each node samples
+    up to 3 neighbors, and each sampled neighbor samples up to 3 of ITS
+    neighbors (root excluded) — the 2-hop GraphSAGE fan-out that bounds
+    per-node compute no matter how skewed the degree distribution (the
+    hub-cap version of d14's bucket guard).  'Random' ranks are
+    md5-derived from the (node, neighbor) pair, so the sample is a pure
+    function of the graph — reproducible across engines/partitionings,
+    the x41 discipline applied to edges.  Plan: one ranked window over
+    the symmetric edge list, hop-2 by self-join of the capped hop-1."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select("doc_id", DD.tokens("text").alias("_toks")).select(
+        "doc_id", DD.ngrams_from_tokens(F.col("_toks")).alias("grams")
+    )
+    sig = DD.minhash_signature(
+        docs, "doc_id", "text", parallelism=spark.sparkContext.defaultParallelism
+    )
+    cand = DD.candidate_pairs(DD.lsh_buckets(sig, "doc_id"), "doc_id")
+    ga = grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b"))
+    verified = (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .where(DD.jaccard(F.col("grams_a"), F.col("grams_b")) >= 0.5)
+        .select("id_a", "id_b")
+    )
+    e = verified.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    rank_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("a").cast("string"), F.lit(":"), F.col("b").cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    ranked = sym.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("a").orderBy(rank_hash, F.col("b"))
+        ),
+    ).localCheckpoint(eager=True)
+    hop1 = ranked.where(F.col("rk") <= 3).select(
+        F.col("a").alias("root"), F.col("b").alias("n1")
+    )
+    hop2 = (
+        hop1.join(
+            ranked.where(F.col("rk") <= 3).select(
+                F.col("a").alias("n1"), F.col("b").alias("n2")
+            ),
+            "n1",
+        )
+        .where(F.col("n2") != F.col("root"))
+    )
+    out1 = hop1.select(
+        "root",
+        F.lit(1).cast("int").alias("hop"),
+        F.lit(None).cast("bigint").alias("via"),
+        F.col("n1").alias("neighbor"),
+    )
+    out2 = hop2.select(
+        "root",
+        F.lit(2).cast("int").alias("hop"),
+        F.col("n1").alias("via"),
+        F.col("n2").alias("neighbor"),
+    )
+    return out1.unionByName(out2)
