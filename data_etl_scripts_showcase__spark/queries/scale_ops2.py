@@ -1206,3 +1206,107 @@ def pr6_khop_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n2").alias("neighbor"),
     )
     return out1.unionByName(out2)
+
+
+# --------------- a32: rolling distinct count from HLL partials
+
+_HLL_SCALE2 = 1 << 27
+
+
+@register(
+    "a32_rolling_distinct_hll",
+    oracle=f"""
+    WITH h AS (
+        SELECT CAST(ts AS DATE) AS day,
+               ('0x' || substr(md5(concat('91:', user_id::VARCHAR)), 1, 8))::BIGINT AS hv
+        FROM events
+    ),
+    r AS (
+        SELECT day, hv % 64 AS idx,
+               CASE WHEN hv // 64 = 0 THEN 27
+                    ELSE 27 - length(bin(hv // 64)) END AS rho
+        FROM h
+    ),
+    daily AS (SELECT day, idx, max(rho) AS reg FROM r GROUP BY day, idx),
+    grid AS (SELECT DISTINCT day FROM daily),
+    merged AS (
+        SELECT g.day, d.idx, max(d.reg) AS reg
+        FROM grid g JOIN daily d
+          ON d.day BETWEEN g.day - INTERVAL 6 DAY AND g.day
+        GROUP BY g.day, d.idx
+    ),
+    agg AS (
+        SELECT day, count(*) AS used,
+               CAST(sum(1::BIGINT << (27 - reg)) AS BIGINT) AS z_used
+        FROM merged GROUP BY day
+    ),
+    s AS (
+        SELECT day, CAST(64 - used AS BIGINT) AS v_empty,
+               CAST(z_used + (64 - used) * {_HLL_SCALE2} AS BIGINT) AS z_scaled
+        FROM agg
+    ),
+    est AS (
+        SELECT day, v_empty, z_scaled,
+               round(CASE WHEN (0.709 * 64 * 64 * {_HLL_SCALE2}) / z_scaled <= 160.0
+                          AND v_empty > 0
+                          THEN 64.0 * ln(64.0 / v_empty)
+                          ELSE (0.709 * 64 * 64 * {_HLL_SCALE2}) / z_scaled
+                     END, 4) AS est_distinct
+        FROM s
+    ),
+    ex AS (
+        SELECT g.day, CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_exact
+        FROM grid g JOIN events e
+          ON CAST(e.ts AS DATE) BETWEEN g.day - INTERVAL 6 DAY AND g.day
+        GROUP BY g.day
+    )
+    SELECT strftime(est.day, '%Y-%m-%d') AS day, est.v_empty, est.z_scaled,
+           est.est_distinct, ex.n_exact
+    FROM est JOIN ex ON est.day = ex.day
+    """,
+    survey="NS-sketch extended (rolling 7-day distinct users from mergeable daily HLL partials — no per-window rescan)",
+)
+def a32_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day — the DAU/WAU-style rolling
+    cardinality — computed the only way it scales: ONE pass builds daily
+    64-row HLL register partials, and every day's window answer is a
+    cell-wise max over ≤7 register sets (a ≤448-row join per day, never a
+    re-scan of the week's events).  Exact rolling distinct at 100 TB
+    would re-shuffle every event into 7 windows; the partials make window
+    membership a property of the 64-row sketches instead.  The exact
+    count rides along as the audit (affordable at test SF)."""
+    from ..operators.sketches import hll_estimate, hll_registers
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    daily = hll_registers(ev, "user_id", ["day"])
+    grid = daily.select("day").distinct().select(F.col("day").alias("gday"))
+    merged = (
+        grid.join(
+            daily,
+            (F.col("day") >= F.date_sub(F.col("gday"), 6))
+            & (F.col("day") <= F.col("gday")),
+        )
+        .groupBy("gday", "idx")
+        .agg(F.max("reg").alias("reg"))
+        .select(F.col("gday").alias("day"), "idx", "reg")
+    )
+    est = hll_estimate(merged, ["day"])
+    exact = (
+        grid.join(
+            ev,
+            (F.col("day") >= F.date_sub(F.col("gday"), 6))
+            & (F.col("day") <= F.col("gday")),
+        )
+        .groupBy("gday")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_exact"))
+        .select(F.col("gday").alias("day"), "n_exact")
+    )
+    return est.join(exact, "day").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "v_empty",
+        "z_scaled",
+        "est_distinct",
+        "n_exact",
+    )

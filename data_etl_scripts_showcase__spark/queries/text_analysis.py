@@ -1133,3 +1133,43 @@ def t23_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.expr("slice(toks, start, 64)"), " ")
         ).alias("chunk_md5"),
     )
+
+
+@register(
+    "t24_langid_confusion",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, lang AS lang_meta,
+               {", ".join(f"{{hits}} AS h_{{lg}}".format(hits=_hits_sql(lg), lg=lg) for lg in _LANGS)}
+        FROM documents
+    ),
+    p AS (
+        SELECT lang_meta,
+               CASE WHEN greatest({", ".join("h_" + lg for lg in _LANGS)}) <= 0 THEN 'und'
+                    {" ".join(f"WHEN h_{lg} = greatest({', '.join('h_' + l2 for l2 in _LANGS)}) THEN '{lg}'" for lg in _LANGS)}
+               END AS lang_pred
+        FROM h
+    )
+    SELECT lang_meta, lang_pred,
+           CAST(count(*) AS BIGINT) AS n,
+           lang_meta = lang_pred AS is_correct
+    FROM p GROUP BY lang_meta, lang_pred
+    """,
+    survey="NS-text extended (language-ID evaluation: confusion matrix of heuristic prediction vs metadata ground truth)",
+)
+def t24_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a pipeline op: t3's marker-based language
+    ID scored against the corpus's lang metadata as a confusion matrix —
+    the per-cell counts every quality dashboard needs before trusting a
+    heuristic filter at 100 TB (one wrong cell = one language silently
+    dropped from the corpus).  One pass, one aggregate; the prediction
+    expression is t3's codegen argmax, unchanged."""
+    d = load_table(spark, sf_dir, "documents")
+    p = d.select(
+        F.col("lang").alias("lang_meta"),
+        TX.language_id("text").alias("lang_pred"),
+    )
+    return p.groupBy("lang_meta", "lang_pred").agg(
+        F.count("*").cast("bigint").alias("n"),
+        (F.col("lang_meta") == F.col("lang_pred")).alias("is_correct"),
+    )
