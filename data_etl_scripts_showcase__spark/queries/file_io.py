@@ -525,3 +525,57 @@ def io12_dpp_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec2("o_totalprice")).cast("double").alias("price_sum"),
         )
     )
+
+
+@register(
+    "io13_parquet_bloom_roundtrip",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+           true AS bloom_written
+    FROM orders WHERE o_custkey = 371
+    """,
+    survey="S4/S5 extended (parquet bloom filters on write: point-lookup row-group skipping for a non-sorted key)",
+)
+def io13_parquet_bloom_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet bloom filters, the point-lookup complement to zone maps
+    (x38): min/max stats cannot skip row groups for a high-cardinality
+    UNSORTED key (every group spans the full custkey range), but a
+    per-row-group bloom filter answers 'key definitely absent' in one
+    probe.  The write enables a bloom on o_custkey; the read is the
+    archetypal needle query.  ``bloom_written`` is asserted
+    behaviorally: the same data written with and without the option must
+    strictly grow the file (the filter bitset lives in the file body;
+    this environment's pyarrow predates the footer accessor) — pinned
+    true in the oracle like io10's file count, so the driver gate fails
+    if the option stops taking effect."""
+    import glob as _glob
+    import os as _os
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .coalesce(1)
+    )
+    out = _tmp("io13_bloom_")
+    plain = _tmp("io13_plain_")
+    # the per-column `#col` option suffix is not honored by this writer
+    # path; the global switch is — so the bloom-bearing file carries only
+    # the lookup key + payload column (what a needle index wants anyway).
+    (
+        o.write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled", "true")
+        .parquet(out)
+    )
+    o.write.mode("overwrite").parquet(plain)
+
+    def _bytes(d: str) -> int:
+        return sum(_os.path.getsize(f) for f in _glob.glob(f"{d}/*.parquet"))
+
+    has_bloom = _bytes(out) > _bytes(plain)
+    back = spark.read.parquet(out).where(F.col("o_custkey") == 371)
+    return back.agg(
+        F.count("*").alias("n"),
+        F.sum(dec2("o_totalprice")).cast("double").alias("price_sum"),
+        F.lit(bool(has_bloom)).alias("bloom_written"),
+    )

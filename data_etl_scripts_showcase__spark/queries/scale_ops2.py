@@ -1310,3 +1310,40 @@ def a32_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_distinct",
         "n_exact",
     )
+
+
+# -------------------- a33: exact median by histogram bisection
+
+
+@register(
+    "a33_exact_median_bisect",
+    oracle="""
+    WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+    kth AS (
+        SELECT o_totalprice AS median_exact
+        FROM orders ORDER BY o_totalprice
+        LIMIT 1 OFFSET (SELECT (n + 1) // 2 - 1 FROM t)
+    )
+    SELECT t.n, CAST((t.n + 1) // 2 AS BIGINT) AS k, kth.median_exact
+    FROM t, kth
+    """,
+    survey="A-std extended (EXACT median without a global sort: histogram-bisection selection, counting passes only)",
+)
+def a33_exact_median_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact (lower) median of o_totalprice found WITHOUT sorting:
+    two 128-bin counting passes narrow the candidate range to ~n/16,384
+    values, then one exact rank on that sliver (operators/selection).
+    a28's histogram gives a within-one-bin estimate in one pass; this is
+    the follow-through when 'approximately' isn't acceptable (billing,
+    SLAs) — still no global sort, no exact-percentile buffer, just
+    aggregates.  The oracle is the ORDER BY the operator exists to
+    avoid; both return the identical data value."""
+    from ..operators.selection import kth_smallest
+
+    o = load_table(spark, sf_dir, "orders")
+    n = o.count()
+    k = (n + 1) // 2
+    med = kth_smallest(o, "o_totalprice", k)
+    return spark.createDataFrame(
+        [(n, k, med)], "n bigint, k bigint, median_exact double"
+    )

@@ -997,3 +997,112 @@ def v14_matryoshka_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w2).cast("int"))
         .where(F.col("rank") <= 3)
     )
+
+
+_BQ_BITS = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] > 0.0 THEN {2**i}::HUGEINT ELSE 0::HUGEINT END)"
+    for i in range(64)
+)
+
+
+@register(
+    "v16_binary_quantized_retrieval",
+    oracle=f"""
+    WITH bq AS (
+        SELECT vec_id, CAST({_BQ_BITS} - CASE WHEN embedding[64] > 0.0 THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS bits
+        FROM embeddings
+    ),
+    d AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(bit_count(xor(q.bits, c.bits)) AS INTEGER) AS hamming
+        FROM bq q, bq c
+        WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id
+    ),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY hamming ASC, neighbor_id ASC
+                   ) AS rn
+            FROM d
+        ) WHERE rn <= 10
+    )
+    SELECT s.query_id, s.neighbor_id,
+           round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])), 6) AS sim,
+           CAST(row_number() OVER (
+               PARTITION BY s.query_id
+               ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                     CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                        s.neighbor_id ASC
+           ) AS INTEGER) AS rank
+    FROM short s
+    JOIN embeddings q ON q.vec_id = s.query_id
+    JOIN embeddings c ON c.vec_id = s.neighbor_id
+    QUALIFY rank <= 3
+    """,
+    survey="NS-sim extended (binary quantization: 64 dims to ONE 64-bit word, hamming shortlist + exact rerank — 256x compression)",
+)
+def v16_binary_quantized_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bottom rung of the compression ladder (int8 v10 → PQ v11 →
+    MRL v14 → binary): each 64-dim float vector collapses to its sign
+    bits — exactly ONE 64-bit word, 256× smaller — and the corpus-wide
+    pass ranks by hamming distance, a single xor+popcount per candidate
+    (the cheapest similarity primitive hardware offers).  The 10-candidate
+    shortlist then pays full float cosine for the final top-3, same
+    audited two-stage shape as v13/v14.  Sign bits pack via exact integer
+    bit arithmetic (bit 63 wraps to the BIGINT sign — mirrored in both
+    engines), so the shortlist ranking is bit-deterministic."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    bit_terms = None
+    for i in range(64):
+        term = F.when(
+            F.element_at("embedding", i + 1) > 0.0,
+            F.lit(1).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        shifted = F.shiftleft(term, i)
+        bit_terms = shifted if bit_terms is None else bit_terms.bitwiseOR(shifted)
+    bq = e.select("vec_id", bit_terms.alias("bits"))
+    queries = bq.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("bits").alias("qbits")
+    )
+    pairs = (
+        F.broadcast(queries)
+        .crossJoin(bq.select(F.col("vec_id").alias("neighbor_id"), "bits"))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.bit_count(F.col("qbits").bitwiseXOR(F.col("bits")))
+            .cast("int")
+            .alias("hamming"),
+        )
+    )
+    w1 = W.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        pairs.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+    qe = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    ce = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
+    )
+    w2 = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        short.join(F.broadcast(qe), "query_id")
+        .join(ce, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(SIM.cosine("qvec", "cvec"), 6).alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(w2).cast("int"))
+        .where(F.col("rank") <= 3)
+    )

@@ -987,3 +987,26 @@ class TestPhashBanding:
         far = bin(ph[1] ^ ph[3]).count("1")
         assert near < far
         assert near <= 6
+
+
+class TestKthSmallest:
+    def test_matches_sorted_ranks(self, spark):
+        from data_etl_scripts_showcase__spark.operators.selection import (
+            kth_smallest,
+        )
+
+        vals = [((i * 37) % 101) * 1.5 - 20.0 for i in range(101)]
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        sv = sorted(vals)
+        for k in (1, 2, 50, 51, 100, 101):
+            assert kth_smallest(df, "x", k) == sv[k - 1]
+
+    def test_duplicates_and_single_value(self, spark):
+        from data_etl_scripts_showcase__spark.operators.selection import (
+            kth_smallest,
+        )
+
+        df = spark.createDataFrame([(5.0,)] * 9 + [(1.0,)], "x double")
+        assert kth_smallest(df, "x", 1) == 1.0
+        assert kth_smallest(df, "x", 2) == 5.0
+        assert kth_smallest(df, "x", 10) == 5.0
