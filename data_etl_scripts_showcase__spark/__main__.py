@@ -68,6 +68,26 @@ def _parser() -> argparse.ArgumentParser:
     fp.add_argument(
         "--against", default=None, help="parquet path of a copy to verify"
     )
+
+    rid = sub.add_parser(
+        "rowids", help="assign contiguous global row ids (distributed zipWithIndex)"
+    )
+    rid.add_argument("--table", required=True)
+    rid.add_argument("--out", required=True)
+    rid.add_argument("--order-col", required=True, help="sort column (e.g. o_orderdate)")
+    rid.add_argument("--key-col", required=True, help="unique tiebreak column")
+
+    kth = sub.add_parser(
+        "kth", help="exact k-th smallest value by histogram bisection (no sort)"
+    )
+    kth.add_argument("--table", required=True)
+    kth.add_argument("--col", required=True)
+    kth.add_argument("--k", type=int, default=0, help="1-based rank; 0 = median")
+
+    mix = sub.add_parser(
+        "mixture", help="temperature-scaled per-source sampling quotas"
+    )
+    mix.add_argument("--budget", type=int, default=10000)
     return p
 
 
@@ -137,6 +157,35 @@ def main(argv: list[str] | None = None) -> int:
                 print("MISMATCH", file=sys.stderr)
                 return 1
             print("MATCH")
+    elif args.cmd == "rowids":
+        from pyspark.sql import functions as F
+
+        from .queries.scale_ops2 import global_row_ids
+        from .sources import load_table
+
+        src = load_table(spark, args.sf_dir, args.table)
+        with_ids = global_row_ids(
+            src,
+            F.date_format(args.order_col, "yyyy-MM")
+            if "date" in args.order_col
+            else F.col(args.order_col).cast("string"),
+            [args.order_col, args.key_col],
+        )
+        with_ids.write.mode("overwrite").parquet(args.out)
+        print(f"row ids written: {args.out}")
+    elif args.cmd == "kth":
+        from .operators.selection import kth_smallest
+        from .sources import load_table
+
+        src = load_table(spark, args.sf_dir, args.table)
+        n = src.count()
+        k = args.k or (n + 1) // 2
+        v = kth_smallest(src, args.col, k)
+        print(f"{args.table}.{args.col}: n={n} k={k} value={v}")
+    elif args.cmd == "mixture":
+        from .queries.scale_ops2 import x43_temperature_mixture
+
+        x43_temperature_mixture(spark, args.sf_dir).show(50, truncate=False)
     return 0
 
 

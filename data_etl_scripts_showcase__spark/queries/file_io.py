@@ -579,3 +579,69 @@ def io13_parquet_bloom_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec2("o_totalprice")).cast("double").alias("price_sum"),
         F.lit(bool(has_bloom)).alias("bloom_written"),
     )
+
+
+@register(
+    "io14_format_migration_audit",
+    oracle="""
+    WITH h AS (
+        SELECT ('0x' || substr(md5(concat('5:', concat_ws('|',
+                   o_orderkey::VARCHAR, o_custkey::VARCHAR, o_orderstatus,
+                   CAST(o_totalprice AS DECIMAL(18,2))::VARCHAR))), 1, 8))::BIGINT AS hv
+        FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(hv) AS BIGINT) AS fingerprint_parquet,
+           CAST(sum(hv) AS BIGINT) AS fingerprint_orc,
+           true AS formats_match
+    FROM h
+    """,
+    survey="S4/S5,A9 extended (format migration audit: parquet→ORC rewrite verified by order-independent fingerprints)",
+)
+def io14_format_migration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The migration question every format/engine hop raises (the
+    reference's MSSQL → CSV → GCS → BigQuery chain): did the bytes
+    survive?  Orders is rewritten parquet → ORC, read back through the
+    ORC reader, and BOTH sides reduce to the x31 order-independent
+    fingerprint (canonical per-row md5, commutative sum) — one scan per
+    side, no sort, identical plan shape at 100 TB.  The oracle pins
+    ``formats_match`` and both fingerprints to the parquet truth, so a
+    lossy rewrite (decimal drift, date coercion, dropped rows) fails
+    the driver gate."""
+    from ..sources.files import read_orc, write_orc
+
+    def canon_fp(df: DataFrame):
+        canon = F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            dec2("o_totalprice").cast("string"),
+        )
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit("5:"), canon)), 1, 8), 16, 10
+        ).cast("bigint")
+        return df.select(h.alias("hv")).agg(
+            F.count("*").alias("n"),
+            F.sum("hv").cast("bigint").alias("fp"),
+        )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    out = _tmp("io14_orc_")
+    write_orc(o, out)
+    back = read_orc(spark, out)
+    pq_fp = canon_fp(o).collect()[0]
+    orc_fp = canon_fp(back).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                pq_fp["n"],
+                pq_fp["fp"],
+                orc_fp["fp"],
+                (pq_fp["n"], pq_fp["fp"]) == (orc_fp["n"], orc_fp["fp"]),
+            )
+        ],
+        "n_rows bigint, fingerprint_parquet bigint, fingerprint_orc bigint, formats_match boolean",
+    )
