@@ -93,6 +93,14 @@ HEADLINE = [
     "a29_hll_set_ops",  # HLL union/intersection algebra
     "w24_seasonal_anomaly",  # lag-7 forecast residual gate
     "x41_weighted_sample",  # Efraimidis-Spirakis weighted top-k sample
+    "x42_zone_map_maintenance",  # incremental manifest merge
+    "pr5_bfs_hops",  # multi-source BFS to canonical reps
+    "t23_chunk_windows",  # RAG chunking fan-out
+    "a32_rolling_distinct_hll",  # trailing-window distinct from partials
+    "v16_binary_quantized_retrieval",  # 1-bit hamming shortlist + rerank
+    "a33_exact_median_bisect",  # exact selection, counting passes only
+    "t22_vocab_overlap",  # cross-source vocabulary Jaccard
+    "io14_format_migration_audit",  # parquet→ORC fingerprint parity
 ]
 
 
