@@ -634,3 +634,39 @@ def st16_stream_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(out, ignore_errors=True)
     streaming_row_ids(events_stream(spark, sf_dir), out)
     return spark.read.parquet(out).select("event_id", "row_id")
+
+
+@register(
+    "st17_stream_append_compact",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS ds,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(1 AS BIGINT) AS n_files
+    FROM events GROUP BY strftime(ts, '%Y-%m-%d')
+    """,
+    survey="§2.10,S11 extended (streaming ingest with inline compaction: fragments heal inside the ingest loop, single-writer OPTIMIZE)",
+)
+def st17_stream_append_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest-and-maintain loop end-to-end: the event stream appends
+    day partitions per micro-batch (the fragmentation source), compaction
+    runs inline every 2 batches plus once at the end, and the read back
+    must show BOTH the complete data and the healed layout — the oracle
+    pins one physical file per day partition, io10's contract held under
+    continuous ingest."""
+    import shutil
+    import tempfile as _tf
+
+    from ..streaming.jobs import events_stream, streaming_append_with_compaction
+
+    out = _tf.mkdtemp(prefix="st17_appcomp_")
+    shutil.rmtree(out, ignore_errors=True)
+    streaming_append_with_compaction(events_stream(spark, sf_dir), out)
+    back = (
+        spark.read.parquet(out)
+        .withColumn("ds", F.col("ds").cast("string"))
+        .withColumn("_f", F.input_file_name())
+    )
+    return back.groupBy("ds").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("_f").alias("n_files"),
+    )

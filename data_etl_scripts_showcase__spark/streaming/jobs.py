@@ -697,3 +697,43 @@ def streaming_row_ids(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_append_with_compaction(
+    events: DataFrame, out_path: str, compact_every: int = 2
+) -> None:
+    """Streaming ingest with INLINE maintenance: each micro-batch appends
+    its day-partitioned rows, and every ``compact_every`` batches the
+    fragmented partitions are rewritten to one file each
+    (sinks.compact_partitions) — the steady-state loop a real table
+    runs: ingest fragments, maintenance heals, readers always see one
+    consistent layout.  Compaction inside foreachBatch serializes with
+    ingest (no concurrent-writer conflict), which is exactly how
+    single-writer table formats schedule OPTIMIZE.  A final compact runs
+    unconditionally so the query's post-condition (≤1 file per
+    partition) holds at any batch count."""
+    from ..sinks import compact_partitions
+
+    def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        (
+            batch.withColumn("ds", F.col("ts").cast("date").cast("string"))
+            .write.mode("append")
+            .partitionBy("ds")
+            .parquet(out_path)
+        )
+        if int(epoch_id) % compact_every == compact_every - 1:
+            compact_partitions(batch.sparkSession, out_path, "ds", max_files=1)
+
+    q = (
+        events.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_appcomp_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    compact_partitions(
+        SparkSession.getActiveSession() or SparkSession.builder.getOrCreate(),
+        out_path,
+        "ds",
+        max_files=1,
+    )

@@ -344,3 +344,42 @@ class TestStreamingRowIds:
         with_ids.write.mode("overwrite").parquet(f"{out}/epoch={replay_epoch}")
         ids2 = sorted(r.row_id for r in spark.read.parquet(out).collect())
         assert ids2 == list(range(n))
+
+
+class TestStreamAppendCompact:
+    def test_multibatch_fragments_heal(self, spark, sf_dir, tmp_path):
+        """Three micro-batches fragment each day partition; the inline +
+        final compaction must leave exactly one file per partition with
+        all rows intact."""
+        import pyspark.sql.functions as F
+
+        from data_etl_scripts_showcase__spark.sources import load_table
+        from data_etl_scripts_showcase__spark.streaming.jobs import (
+            streaming_append_with_compaction,
+        )
+
+        ev = load_table(spark, sf_dir, "events").limit(300)
+        src = str(tmp_path / "src")
+        for i in range(3):
+            ev.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        n = spark.read.parquet(src).count()
+
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = str(tmp_path / "out")
+        streaming_append_with_compaction(stream, out)
+
+        back = spark.read.parquet(out).withColumn(
+            "_f", F.input_file_name()
+        )
+        assert back.count() == n
+        per_part = back.groupBy("ds").agg(
+            F.countDistinct("_f").alias("nf")
+        )
+        assert per_part.where(F.col("nf") > 1).count() == 0
