@@ -1347,3 +1347,44 @@ def a33_exact_median_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n, k, med)], "n bigint, k bigint, median_exact double"
     )
+
+
+# --------------- x44: exact deciles without a global sort
+
+
+@register(
+    "x44_distributed_deciles",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ntile(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS INTEGER) AS price_decile
+    FROM orders
+    """,
+    survey="W-std extended, NS-layout (exact ntile semantics from bucketed row ids — w9's single-reducer window, distributed)",
+)
+def x44_distributed_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w9's exact decile labels WITHOUT w9's single-reducer sort: global
+    ranks come from the bucketed row-id assignment (x39 — value-derived
+    range buckets, tiny offsets aggregate, intra-bucket window), and
+    ntile's exact bucketing rule is then closed-form arithmetic on the
+    rank: bucket = (rank·k) div n + 1 reproduces ntile's
+    first-buckets-get-the-remainder split bit-for-bit.  The oracle IS
+    the unpartitioned ntile window; identical output, shuffle-bounded
+    plan.  (Price buckets here: fixed 25k-wide ranges — any monotone
+    bucketing works, skew only affects task balance, never values.)"""
+    o = load_table(spark, sf_dir, "orders")
+    with_ids = global_row_ids(
+        o,
+        F.floor(F.col("o_totalprice") / 25000.0).cast("int"),
+        ["o_totalprice", "o_orderkey"],
+    )
+    n = o.agg(F.count("*").alias("_n"))
+    return (
+        with_ids.crossJoin(F.broadcast(n))
+        .select(
+            "o_orderkey",
+            F.expr("CAST((row_id * 10) DIV _n AS INT)").alias("_q"),
+        )
+        .select(
+            "o_orderkey", (F.col("_q") + 1).cast("int").alias("price_decile")
+        )
+    )

@@ -1214,3 +1214,72 @@ def w25_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("te_naive"),
         )
     )
+
+
+@register(
+    "w26_missing_periods",
+    oracle="""
+    WITH span AS (
+        SELECT event_type,
+               CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1,
+               CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_present
+        FROM events GROUP BY event_type
+    ),
+    grid AS (
+        SELECT event_type, n_present, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        FROM span
+    ),
+    actual AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day FROM events),
+    missing AS (
+        SELECT g.event_type, g.n_present, g.day
+        FROM grid g LEFT JOIN actual a
+          ON a.event_type = g.event_type AND a.day = g.day
+        WHERE a.day IS NULL
+    )
+    SELECT s.event_type,
+           CAST(s.d1 - s.d0 + 1 AS BIGINT) AS n_expected,
+           s.n_present,
+           CAST(coalesce(m.n_missing, 0) AS BIGINT) AS n_missing,
+           coalesce(m.first_missing, '') AS first_missing
+    FROM span s
+    LEFT JOIN (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_missing,
+               strftime(min(day), '%Y-%m-%d') AS first_missing
+        FROM missing GROUP BY event_type
+    ) m ON m.event_type = s.event_type
+    """,
+    survey="W-std extended (completeness grid: expected-vs-present periods per key, missing-day accounting)",
+)
+def w26_missing_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-completeness SLA report: for each event type, the expected
+    day grid (min..max) against the days actually present — count and
+    first date of the holes.  This is the ingest-monitoring question 'did
+    any feed skip a day' answered per key in one aggregate + one
+    per-key grid anti-join; the grid explodes |keys|·|days| rows (tiny —
+    it never touches event granularity), so the full-data pass is only
+    the distinct (key, day) projection."""
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.groupBy("event_type").agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+        F.countDistinct(F.col("ts").cast("date")).cast("bigint").alias("n_present"),
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    actual = ev.select(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    missing = grid.join(actual, ["event_type", "day"], "left_anti")
+    msum = missing.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_missing"),
+        F.date_format(F.min("day"), "yyyy-MM-dd").alias("first_missing"),
+    )
+    return span.join(msum, "event_type", "left").select(
+        "event_type",
+        (F.datediff("d1", "d0") + 1).cast("bigint").alias("n_expected"),
+        "n_present",
+        F.coalesce("n_missing", F.lit(0).cast("bigint")).alias("n_missing"),
+        F.coalesce("first_missing", F.lit("")).alias("first_missing"),
+    )
