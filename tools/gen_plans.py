@@ -196,6 +196,25 @@ SHOWCASE = [
         "only (head dims), queries broadcast; full-dim cosine appears "
         "solely in the 10-row-per-query rerank join",
     ),
+    (
+        "v16_binary_quantized_retrieval",
+        "binary quantization: 64 dims collapse to one BIGINT of sign bits "
+        "in the scan projection; the corpus-wide stage ranks by "
+        "xor+bit_count — no float math until the 10-row rerank",
+    ),
+    (
+        "x44_distributed_deciles",
+        "exact ntile without the single-reducer window: ranks from "
+        "bucket-partitioned row ids, decile = (rank*10) DIV n arithmetic; "
+        "at most one SinglePartition exchange and it feeds the tiny "
+        "offsets aggregate",
+    ),
+    (
+        "x42_zone_map_maintenance",
+        "incremental manifest: base-manifest UNION delta-stats then one "
+        "merge aggregate on file_id — history is never rescanned, both "
+        "inputs are already-aggregated relations",
+    ),
 ]
 
 
