@@ -534,6 +534,15 @@ def test_results_independent_of_shuffle_partitioning(spark):
         "j12_band_join",            # bucketed theta join
         "x31_table_fingerprint",    # commutative sum-of-hashes
         "x35_geo_radius_join",      # 2-D grid candidate join
+        # round-2 families:
+        "x39_global_row_ids",       # bucketed ordinal assignment
+        "pr4_cc_alternating",       # iterative edge rewriting
+        "x40_join_size_estimate",   # CMS inner product
+        "x41_weighted_sample",      # hash-derived weighted top-k
+        "mm10_phash_neardup",       # hamming band candidates
+        "a28_histogram_quantile_audit",  # mergeable histogram quantiles
+        "x44_distributed_deciles",  # rank arithmetic ntile
+        "pr6_khop_neighbor_sample", # hash-ranked neighbor caps
     ]
     registry = load_all()
     sf = "/root/testdata/sf0.001"
