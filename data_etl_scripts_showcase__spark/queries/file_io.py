@@ -645,3 +645,45 @@ def io14_format_migration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows bigint, fingerprint_parquet bigint, fingerprint_orc bigint, formats_match boolean",
     )
+
+
+@register(
+    "io15_version_retention",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(2 AS BIGINT) AS n_versions_kept
+    FROM orders GROUP BY o_orderstatus
+    """,
+    survey="S11,S12 extended (version retention: VACUUM for time travel — expire old immutable versions, newest still complete)",
+)
+def io15_version_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel needs a VACUUM: five immutable snapshot versions are
+    published (growing slices of orders; v4 is complete), retention
+    expires all but the last two, and the read back proves (a) the
+    LATEST version still answers with the full data — the oracle is the
+    plain aggregate over orders — and (b) exactly two versions remain on
+    disk (pinned).  Version deletion is metadata-scale (whole immutable
+    directories, oldest first); expired history simply stops resolving
+    for as-of reads (asserted in tests)."""
+    import os
+
+    from ..sinks.retention import expire_versions
+    from ..streaming.jobs import read_latest_snapshot
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    base = _tmp("io15_versions_")
+    os.makedirs(base, exist_ok=True)
+    for v in range(5):
+        o.where(F.col("o_orderkey") % 5 < v + 1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(base, f"v{v:09d}"))
+    expire_versions(base, keep_last=2)
+    n_kept = len([d for d in os.listdir(base) if d.startswith("v")])
+    latest = read_latest_snapshot(spark, base)
+    return latest.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.lit(int(n_kept)).cast("bigint").alias("n_versions_kept"),
+    )

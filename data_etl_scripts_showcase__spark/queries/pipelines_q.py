@@ -165,3 +165,56 @@ def e3_enrichment_request_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") - F.countDistinct("merchant_id")).alias("calls_saved"),
         F.count("title").alias("n_enriched_rows"),
     )
+
+
+@register(
+    "e4_enrichment_cross_run_cache",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(CASE WHEN c_custkey % 2 = 0 THEN 1 END) AS BIGINT) AS n_from_cache,
+           CAST(count(CASE WHEN c_custkey % 2 <> 0 THEN 1 END) AS BIGINT) AS n_fetched,
+           true AS all_enriched
+    FROM customer
+    """,
+    survey="S7-S9 extended (cross-run response cache: prior run's responses persisted, only cache misses hit the endpoint)",
+)
+def e4_enrichment_cross_run_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The enrichment cost lever ACROSS runs: yesterday's responses are a
+    keyed parquet cache, today's run anti-joins to find only the MISSES,
+    pays the endpoint for those, and unions cache hits back — e3's
+    within-run dedup extended over time, which at 100 TB with a slowly
+    changing key set turns a daily full-fetch into a delta-fetch.  The
+    'prior run' here enriches the even keys and persists them (a real
+    write + read through the cache store); the audit proves every key
+    ends enriched and exactly the odd half generated endpoint calls."""
+    import shutil
+    import tempfile
+
+    from ..enrichment.stage import enrich
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("merchant_id")
+    )
+    cache_dir = tempfile.mkdtemp(prefix="e4_cache_")
+    shutil.rmtree(cache_dir, ignore_errors=True)
+    prior = c.where(F.col("merchant_id") % 2 == 0)
+    enrich(
+        prior.repartition(spark.sparkContext.defaultParallelism), "merchant_id"
+    ).select(
+        "merchant_id", F.col("resp.title").alias("title")
+    ).write.parquet(cache_dir)
+
+    cache = spark.read.parquet(cache_dir)
+    misses = c.join(cache.select("merchant_id"), "merchant_id", "left_anti")
+    fresh = enrich(
+        misses.repartition(spark.sparkContext.defaultParallelism), "merchant_id"
+    ).select("merchant_id", F.col("resp.title").alias("title"))
+    combined = cache.withColumn("from_cache", F.lit(True)).unionByName(
+        fresh.withColumn("from_cache", F.lit(False))
+    )
+    return combined.agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(F.col("from_cache"), 1)).cast("bigint").alias("n_from_cache"),
+        F.count(F.when(~F.col("from_cache"), 1)).cast("bigint").alias("n_fetched"),
+        F.every(F.col("title").isNotNull()).alias("all_enriched"),
+    )

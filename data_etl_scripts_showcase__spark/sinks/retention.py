@@ -123,3 +123,30 @@ def compact_partitions(
         .parquet(base_path)
     )
     return parts
+
+
+def expire_versions(base_dir: str, keep_last: int) -> list[str]:
+    """Expire old snapshot VERSIONS (the `vNNNNNNNNN` immutable dirs the
+    incremental-snapshot and time-travel paths publish), keeping the
+    newest ``keep_last``.
+
+    This is the retention half of time travel (streaming.read_snapshot_as_of):
+    versions are append-only and immutable, so storage grows per publish
+    until something bounds history — the VACUUM of transactional formats.
+    Deleting whole version directories is metadata-scale work (no data
+    read), ordered oldest-first so a crash mid-expiry leaves a contiguous
+    recent history.  Returns the dropped version names.
+    """
+    import os
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = sorted(
+        d for d in (os.listdir(base_dir) if os.path.isdir(base_dir) else [])
+        if d.startswith("v")
+    )
+    doomed = versions[:-keep_last] if len(versions) > keep_last else []
+    for d in doomed:
+        shutil.rmtree(os.path.join(base_dir, d))
+    return doomed

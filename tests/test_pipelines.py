@@ -307,3 +307,45 @@ class TestFingerprintCli:
         ).write.parquet(bad)
         rc = main(["--sf-dir", sf, "fingerprint", "--table", "region", "--against", bad])
         assert rc == 1
+
+
+class TestVersionRetention:
+    def test_expired_versions_unresolvable_kept_intact(self, spark, tmp_path):
+        import os
+
+        from data_etl_scripts_showcase__spark.sinks.retention import (
+            expire_versions,
+        )
+        from data_etl_scripts_showcase__spark.streaming.jobs import (
+            read_snapshot_as_of,
+        )
+
+        base = str(tmp_path / "vers")
+        os.makedirs(base)
+        df = spark.range(10)
+        for v in range(4):
+            df.limit(v + 1).write.parquet(os.path.join(base, f"v{v:09d}"))
+        dropped = expire_versions(base, keep_last=2)
+        assert dropped == ["v000000000", "v000000001"]
+        # kept versions still resolve, newest-at-or-before semantics hold
+        assert read_snapshot_as_of(spark, base, 3).count() == 4
+        assert read_snapshot_as_of(spark, base, 2).count() == 3
+        # travel before the retained window must fail loudly, not return
+        # silently wrong history
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            read_snapshot_as_of(spark, base, 1)
+
+    def test_keep_more_than_existing_is_noop(self, spark, tmp_path):
+        import os
+
+        from data_etl_scripts_showcase__spark.sinks.retention import (
+            expire_versions,
+        )
+
+        base = str(tmp_path / "vers2")
+        os.makedirs(base)
+        spark.range(3).write.parquet(os.path.join(base, "v000000000"))
+        assert expire_versions(base, keep_last=5) == []
+        assert os.path.isdir(os.path.join(base, "v000000000"))
