@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import dec2
 from ..sources import load_table
 from . import register
 
@@ -341,4 +342,56 @@ def m10_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "|",
         ).alias("key_lengths"),
+    )
+
+
+@register(
+    "m11_struct_field_surgery",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS status,
+           round(CAST(o_totalprice AS DECIMAL(18,2)) * 0.9, 2)::DOUBLE AS discounted,
+           upper(o_orderpriority) AS priority,
+           CAST(NULL AS VARCHAR) IS NULL AS clerk_dropped
+    FROM orders WHERE o_orderkey % 25 = 0
+    """,
+    survey="M-std extended (struct field surgery: withField/dropFields on nested rows without rebuild)",
+)
+def m11_struct_field_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-row evolution without rebuilding the struct: pack order
+    attributes into one struct column, then ``withField`` (add a
+    computed discount, uppercase an existing field IN PLACE) and
+    ``dropFields`` (remove one) — the Column API that makes schema
+    surgery on deeply nested 100 TB data a projection instead of an
+    explode/rebuild round trip.  Output is flattened to scalars for the
+    driver hash; the oracle computes the same post-surgery fields
+    relationally."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 25 == 0)
+    packed = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            dec2("o_totalprice").alias("price"),
+            F.col("o_orderpriority").alias("priority"),
+            F.lit("clerk#000").alias("clerk"),
+        ).alias("rec"),
+    )
+    surgered = packed.withColumn(
+        "rec",
+        F.col("rec")
+        .withField(
+            "discounted",
+            F.round(
+                F.col("rec.price") * F.expr("CAST(0.9 AS DECIMAL(1,1))"), 2
+            ).cast("double"),
+        )
+        .withField("priority", F.upper(F.col("rec.priority")))
+        .dropFields("clerk", "price"),
+    )
+    return surgered.select(
+        "o_orderkey",
+        F.col("rec.status").alias("status"),
+        F.col("rec.discounted").alias("discounted"),
+        F.col("rec.priority").alias("priority"),
+        F.lit(True).alias("clerk_dropped"),
     )

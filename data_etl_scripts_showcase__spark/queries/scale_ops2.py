@@ -1388,3 +1388,104 @@ def x44_distributed_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", (F.col("_q") + 1).cast("int").alias("price_decile")
         )
     )
+
+
+# -------------------------- x46: A/B test analysis
+
+
+@register(
+    "x46_ab_test_analysis",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               ('0x' || substr(md5(concat('ab:', CAST(user_id AS VARCHAR))), 1, 8))::BIGINT % 2 AS variant,
+               CASE WHEN 5 * sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > count(*) THEN 1 ELSE 0 END AS converted
+        FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT CAST(count(CASE WHEN variant = 0 THEN 1 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+               CAST(count(CASE WHEN variant = 1 THEN 1 END) AS BIGINT) AS n_b,
+               CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+        FROM u
+    ),
+    z AS (
+        SELECT *,
+               CAST(conv_a AS DOUBLE) / n_a AS p_a,
+               CAST(conv_b AS DOUBLE) / n_b AS p_b,
+               CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS p_pool
+        FROM s
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           round(p_a, 6) AS rate_a, round(p_b, 6) AS rate_b,
+           round((p_a - p_b)
+                 / sqrt(p_pool * (1.0 - p_pool) * (1.0 / n_a + 1.0 / n_b)), 4) AS z_score,
+           abs(round((p_a - p_b)
+                 / sqrt(p_pool * (1.0 - p_pool) * (1.0 / n_a + 1.0 / n_b)), 4)) > 1.96 AS significant
+    FROM z
+    """,
+    survey="A-std extended (A/B analysis: hash-bucketed assignment, two-proportion z-test — deterministic experimentation readout)",
+)
+def x46_ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation readout at pipeline scale: users hash into
+    variants (md5-derived — the same assignment on any engine, the
+    production property that lets every system agree who saw what),
+    conversion = an above-par purchase share (scale-free, so neither variant saturates at any SF), and the two-proportion pooled
+    z-test says whether the difference is noise.  One user-level
+    aggregate (the only full-data pass) then scalar arithmetic; the
+    z-score rounds to 4 dp with mirrored op order, and the 1.96 gate
+    sits far from any rounding boundary on real data."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = ev.groupBy("user_id").agg(
+        F.when(
+            5
+            * F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            > F.count("*"),
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    ).select((h % 2).alias("variant"), "converted")
+    s = u.agg(
+        F.count(F.when(F.col("variant") == 0, 1)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.count(F.when(F.col("variant") == 1, 1)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    p_a = F.col("conv_a").cast("double") / F.col("n_a")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b")
+    p_pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    zexpr = F.round(
+        (p_a - p_b)
+        / F.sqrt(
+            p_pool
+            * (F.lit(1.0) - p_pool)
+            * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+        ),
+        4,
+    )
+    return s.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        zexpr.alias("z_score"),
+        (F.abs(zexpr) > 1.96).alias("significant"),
+    )
