@@ -1298,3 +1298,98 @@ def d20_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "canonical_quality"
         ),
     )
+
+
+@register(
+    "d22_lsh_scurve_audit",
+    oracle=f"""
+    WITH {_BANDS_CTE},
+    cand AS ({_CAND_SQL}),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                   / greatest(len(list_distinct(ga.grams || gb.grams)), 1) AS j
+        FROM documents a
+        JOIN documents b ON a.doc_id < b.doc_id
+        JOIN g ga ON ga.doc_id = a.doc_id
+        JOIN g gb ON gb.doc_id = b.doc_id
+    ),
+    bucketed AS (
+        SELECT least(CAST(floor(j * 10) AS INTEGER), 9) AS j_bucket,
+               id_a, id_b
+        FROM pairs
+    ),
+    joined AS (
+        SELECT bk.j_bucket,
+               CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS is_cand
+        FROM bucketed bk
+        LEFT JOIN cand c ON c.id_a = bk.id_a AND c.id_b = bk.id_b
+    )
+    SELECT j_bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(is_cand) AS BIGINT) AS n_candidates,
+           round(CAST(sum(is_cand) AS DOUBLE) / count(*), 6) AS observed_rate,
+           round(1.0 - pow(1.0 - pow(j_bucket / 10.0 + 0.05, {DD.ROWS_PER_BAND}), {DD.N_BANDS}), 6) AS theoretical_rate
+    FROM joined GROUP BY j_bucket
+    """,
+    survey="NS-dedup extended (LSH calibration: observed candidate rate per Jaccard bucket vs the (b,r) S-curve)",
+)
+def d22_lsh_scurve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the LSH tuned right?  The (bands, rows) parameters imply an
+    S-curve P(candidate | J) = 1 − (1 − J^r)^b; this audit measures the
+    OBSERVED candidate rate in each Jaccard decile against the curve at
+    the decile midpoint — the calibration plot that decides whether to
+    re-band before trusting recall at 100 TB.  The all-pairs exact
+    Jaccard is the audit's cost (quadratic, affordable at test SF,
+    sampled in production — same discipline as v6/a28's exact sides);
+    the candidate set under test is the production bucket join."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select("doc_id", DD.tokens("text").alias("_toks")).select(
+        "doc_id", DD.ngrams_from_tokens(F.col("_toks")).alias("grams")
+    )
+    sig = DD.minhash_signature(
+        docs, "doc_id", "text", parallelism=spark.sparkContext.defaultParallelism
+    )
+    cand = DD.candidate_pairs(DD.lsh_buckets(sig, "doc_id"), "doc_id").withColumn(
+        "is_cand", F.lit(1)
+    )
+    ga = grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b"))
+    pairs = (
+        ga.crossJoin(gb)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
+                / F.greatest(
+                    F.size(F.array_union("grams_a", "grams_b")), F.lit(1)
+                )
+            ).alias("j"),
+        )
+    )
+    bucketed = pairs.select(
+        F.least(F.floor(F.col("j") * 10).cast("int"), F.lit(9)).alias("j_bucket"),
+        "id_a",
+        "id_b",
+    )
+    joined = bucketed.join(cand, ["id_a", "id_b"], "left").select(
+        "j_bucket", F.coalesce("is_cand", F.lit(0)).alias("is_cand")
+    )
+    theo = F.round(
+        1.0
+        - F.pow(
+             1.0 - F.pow(F.col("j_bucket") / 10.0 + 0.05, DD.ROWS_PER_BAND),
+            DD.N_BANDS,
+        ),
+        6,
+    )
+    return joined.groupBy("j_bucket").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("is_cand").cast("bigint").alias("n_candidates"),
+        F.round(F.sum("is_cand").cast("double") / F.count("*"), 6).alias(
+            "observed_rate"
+        ),
+        theo.alias("theoretical_rate"),
+    )

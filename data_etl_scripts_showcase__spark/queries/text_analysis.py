@@ -1173,3 +1173,77 @@ def t24_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         (F.col("lang_meta") == F.col("lang_pred")).alias("is_correct"),
     )
+
+
+@register(
+    "x47_dataset_card",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, lang, source, length(text) AS n_chr,
+               len({_TOKS}) AS n_tok,
+               md5({_NORM}) AS fp
+        FROM documents
+    ),
+    langs AS (
+        SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM base GROUP BY lang
+    ),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM base),
+    ent AS (
+        SELECT round(-sum((langs.n / tot.n) * log2(langs.n / tot.n)), 6) AS lang_entropy
+        FROM langs, tot
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(n_chr) AS BIGINT) AS total_chars,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           round(CAST(sum(n_tok) AS DOUBLE) / count(*), 6) AS mean_tokens,
+           round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6) AS exact_dup_rate,
+           ent.lang_entropy
+    FROM base, ent
+    GROUP BY ent.lang_entropy
+    """,
+    survey="NS-text extended (dataset card: corpus-level size / dedup / language-diversity summary in one pass)",
+)
+def x47_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card's quantitative block, computed not hand-waved:
+    corpus size (docs/chars/tokens), exact-duplicate rate (1 − distinct
+    normalized fingerprints / docs — d1's statistic as a ratio), and
+    language diversity as Shannon entropy over the lang mix — the
+    one-row summary every corpus release ships.  One pass for the
+    per-doc stats; the entropy runs on the |langs|-row count relation."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").alias("n_chr"),
+        TX.token_count("text").alias("n_tok"),
+        F.md5(TX.normalize("text")).alias("fp"),
+    )
+    tot = base.agg(F.count("*").cast("double").alias("n"))
+    langs = base.groupBy("lang").agg(F.count("*").cast("double").alias("ln"))
+    ent = (
+        langs.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                -F.sum(
+                    (F.col("ln") / F.col("n"))
+                    * F.log2(F.col("ln") / F.col("n"))
+                ),
+                6,
+            ).alias("lang_entropy")
+        )
+    )
+    card = base.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.sum("n_chr").cast("bigint").alias("total_chars"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.round(F.sum("n_tok").cast("double") / F.count("*"), 6).alias(
+            "mean_tokens"
+        ),
+        F.round(
+            1.0 - F.countDistinct("fp").cast("double") / F.count("*"), 6
+        ).alias("exact_dup_rate"),
+    )
+    return card.crossJoin(F.broadcast(ent))
