@@ -1489,3 +1489,59 @@ def x46_ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         zexpr.alias("z_score"),
         (F.abs(zexpr) > 1.96).alias("significant"),
     )
+
+
+# ------------------------------ a34: Benford first-digit audit
+
+
+@register(
+    "a34_benford_audit",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(o_totalprice AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    c AS (
+        SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
+    ),
+    t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c)
+    SELECT c.digit, c.n,
+           round(c.n / t.total, 6) AS observed_freq,
+           round(log10(1.0 + 1.0 / c.digit), 6) AS benford_freq,
+           round(abs(c.n / t.total - log10(1.0 + 1.0 / c.digit)), 6) AS abs_dev
+    FROM c, t
+    """,
+    survey="A-std extended (Benford first-digit audit: observed vs log10(1+1/d) — the synthetic-data / fraud smoke alarm)",
+)
+def a34_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of the price column: leading-digit frequencies
+    against log10(1 + 1/d) — naturally-generated multiplicative
+    quantities follow it, fabricated or truncated feeds don't, which
+    makes the deviation column a one-pass smoke alarm for corrupted or
+    synthetic upstream data (TPC-H's uniform prices deviate, visibly and
+    deterministically — the audit REPORTS, thresholds are policy).  One
+    hash aggregate on the leading digit; all ratios round at 6 dp with
+    mirrored arithmetic."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.col("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count("*").cast("bigint").alias("n"))
+    t = c.agg(F.sum("n").cast("double").alias("total"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.col("total"), 6).alias("observed_freq"),
+        F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_freq"),
+        F.round(
+            F.abs(
+                F.col("n") / F.col("total")
+                - F.log10(1.0 + 1.0 / F.col("digit"))
+            ),
+            6,
+        ).alias("abs_dev"),
+    )

@@ -1283,3 +1283,76 @@ def w26_missing_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_missing", F.lit(0).cast("bigint")).alias("n_missing"),
         F.coalesce("first_missing", F.lit("")).alias("first_missing"),
     )
+
+
+@register(
+    "w27_cusum_drift",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    k AS (
+        SELECT event_type, CAST(floor(avg(n)) AS BIGINT) AS slack
+        FROM d GROUP BY event_type
+    ),
+    p AS (
+        SELECT d.event_type, d.day, d.n,
+               sum(d.n - k.slack) OVER (
+                   PARTITION BY d.event_type ORDER BY d.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS pref
+        FROM d JOIN k USING (event_type)
+    ),
+    c AS (
+        SELECT event_type, day, n, pref,
+               CAST(pref - least(min(pref) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 0) AS BIGINT) AS cusum
+        FROM p
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n, cusum,
+           cusum > 5 * (SELECT floor(avg(slack)) FROM k) AS drift_alarm
+    FROM c
+    """,
+    survey="W-std extended (CUSUM drift detection in closed form: the max(0,.) recursion as prefix-sum minus running-min)",
+)
+def w27_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change detection over daily volumes — the sequential drift
+    detector that catches slow upward creep w24's per-day residual gate
+    misses.  The textbook recursion S_t = max(0, S_{t-1} + x_t − k) looks
+    iterative, but unrolls exactly to S_t = P_t − min(0, min_{i≤t} P_i)
+    with P the prefix sum of (x − k) — two ordinary windows, no loop, no
+    UDF, exact BIGINT arithmetic throughout (slack k = floor(mean)).
+    Alarm when the accumulated excess passes 5k.  At 100 TB the windows
+    run on the tiny (type × day) relation after the one full-data
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("n"))
+    k = d.groupBy("event_type").agg(
+        F.floor(F.avg("n")).cast("bigint").alias("slack")
+    )
+    wseq = W.partitionBy("event_type").orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    p = d.join(F.broadcast(k), "event_type").withColumn(
+        "pref", F.sum(F.col("n") - F.col("slack")).over(wseq)
+    )
+    c = p.withColumn(
+        "cusum",
+        (F.col("pref") - F.least(F.min("pref").over(wseq), F.lit(0))).cast(
+            "bigint"
+        ),
+    )
+    thr = k.agg(F.floor(F.avg("slack")).alias("t"))
+    return c.crossJoin(F.broadcast(thr)).select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        "cusum",
+        (F.col("cusum") > 5 * F.col("t")).alias("drift_alarm"),
+    )
