@@ -1498,7 +1498,7 @@ def x46_ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a34_benford_audit",
     oracle="""
     WITH d AS (
-        SELECT CAST(substr(CAST(CAST(o_totalprice AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
         FROM orders WHERE o_totalprice >= 1
     ),
     c AS (
@@ -1525,7 +1525,7 @@ def a34_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
     d = o.select(
         F.substring(
-            F.col("o_totalprice").cast("bigint").cast("string"), 1, 1
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
         )
         .cast("int")
         .alias("digit")
