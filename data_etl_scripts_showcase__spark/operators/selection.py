@@ -37,7 +37,10 @@ def kth_smallest(
         F.min(col).alias("lo"),
         F.max(col).alias("hi"),
     ).collect()[0]
-    n, lo, hi = first["n"], float(first["lo"]), float(first["hi"])
+    n = first["n"]
+    if n == 0:
+        raise ValueError("kth_smallest on empty input")
+    lo, hi = float(first["lo"]), float(first["hi"])
     if not 1 <= k <= n:
         raise ValueError(f"k={k} out of range 1..{n}")
 

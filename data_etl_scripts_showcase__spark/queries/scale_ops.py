@@ -370,11 +370,13 @@ def x28_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream.write.format("noop").mode("overwrite").save()
     vals = obs.get
+    # SUM over zero rows observes as None — an empty ingest day is a valid
+    # telemetry reading, not a crash.
     return spark.createDataFrame(
         [
             (
                 int(vals["n_rows"]),
-                float(vals["qty_sum"]),
+                float(vals["qty_sum"] if vals["qty_sum"] is not None else 0.0),
                 int(vals["n_returned"]),
                 int(vals["n_discounted"]),
             )
