@@ -101,6 +101,12 @@ HEADLINE = [
     "a33_exact_median_bisect",  # exact selection, counting passes only
     "t22_vocab_overlap",  # cross-source vocabulary Jaccard
     "io14_format_migration_audit",  # parquet→ORC fingerprint parity
+    "w27_cusum_drift",  # closed-form CUSUM change detection
+    "a34_benford_audit",  # first-digit distribution audit
+    "x46_ab_test_analysis",  # two-proportion z-test readout
+    "e4_enrichment_cross_run_cache",  # delta-fetch enrichment
+    "x47_dataset_card",  # corpus release card
+    "x44_distributed_deciles",  # exact ntile, no global sort
 ]
 
 
