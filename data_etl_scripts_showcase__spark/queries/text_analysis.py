@@ -1247,3 +1247,77 @@ def x47_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("exact_dup_rate"),
     )
     return card.crossJoin(F.broadcast(ent))
+
+
+@register(
+    "t25_content_defined_chunks",
+    oracle="""
+    WITH pos AS (
+        SELECT doc_id, text, length(text) AS n,
+               unnest(range(1, greatest(length(text) - 7, 0) + 1)) AS i
+        FROM documents WHERE length(text) >= 8
+    ),
+    b AS (
+        SELECT doc_id, text, n, i
+        FROM pos
+        WHERE i = 1
+           OR ('0x' || substr(md5(concat('cdc:', substr(text, i, 8))), 1, 8))::BIGINT % 32 = 0
+    ),
+    c AS (
+        SELECT doc_id, text, n, i AS start_pos,
+               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) AS INTEGER) AS chunk_idx,
+               coalesce(lead(i) OVER (PARTITION BY doc_id ORDER BY i), n + 1) - i AS chunk_len
+        FROM b
+    )
+    SELECT doc_id, chunk_idx, CAST(start_pos AS BIGINT) AS start_pos,
+           CAST(chunk_len AS BIGINT) AS chunk_len,
+           md5(substr(text, start_pos, chunk_len)) AS chunk_md5
+    FROM c
+    """,
+    survey="NS-text extended (content-defined chunking: rolling-hash boundaries stable under edits — the storage-dedup chunker)",
+)
+def t25_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS/backup-dedup primitive):
+    a chunk boundary falls wherever the hash of the local 8-byte window
+    hits a target residue (1-in-32), so boundaries are anchored to
+    CONTENT, not offsets — insert a byte and only the neighboring chunks
+    change, unlike t23's fixed windows, where every downstream chunk
+    shifts.  Emitted content-addressed (md5 per chunk) for the chunk
+    store.  Plan: one position explode (the only fan-out, |chars| rows),
+    boundary filter in codegen, then per-doc windows over just the
+    boundary rows (~1/32nd).  At 100 TB the explode is embarrassingly
+    parallel and chunk state never leaves its document's partition."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") >= 8)
+    pos = d.select(
+        "doc_id",
+        "text",
+        F.length("text").alias("n"),
+        F.explode(
+            F.expr("sequence(1, greatest(length(text) - 7, 1))")
+        ).alias("i"),
+    )
+    wexpr = F.expr("substring(text, i, 8)")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("cdc:"), wexpr)), 1, 8), 16, 10
+    ).cast("bigint")
+    b = pos.where((F.col("i") == 1) | (h % 32 == 0))
+    wdoc = W.partitionBy("doc_id").orderBy("i")
+    c = b.select(
+        "doc_id",
+        "text",
+        "n",
+        F.col("i").alias("start_pos"),
+        F.row_number().over(wdoc).cast("int").alias("chunk_idx"),
+        (
+            F.coalesce(F.lead("i").over(wdoc), F.col("n") + 1) - F.col("i")
+        ).alias("chunk_len"),
+    )
+    return c.select(
+        "doc_id",
+        "chunk_idx",
+        F.col("start_pos").cast("bigint").alias("start_pos"),
+        F.col("chunk_len").cast("bigint").alias("chunk_len"),
+        F.md5(F.expr("substring(text, start_pos, chunk_len)")).alias(
+            "chunk_md5"
+        ),
+    )

@@ -1010,3 +1010,43 @@ class TestKthSmallest:
         assert kth_smallest(df, "x", 1) == 1.0
         assert kth_smallest(df, "x", 2) == 5.0
         assert kth_smallest(df, "x", 10) == 5.0
+
+
+class TestContentDefinedChunking:
+    def test_boundaries_stable_under_insertion(self, spark):
+        """CDC's defining property: inserting bytes near the front changes
+        only the chunks around the edit — the tail chunk set (by content
+        hash) is preserved, unlike fixed-offset windows."""
+        from data_etl_scripts_showcase__spark.queries import load_all
+        import pyspark.sql.functions as F
+        import tempfile, os
+        import pyarrow as pa, pyarrow.parquet as pq
+
+        base = "".join(
+            f"word{(i * 37) % 211} " for i in range(400)
+        )
+        edited = base[:50] + "INSERTED-BYTES " + base[50:]
+        d = tempfile.mkdtemp()
+        # minimal documents table with the two variants
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2], pa.int64()),
+                    "text": pa.array([base, edited]),
+                    "lang": pa.array(["en", "en"]),
+                    "source": pa.array(["a", "a"]),
+                    "n_chars": pa.array([len(base), len(edited)], pa.int64()),
+                }
+            ),
+            os.path.join(d, "documents.parquet"),
+        )
+        out = load_all()["t25_content_defined_chunks"].fn(spark, d)
+        chunks = {
+            1: {r.chunk_md5 for r in out.where(F.col("doc_id") == 1).collect()},
+            2: {r.chunk_md5 for r in out.where(F.col("doc_id") == 2).collect()},
+        }
+        shared = chunks[1] & chunks[2]
+        # most chunks survive the edit verbatim
+        assert len(shared) >= max(1, int(0.6 * len(chunks[1])))
+        # and the edited doc has at least one chunk the original lacks
+        assert chunks[2] - chunks[1]
