@@ -304,3 +304,35 @@ def u4_union_by_name_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderpriority"
     )
     return a.unionByName(b, allowMissingColumns=True)
+
+
+@register(
+    "u5_symmetric_difference",
+    oracle="""
+    WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
+    b AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+    only_a AS (SELECT k FROM a EXCEPT SELECT k FROM b),
+    only_b AS (SELECT k FROM b EXCEPT SELECT k FROM a)
+    SELECT k, 'open_only' AS side FROM only_a
+    UNION ALL
+    SELECT k, 'finished_only' AS side FROM only_b
+    """,
+    survey="U-std extended (symmetric difference: keys on exactly one side, labeled)",
+)
+def u5_symmetric_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set symmetric difference with provenance: customers appearing in
+    exactly one of {open orders, finished orders}, labeled by side —
+    (A∖B) ∪ (B∖A) as two EXCEPTs over distinct key sets (each compiles
+    to a hash anti join; at 100 TB both run on the deduplicated key
+    relations, never the fact rows)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("k")
+    ).distinct()
+    b = o.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    ).distinct()
+    return (
+        a.exceptAll(b).withColumn("side", F.lit("open_only"))
+        .unionByName(b.exceptAll(a).withColumn("side", F.lit("finished_only")))
+    )

@@ -670,3 +670,78 @@ def st17_stream_append_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.countDistinct("_f").alias("n_files"),
     )
+
+
+_NORM_DOC = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "st18_streaming_dataset_card",
+    oracle=f"""
+    WITH base AS (
+        SELECT length(text) AS n_chr,
+               len(string_split({_NORM_DOC}, ' ')) AS n_tok,
+               md5({_NORM_DOC}) AS fp
+        FROM documents
+    ),
+    h AS (
+        SELECT ('0x' || substr(md5(concat('91:', fp)), 1, 8))::BIGINT AS hv
+        FROM base
+    ),
+    r AS (
+        SELECT hv % 64 AS idx,
+               CASE WHEN hv // 64 = 0 THEN 27
+                    ELSE 27 - length(bin(hv // 64)) END AS rho
+        FROM h
+    ),
+    regs AS (SELECT idx, max(rho) AS reg FROM r GROUP BY idx),
+    agg AS (
+        SELECT count(*) AS used,
+               CAST(sum(1::BIGINT << (27 - reg)) AS BIGINT) AS z_used
+        FROM regs
+    ),
+    est AS (
+        SELECT round(CASE WHEN (0.709 * 64 * 64 * 134217728.0)
+                               / (z_used + (64 - used) * 134217728) <= 160.0
+                          AND (64 - used) > 0
+                          THEN 64.0 * ln(64.0 / (64 - used))
+                          ELSE (0.709 * 64 * 64 * 134217728.0)
+                               / (z_used + (64 - used) * 134217728)
+                     END, 4) AS est_distinct
+        FROM agg
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chr) AS BIGINT) AS total_chars,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           round(greatest(0.0, 1.0 - est.est_distinct / count(*)), 4) AS est_dup_rate
+    FROM base, est GROUP BY est.est_distinct
+    """,
+    survey="§2.10 extended, NS-text (dataset card maintained from a stream: additive partials + HLL registers, never a rescan)",
+)
+def st18_streaming_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x47's corpus card kept current BY THE INGEST ITSELF: each
+    micro-batch of documents appends one partial row (counts, sums, and
+    a 64-register HLL over normalized-text fingerprints); the reader
+    merges partials — sums add, registers max — so the card is exact on
+    sizes and sketch-accurate on the dup rate at any batch slicing,
+    with the corpus never rescanned.  availableNow over the documents
+    file equals the batch card (the oracle); multi-batch associativity
+    follows from the same mergeability the streamed CMS/HLL tests pin."""
+    import shutil
+    import tempfile as _tf
+
+    from pyspark.sql import types as T
+
+    from ..streaming.jobs import read_dataset_card, streaming_dataset_card
+
+    file_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(file_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    out = _tf.mkdtemp(prefix="st18_card_")
+    shutil.rmtree(out, ignore_errors=True)
+    streaming_dataset_card(stream, out)
+    return read_dataset_card(spark, out)

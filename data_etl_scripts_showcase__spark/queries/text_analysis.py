@@ -1321,3 +1321,90 @@ def t25_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_md5"
         ),
     )
+
+
+@register(
+    "x48_chunk_dedup_ratio",
+    oracle="""
+    WITH pos AS (
+        SELECT doc_id, source, text, length(text) AS n,
+               unnest(range(1, greatest(length(text) - 7, 0) + 1)) AS i
+        FROM documents WHERE length(text) >= 8
+    ),
+    b AS (
+        SELECT doc_id, source, text, n, i
+        FROM pos
+        WHERE i = 1
+           OR ('0x' || substr(md5(concat('cdc:', substr(text, i, 8))), 1, 8))::BIGINT % 32 = 0
+    ),
+    c AS (
+        SELECT doc_id, source, text, i AS start_pos,
+               coalesce(lead(i) OVER (PARTITION BY doc_id ORDER BY i), n + 1) - i AS chunk_len
+        FROM b
+    ),
+    h AS (
+        SELECT source, chunk_len,
+               md5(substr(text, start_pos, chunk_len)) AS chunk_md5
+        FROM c
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(DISTINCT chunk_md5) AS BIGINT) AS n_unique,
+           CAST(sum(chunk_len) AS BIGINT) AS raw_bytes,
+           round(1.0 - CAST(count(DISTINCT chunk_md5) AS DOUBLE) / count(*), 6) AS chunk_dup_rate
+    FROM h GROUP BY source
+    """,
+    survey="NS-text extended (chunk-store dedup ratio: the CDC payoff metric — unique vs total content-addressed chunks per source)",
+)
+def x48_chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What CDC chunking buys: per source, total chunks vs DISTINCT
+    content-addressed chunks — the storage dedup ratio a chunk store
+    realizes (duplicated passages across documents collapse to one
+    stored chunk even when no two documents are globally identical,
+    which is exactly where document-level d1 sees nothing).  Same chunk
+    pipeline as t25, one extra distinct aggregate on the digest."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") >= 8)
+    pos = d.select(
+        "doc_id",
+        "source",
+        "text",
+        F.length("text").alias("n"),
+        F.explode(
+            F.expr("sequence(1, greatest(length(text) - 7, 1))")
+        ).alias("i"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("cdc:"), F.expr("substring(text, i, 8)"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    b = pos.where((F.col("i") == 1) | (h % 32 == 0))
+    wdoc = W.partitionBy("doc_id").orderBy("i")
+    c = b.select(
+        "source",
+        "text",
+        F.col("i").alias("start_pos"),
+        (
+            F.coalesce(F.lead("i").over(wdoc), F.col("n") + 1) - F.col("i")
+        ).alias("chunk_len"),
+    )
+    hashes = c.select(
+        "source",
+        "chunk_len",
+        F.md5(F.expr("substring(text, start_pos, chunk_len)")).alias(
+            "chunk_md5"
+        ),
+    )
+    return hashes.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.countDistinct("chunk_md5").cast("bigint").alias("n_unique"),
+        F.sum("chunk_len").cast("bigint").alias("raw_bytes"),
+        F.round(
+            1.0 - F.countDistinct("chunk_md5").cast("double") / F.count("*"),
+            6,
+        ).alias("chunk_dup_rate"),
+    )

@@ -737,3 +737,73 @@ def streaming_append_with_compaction(
         "ds",
         max_files=1,
     )
+
+
+def streaming_dataset_card(docs_stream: DataFrame, out_path: str) -> None:
+    """Maintain the dataset card (x47's statistics) INCREMENTALLY from a
+    document stream: each micro-batch appends one partial row — additive
+    counts/sums plus a 64-register HLL sketch of the normalized-text
+    fingerprints (serialized as a map) — and readers merge partials into
+    the current card.  Counts add, registers max: the card is exact for
+    sizes and sketch-accurate for the dedup rate at ANY batch slicing,
+    without ever rescanning the corpus — the x42/st12/st13 partials
+    pattern applied to corpus curation metadata."""
+    from ..operators.sketches import hll_registers
+    from ..operators.text import normalize, token_count
+
+    def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        base = batch.select(
+            F.length("text").alias("n_chr"),
+            token_count("text").alias("n_tok"),
+            F.md5(normalize("text")).alias("fp"),
+        )
+        regs = hll_registers(base, "fp").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("idx", "reg"))
+            ).alias("regs")
+        )
+        partial = base.agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("n_chr"), F.lit(0)).cast("bigint").alias("total_chars"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("bigint").alias("total_tokens"),
+        ).crossJoin(regs)
+        partial.write.mode("append").parquet(out_path)
+
+    q = (
+        docs_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_card_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_dataset_card(spark: SparkSession, out_path: str) -> DataFrame:
+    """Merge the card partials: sums add, HLL registers merge by max,
+    and the distinct-fingerprint estimate yields the dup-rate estimate."""
+    from ..operators.sketches import hll_estimate
+
+    p = spark.read.parquet(out_path)
+    totals = p.agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("total_chars").cast("bigint").alias("total_chars"),
+        F.sum("total_tokens").cast("bigint").alias("total_tokens"),
+    )
+    regs = (
+        p.select(F.explode("regs").alias("idx", "reg"))
+        .groupBy("idx")
+        .agg(F.max("reg").alias("reg"))
+    )
+    est = hll_estimate(regs).select("est_distinct")
+    return totals.crossJoin(est).select(
+        "n_docs",
+        "total_chars",
+        "total_tokens",
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                1.0 - F.col("est_distinct") / F.col("n_docs"),
+            ),
+            4,
+        ).alias("est_dup_rate"),
+    )
