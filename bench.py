@@ -107,6 +107,9 @@ HEADLINE = [
     "e4_enrichment_cross_run_cache",  # delta-fetch enrichment
     "x47_dataset_card",  # corpus release card
     "x44_distributed_deciles",  # exact ntile, no global sort
+    "t25_content_defined_chunks",  # CDC rolling-hash chunking
+    "x48_chunk_dedup_ratio",  # chunk-store dedup payoff
+    "st18_streaming_dataset_card",  # card partials from the stream
 ]
 
 
