@@ -1408,3 +1408,82 @@ def x48_chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chunk_dup_rate"),
     )
+
+
+@register(
+    "t26_chat_turns_audit",
+    oracle="""
+    WITH t AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type IN ('purchase', 'signup') THEN 'assistant'
+                    ELSE 'user' END AS role
+        FROM events
+    ),
+    o AS (
+        SELECT user_id, role,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn,
+               lag(role) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_role
+        FROM t
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(sum(CASE WHEN prev_role IS NOT NULL AND prev_role = role
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_role_repeats,
+           min(CASE WHEN turn = 1 THEN role END) = 'user' AS starts_with_user,
+           max(CASE WHEN turn = n.mx THEN role END) = 'assistant' AS ends_with_assistant
+    FROM o JOIN (SELECT user_id, max(turn) AS mx FROM o GROUP BY user_id) n USING (user_id)
+    GROUP BY user_id
+    """,
+    survey="NS-text extended (SFT conversation audit: role alternation, first/last-turn contracts per dialogue)",
+)
+def t26_chat_turns_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-data validation, the gate every SFT corpus passes
+    before a tokenizer sees it: treat each user's event stream as a
+    dialogue (deterministic role mapping), and audit the structural
+    contracts chat templates assume — no consecutive same-role turns,
+    opens with 'user', closes with 'assistant'.  Per-dialogue violation
+    counts, not a filter: the curation layer decides repair vs drop.
+    One window pass keyed by dialogue; the audit columns are exact
+    integers/booleans."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type").isin("purchase", "signup"), "assistant"
+        )
+        .otherwise("user")
+        .alias("role"),
+    )
+    wseq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = t.select(
+        "user_id",
+        "role",
+        F.row_number().over(wseq).alias("turn"),
+        F.lag("role").over(wseq).alias("prev_role"),
+    )
+    mx = o.groupBy("user_id").agg(F.max("turn").alias("mx"))
+    return (
+        o.join(mx, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_turns"),
+            F.sum(
+                F.when(
+                    F.col("prev_role").isNotNull()
+                    & (F.col("prev_role") == F.col("role")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_role_repeats"),
+            (
+                F.min(F.when(F.col("turn") == 1, F.col("role"))) == "user"
+            ).alias("starts_with_user"),
+            (
+                F.max(F.when(F.col("turn") == F.col("mx"), F.col("role")))
+                == "assistant"
+            ).alias("ends_with_assistant"),
+        )
+    )
