@@ -39,6 +39,10 @@ SAMPLE = [
     "x43_temperature_mixture", "x44_distributed_deciles",
     "x46_ab_test_analysis", "x28_observed_metrics", "e3_enrichment_request_dedup",
     "f_regexp_surface", "u3_except_all", "c1_status_cascade",
+    "t25_content_defined_chunks", "t26_chat_turns_audit",
+    "x48_chunk_dedup_ratio", "u5_symmetric_difference",
+    "m11_struct_field_surgery", "d22_lsh_scurve_audit",
+    "j13_bitemporal_asof", "w25_target_encoding_loo",
 ]
 
 # Documented raisers on empty input: exact selection has no k-th element;
