@@ -1305,14 +1305,12 @@ def d20_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_BANDS_CTE},
     cand AS ({_CAND_SQL}),
+    da AS (SELECT doc_id, grams FROM g WHERE doc_id % 10 = 0),
     pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
-                   / greatest(len(list_distinct(ga.grams || gb.grams)), 1) AS j
-        FROM documents a
-        JOIN documents b ON a.doc_id < b.doc_id
-        JOIN g ga ON ga.doc_id = a.doc_id
-        JOIN g gb ON gb.doc_id = b.doc_id
+               CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                   / greatest(len(list_distinct(a.grams || b.grams)), 1) AS j
+        FROM da a JOIN da b ON a.doc_id < b.doc_id
     ),
     bucketed AS (
         SELECT least(CAST(floor(j * 10) AS INTEGER), 9) AS j_bucket,
@@ -1353,8 +1351,16 @@ def d22_lsh_scurve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = DD.candidate_pairs(DD.lsh_buckets(sig, "doc_id"), "doc_id").withColumn(
         "is_cand", F.lit(1)
     )
-    ga = grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a"))
-    gb = grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b"))
+    # the exact side is quadratic, so the measured pair population is a
+    # deterministic 1/100th sample (doc_id % 10 grid on both sides) — the
+    # "sampled in production" clause applied at every SF.
+    sampled = grams.where(F.col("doc_id") % 10 == 0)
+    ga = sampled.select(
+        F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a")
+    )
+    gb = sampled.select(
+        F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b")
+    )
     pairs = (
         ga.crossJoin(gb)
         .where(F.col("id_a") < F.col("id_b"))
