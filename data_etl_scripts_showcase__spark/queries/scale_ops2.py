@@ -1545,3 +1545,61 @@ def a34_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("abs_dev"),
     )
+
+
+# --------------------- x49: referential-chain integrity audit
+
+
+@register(
+    "x49_fk_chain_audit",
+    oracle="""
+    SELECT 'lineitem->orders' AS hop,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT) AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'orders->customer' AS hop,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT) AS n_orphans
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'customer->nation' AS hop,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT) AS n_orphans
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+    survey="A9,J-std extended (referential-chain audit: per-hop orphan counts down the fact-to-dim spine)",
+)
+def x49_fk_chain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential integrity down the whole star spine in one report:
+    lineitem→orders→customer→nation, per-hop row and orphan counts —
+    the join-health check run BEFORE a pipeline quietly drops orphans in
+    its inner joins (x15 audits one edge; broken upstream loads usually
+    break a chain).  Each hop is a broadcast/left join with a null-probe
+    count; the dims are broadcast-sized, the fact side never shuffles."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey")
+
+    def hop(fact, dim, fk, pk, name):
+        return (
+            fact.join(dim, fact[fk] == dim[pk], "left")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.count(F.when(dim[pk].isNull(), 1))
+                .cast("bigint")
+                .alias("n_orphans"),
+            )
+            .select(F.lit(name).alias("hop"), "n_rows", "n_orphans")
+        )
+
+    return (
+        hop(li, o.select("o_orderkey"), "l_orderkey", "o_orderkey", "lineitem->orders")
+        .unionByName(
+            hop(o, c.select("c_custkey"), "o_custkey", "c_custkey", "orders->customer")
+        )
+        .unionByName(
+            hop(c, n, "c_nationkey", "n_nationkey", "customer->nation")
+        )
+    )
