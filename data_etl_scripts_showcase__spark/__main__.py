@@ -164,13 +164,26 @@ def main(argv: list[str] | None = None) -> int:
         from .sources import load_table
 
         src = load_table(spark, args.sf_dir, args.table)
-        with_ids = global_row_ids(
-            src,
-            F.date_format(args.order_col, "yyyy-MM")
-            if "date" in args.order_col
-            else F.col(args.order_col).cast("string"),
-            [args.order_col, args.key_col],
-        )
+        # global_row_ids' precondition: the bucket expression must sort
+        # consistently with the leading order column.  A string cast does
+        # NOT for numerics ('10' < '2'), so bucket by TYPE: dates by
+        # month, numerics by a fixed-count native-typed range (floor over
+        # a data-derived width — one 1-row aggregate), strings by prefix
+        # (a prefix is order-monotone w.r.t. the full string).
+        dtype = dict(src.dtypes)[args.order_col]
+        col = F.col(args.order_col)
+        if dtype in ("date",) or dtype.startswith("timestamp"):
+            bucket = F.date_format(col, "yyyy-MM")
+        elif dtype in ("tinyint", "smallint", "int", "bigint", "float", "double") or dtype.startswith("decimal"):
+            lo, hi = (
+                src.agg(F.min(col).cast("double"), F.max(col).cast("double"))
+                .first()
+            )
+            width = max((hi - lo) / 256.0, 1e-12) if hi is not None else 1.0
+            bucket = F.floor((col.cast("double") - float(lo or 0)) / width)
+        else:
+            bucket = F.substring(col, 1, 2)
+        with_ids = global_row_ids(src, bucket, [args.order_col, args.key_col])
         with_ids.write.mode("overwrite").parquet(args.out)
         print(f"row ids written: {args.out}")
     elif args.cmd == "kth":

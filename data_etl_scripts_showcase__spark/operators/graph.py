@@ -19,8 +19,28 @@ one row per node).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _warn_if_unconverged(op: str, converged: bool, max_iter: int) -> None:
+    """Iterative loops must not exit SILENTLY when max_iter runs out before
+    the fixpoint — the returned labels/distances would be incorrect with no
+    signal.  A warning (not an exception) keeps partial results inspectable
+    while making the truncation visible to callers, who should raise
+    ``max_iter``.  (The alternating-CC digest is (count, bit_xor(xxhash64))
+    — collisions are possible in principle; a colliding round would also
+    surface here as premature 'convergence' only with matching count+hash.)
+    """
+    if not converged:
+        warnings.warn(
+            f"{op}: max_iter={max_iter} exhausted before fixpoint — "
+            f"results may be incomplete; raise max_iter",
+            RuntimeWarning,
+            stacklevel=3,
+        )
 
 
 def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -116,6 +136,7 @@ def connected_components(
         .select("id", F.col("id").alias("component"))
         .localCheckpoint(eager=True)
     )
+    changed = -1
     for _ in range(max_iter):
         nbr = sym.join(labels, sym["b"] == labels["id"]).select(
             F.col("a").alias("id"), F.col("component")
@@ -136,6 +157,7 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
+    _warn_if_unconverged("connected_components", changed == 0, max_iter)
     return labels
 
 
@@ -225,6 +247,7 @@ def connected_components_alternating(
     # (On a cluster, swap for rdd.checkpoint() if executor loss during the
     # loop must be survivable.)
     digest = _edge_digest(cur)
+    fixed = False
     for _ in range(max_iter):
         nxt = _star(_star(cur, large=True), large=False).localCheckpoint(
             eager=True
@@ -232,8 +255,10 @@ def connected_components_alternating(
         nxt_digest = _edge_digest(nxt)
         cur = nxt
         if nxt_digest == digest:
+            fixed = True
             break
         digest = nxt_digest
+    _warn_if_unconverged("connected_components_alternating", fixed, max_iter)
 
     # fixpoint: every edge is (component-min, member); roots label themselves.
     member_labels = cur.groupBy(F.col("v").alias("id")).agg(
@@ -298,4 +323,5 @@ def bfs_hops(
         if changed == 0:
             break
     sym.unpersist()
+    _warn_if_unconverged("bfs_hops", changed == 0, max_iter)
     return dist

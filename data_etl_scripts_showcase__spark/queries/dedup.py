@@ -1300,12 +1300,23 @@ def d20_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: d22's exact-Jaccard audit side targets a CONSTANT number of sampled
+#: documents regardless of corpus size (pair budget ≈ AUDIT_DOC_BUDGET²/2),
+#: so the quadratic side does not grow with SF: the sampling modulus is
+#: derived from the corpus count, not fixed.
+AUDIT_DOC_BUDGET = 1000
+
+
 @register(
     "d22_lsh_scurve_audit",
     oracle=f"""
     WITH {_BANDS_CTE},
     cand AS ({_CAND_SQL}),
-    da AS (SELECT doc_id, grams FROM g WHERE doc_id % 10 = 0),
+    mcte AS (
+        SELECT greatest(1, CAST(ceil(count(*) / {AUDIT_DOC_BUDGET}.0) AS BIGINT)) AS m
+        FROM documents
+    ),
+    da AS (SELECT doc_id, grams FROM g CROSS JOIN mcte WHERE doc_id % m = 0),
     pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
@@ -1327,7 +1338,8 @@ def d20_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_pairs,
            CAST(sum(is_cand) AS BIGINT) AS n_candidates,
            round(CAST(sum(is_cand) AS DOUBLE) / count(*), 6) AS observed_rate,
-           round(1.0 - pow(1.0 - pow(j_bucket / 10.0 + 0.05, {DD.ROWS_PER_BAND}), {DD.N_BANDS}), 6) AS theoretical_rate
+           round(1.0 - pow(1.0 - pow(j_bucket / 10.0 + 0.05, {DD.ROWS_PER_BAND}), {DD.N_BANDS}), 6) AS theoretical_rate,
+           (SELECT m FROM mcte) AS sample_modulus
     FROM joined GROUP BY j_bucket
     """,
     survey="NS-dedup extended (LSH calibration: observed candidate rate per Jaccard bucket vs the (b,r) S-curve)",
@@ -1340,7 +1352,14 @@ def d22_lsh_scurve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-band before trusting recall at 100 TB.  The all-pairs exact
     Jaccard is the audit's cost (quadratic, affordable at test SF,
     sampled in production — same discipline as v6/a28's exact sides);
-    the candidate set under test is the production bucket join."""
+    the candidate set under test is the production bucket join.
+
+    The exact side is bounded by a PAIR BUDGET, not a fixed sampling
+    rate: the modulus m = ceil(n_docs / AUDIT_DOC_BUDGET) is derived from
+    the corpus count so the sampled side stays ~AUDIT_DOC_BUDGET docs
+    (~budget²/2 pairs) at ANY scale — a fixed 1/k rate would still grow
+    the pair count quadratically with the corpus.  The effective modulus
+    ships in the output (`sample_modulus`) so no truncation is silent."""
     docs = load_table(spark, sf_dir, "documents")
     grams = docs.select("doc_id", DD.tokens("text").alias("_toks")).select(
         "doc_id", DD.ngrams_from_tokens(F.col("_toks")).alias("grams")
@@ -1351,10 +1370,19 @@ def d22_lsh_scurve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = DD.candidate_pairs(DD.lsh_buckets(sig, "doc_id"), "doc_id").withColumn(
         "is_cand", F.lit(1)
     )
-    # the exact side is quadratic, so the measured pair population is a
-    # deterministic 1/100th sample (doc_id % 10 grid on both sides) — the
-    # "sampled in production" clause applied at every SF.
-    sampled = grams.where(F.col("doc_id") % 10 == 0)
+    # Budget-derived modulus as a broadcast 1-row aggregate (collect-free;
+    # same pattern as the engine-wide audited scalar crossJoins).
+    mrow = docs.agg(
+        F.greatest(
+            F.lit(1),
+            F.ceil(F.count("*") / float(AUDIT_DOC_BUDGET)).cast("bigint"),
+        ).alias("m")
+    )
+    sampled = (
+        grams.crossJoin(F.broadcast(mrow))
+        .where(F.col("doc_id") % F.col("m") == 0)
+        .drop("m")
+    )
     ga = sampled.select(
         F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a")
     )
@@ -1391,11 +1419,15 @@ def d22_lsh_scurve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
-    return joined.groupBy("j_bucket").agg(
-        F.count("*").cast("bigint").alias("n_pairs"),
-        F.sum("is_cand").cast("bigint").alias("n_candidates"),
-        F.round(F.sum("is_cand").cast("double") / F.count("*"), 6).alias(
-            "observed_rate"
-        ),
-        theo.alias("theoretical_rate"),
+    return (
+        joined.groupBy("j_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("is_cand").cast("bigint").alias("n_candidates"),
+            F.round(F.sum("is_cand").cast("double") / F.count("*"), 6).alias(
+                "observed_rate"
+            ),
+            theo.alias("theoretical_rate"),
+        )
+        .crossJoin(F.broadcast(mrow.select(F.col("m").alias("sample_modulus"))))
     )

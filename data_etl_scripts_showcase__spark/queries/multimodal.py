@@ -64,8 +64,8 @@ def mm1_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(16 + blen % 624 AS INTEGER) AS width,
            CAST(16 + ('0x' || substr(h, 1, 4))::BIGINT % 624 AS INTEGER) AS height,
            CAST(1 + blen % 32 AS INTEGER) AS n_frames,
-           CAST(range(0, 1 + blen % 32,
-                      greatest(1, (1 + blen % 32 + 3) // 4)) AS INTEGER[]) AS sampled_frames
+           array_to_string(CAST(range(0, 1 + blen % 32,
+                      greatest(1, (1 + blen % 32 + 3) // 4)) AS INTEGER[]), '|') AS sampled_frames
     FROM a
     """,
     survey="NS-mm (mapInPandas decode stage, stub codec)",
@@ -76,11 +76,19 @@ def mm2_decoded_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     The codec is a deterministic stub (no media libs in this environment);
     the plumbing — binary column in, declared feature schema out, ≤4
     evenly-spaced sampled frames — is the real scale path and is verified
-    value-for-value against the SQL oracle.
+    value-for-value against the SQL oracle.  The frame list ships as a
+    '|'-joined string (driver-canonicalizer contract: scalar top-level
+    columns only); the operator itself keeps the typed array.
     """
     assets = MM.to_assets(load_table(spark, sf_dir, "documents"), "doc_id", "text")
-    return MM.extract_features(
+    feats = MM.extract_features(
         assets, parallelism=spark.sparkContext.defaultParallelism
+    )
+    return feats.withColumn(
+        "sampled_frames",
+        F.array_join(
+            F.transform("sampled_frames", lambda x: x.cast("string")), "|"
+        ),
     )
 
 

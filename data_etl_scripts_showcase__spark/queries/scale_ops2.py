@@ -1366,11 +1366,15 @@ def x44_distributed_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks come from the bucketed row-id assignment (x39 — value-derived
     range buckets, tiny offsets aggregate, intra-bucket window), and
     ntile's exact bucketing rule is then closed-form arithmetic on the
-    rank: bucket = (rank·k) div n + 1 reproduces ntile's
-    first-buckets-get-the-remainder split bit-for-bit.  The oracle IS
-    the unpartitioned ntile window; identical output, shuffle-bounded
-    plan.  (Price buckets here: fixed 25k-wide ranges — any monotone
-    bucketing works, skew only affects task balance, never values.)"""
+    0-based rank.  ntile(k) FRONT-LOADS the remainder: with q = n div k
+    and r = n mod k, the first r buckets get q+1 rows, so
+    bucket = rank < r·(q+1) ? rank div (q+1) : r + (rank − r·(q+1)) div q
+    — NOT the even-spread (rank·k) div n, which distributes remainder
+    rows across all buckets and diverges whenever n mod k ≠ 0.  The
+    oracle IS the unpartitioned ntile window; identical output at any n,
+    shuffle-bounded plan.  (Price buckets here: fixed 25k-wide ranges —
+    any monotone bucketing works, skew only affects task balance, never
+    values.)"""
     o = load_table(spark, sf_dir, "orders")
     with_ids = global_row_ids(
         o,
@@ -1378,12 +1382,18 @@ def x44_distributed_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_totalprice", "o_orderkey"],
     )
     n = o.agg(F.count("*").alias("_n"))
+    # ntile's rule; when n < k, q = 0 and every rank falls in the first
+    # branch (r = n, rank < n·1), so the div-by-q arm never divides by 0.
+    ntile_expr = F.expr(
+        """CAST(CASE
+             WHEN row_id < (_n % 10) * (_n DIV 10 + 1)
+             THEN row_id DIV (_n DIV 10 + 1)
+             ELSE (_n % 10) + (row_id - (_n % 10) * (_n DIV 10 + 1)) DIV (_n DIV 10)
+           END AS INT)"""
+    )
     return (
         with_ids.crossJoin(F.broadcast(n))
-        .select(
-            "o_orderkey",
-            F.expr("CAST((row_id * 10) DIV _n AS INT)").alias("_q"),
-        )
+        .select("o_orderkey", ntile_expr.alias("_q"))
         .select(
             "o_orderkey", (F.col("_q") + 1).cast("int").alias("price_decile")
         )
@@ -1601,5 +1611,166 @@ def x49_fk_chain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             hop(c, n, "c_nationkey", "n_nationkey", "customer->nation")
+        )
+    )
+
+
+# ------------------------------------------------ x50: l-diversity audit
+
+
+@register(
+    "x50_l_diversity_audit",
+    oracle="""
+    WITH q AS (
+        SELECT c_nationkey, c_mktsegment,
+               count(*) AS grp,
+               count(DISTINCT o_orderpriority) AS l_div
+        FROM customer
+        JOIN orders ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(count(CASE WHEN l_div < 3 THEN 1 END) AS BIGINT) AS n_homogeneous,
+           CAST(sum(CASE WHEN l_div < 3 THEN grp ELSE 0 END) AS BIGINT) AS n_exposed_rows,
+           CAST(min(l_div) AS BIGINT) AS l_diversity
+    FROM q
+    """,
+    survey="NS-privacy extended (l-diversity audit: sensitive-value diversity per quasi-identifier class — the gate k-anonymity alone misses)",
+)
+def x50_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The privacy gate x34's k-anonymity misses: a class can hold k≥5
+    rows yet leak the sensitive attribute anyway if every member SHARES
+    it (homogeneity attack).  l-diversity = min distinct sensitive
+    values (order priority, standing in for any sensitive label) per
+    quasi-identifier class (nation, segment); classes below l=3 are
+    homogeneous enough that membership alone discloses the attribute.
+    Plan: fact-to-dim join (customer side broadcast at scale — orders is
+    the big side), one aggregate with a distinct-count per class, O(classes)
+    output at any row count — the same release-gate shape as x34, run
+    together with it before publishing."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    q = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count("*").alias("grp"),
+            F.countDistinct("o_orderpriority").alias("l_div"),
+        )
+    )
+    return q.agg(
+        F.count("*").alias("n_classes"),
+        F.count(F.when(F.col("l_div") < 3, 1)).alias("n_homogeneous"),
+        F.sum(F.when(F.col("l_div") < 3, F.col("grp")).otherwise(0))
+        .cast("bigint")
+        .alias("n_exposed_rows"),
+        F.min("l_div").cast("bigint").alias("l_diversity"),
+    )
+
+
+# --------------- pr7: modularity of the near-dup partition
+
+
+@register(
+    "pr7_partition_modularity",
+    oracle=f"""
+    WITH RECURSIVE
+    {_BANDS_CTE},
+    cand AS ({_CAND_SQL}),
+    verified AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN g ga ON ga.doc_id = c.id_a
+        JOIN g gb ON gb.doc_id = c.id_b
+        WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                  / len(list_distinct(ga.grams || gb.grams)) >= 0.5
+    ),
+    sym AS (
+        SELECT id_a AS a, id_b AS b FROM verified
+        UNION
+        SELECT id_b AS a, id_a AS b FROM verified
+    ),
+    reach(id, r) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id
+    ),
+    labels AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+    deg AS (SELECT a AS id, count(*) AS d FROM sym GROUP BY a),
+    dc AS (
+        SELECT l.component, sum(d) AS d_c
+        FROM deg JOIN labels l USING (id) GROUP BY l.component
+    ),
+    m AS (SELECT count(*) AS m FROM verified)
+    SELECT CAST(count(*) AS BIGINT) AS n_communities,
+           CAST(max(m.m) AS BIGINT) AS n_edges,
+           round(CAST(4 * m.m * m.m - sum(d_c * d_c) AS DOUBLE)
+                 / (4 * m.m * m.m), 6) AS modularity
+    FROM dc CROSS JOIN m GROUP BY m.m
+    """,
+    survey="NS-dedup extended (partition quality: Newman modularity of the near-dup components, exact-integer arithmetic)",
+)
+def pr7_partition_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How clustered is the near-dup graph, really?  Newman modularity of
+    the connected-component partition: Q = Σ_c [m_c/m − (d_c/2m)²].  For
+    a CC partition every edge is intra-community (Σ m_c = m), so
+    Q = (4m² − Σ d_c²)/(4m²) — computed in EXACT INTEGERS (one degree
+    aggregate, one per-component sum, one scalar) and only converted to
+    double for the final ratio, so the oracle matches bit-for-bit with no
+    float-summation-order caveat.  Q near 1 = many small tight clusters
+    (healthy dedup graph); Q near 0 = one giant hairball (an LSH banding
+    bug or a boilerplate epidemic — d22's S-curve audit tells you which).
+    Plan: the edge pipeline is pr1-pr6's shared capped-degree build; the
+    modularity itself adds two hash aggregates and a broadcast scalar."""
+    from ..operators.graph import connected_components_alternating
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select("doc_id", DD.tokens("text").alias("_toks")).select(
+        "doc_id", DD.ngrams_from_tokens(F.col("_toks")).alias("grams")
+    )
+    sig = DD.minhash_signature(
+        docs, "doc_id", "text", parallelism=spark.sparkContext.defaultParallelism
+    )
+    cand = DD.candidate_pairs(DD.lsh_buckets(sig, "doc_id"), "doc_id")
+    ga = grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b"))
+    verified = (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .where(DD.jaccard(F.col("grams_a"), F.col("grams_b")) >= 0.5)
+        .select("id_a", "id_b")
+    )
+    labels = connected_components_alternating(verified, "id_a", "id_b")
+    sym = verified.select(
+        F.col("id_a").alias("id"), F.col("id_b").alias("nbr")
+    ).unionByName(
+        verified.select(F.col("id_b").alias("id"), F.col("id_a").alias("nbr"))
+    )
+    deg = sym.groupBy("id").agg(F.count("*").alias("d"))
+    dc = (
+        deg.join(labels, "id")
+        .groupBy("component")
+        .agg(F.sum("d").alias("d_c"))
+    )
+    m = verified.agg(F.count("*").alias("m"))
+    return (
+        dc.crossJoin(F.broadcast(m))
+        .groupBy("m")
+        .agg(
+            F.count("*").cast("bigint").alias("n_communities"),
+            F.sum(F.col("d_c") * F.col("d_c")).alias("s_d2"),
+        )
+        .select(
+            "n_communities",
+            F.col("m").cast("bigint").alias("n_edges"),
+            F.round(
+                (4 * F.col("m") * F.col("m") - F.col("s_d2")).cast("double")
+                / (4 * F.col("m") * F.col("m")),
+                6,
+            ).alias("modularity"),
         )
     )

@@ -1106,3 +1106,153 @@ def v16_binary_quantized_retrieval(spark: SparkSession, sf_dir: str) -> DataFram
         .withColumn("rank", F.row_number().over(w2).cast("int"))
         .where(F.col("rank") <= 3)
     )
+
+
+@register(
+    "v17_ivf_adc_rerank",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ),
+    {_ASSIGN_CTE.strip().lstrip()},
+    cell AS (SELECT vec_id, centroid_id AS cell FROM assign WHERE cell_rank = 1),
+    qprobe AS (
+        SELECT centroid_id AS cell FROM assign WHERE vec_id = 0 AND cell_rank <= 2
+    ),
+    blocks AS (
+        SELECT vec_id, b.b AS b, vec[b.b * {_PQ_DIM} + 1 : (b.b + 1) * {_PQ_DIM}] AS sub
+        FROM corpus CROSS JOIN (SELECT unnest(range(0, {_PQ_BLOCKS})) AS b) b
+    ),
+    codebook AS (
+        SELECT b, CAST(vec_id AS INTEGER) AS code, sub AS csub
+        FROM blocks WHERE vec_id < {_PQ_CODES}
+    ),
+    encoded AS (
+        SELECT vec_id, b, code FROM (
+            SELECT bl.vec_id, bl.b, cb.code,
+                   row_number() OVER (
+                       PARTITION BY bl.vec_id, bl.b
+                       ORDER BY {_pq_sq_u('bl.sub', 'cb.csub')}, cb.code
+                   ) AS rn
+            FROM blocks bl JOIN codebook cb USING (b)
+        ) WHERE rn = 1
+    ),
+    dtable AS (
+        SELECT cb.b, cb.code, {_pq_sq_u('q.sub', 'cb.csub')} AS dist_u
+        FROM codebook cb
+        JOIN (SELECT b, sub FROM blocks WHERE vec_id = 0) q USING (b)
+    ),
+    shortlist AS (
+        SELECT e.vec_id AS neighbor_id,
+               CAST(sum(d.dist_u) AS BIGINT) AS adc_dist_u
+        FROM encoded e
+        JOIN cell USING (vec_id)
+        JOIN qprobe USING (cell)
+        JOIN dtable d USING (b, code)
+        WHERE e.vec_id <> 0
+        GROUP BY e.vec_id
+    ),
+    top AS (
+        SELECT neighbor_id, adc_dist_u,
+               row_number() OVER (ORDER BY adc_dist_u ASC, neighbor_id ASC) AS adc_rank
+        FROM shortlist QUALIFY adc_rank <= 20
+    )
+    SELECT t.neighbor_id, t.adc_dist_u,
+           round(list_cosine_similarity(c.vec, q.vec), 6) AS cos_sim,
+           CAST(row_number() OVER (
+               ORDER BY round(list_cosine_similarity(c.vec, q.vec), 6) DESC,
+                        t.neighbor_id ASC) AS INTEGER) AS rank
+    FROM top t
+    JOIN corpus c ON c.vec_id = t.neighbor_id
+    JOIN (SELECT vec FROM corpus WHERE vec_id = 0) q ON TRUE
+    QUALIFY rank <= 5
+    """,
+    survey="NS-sim extended (the composed production ANN path: IVF probe -> PQ/ADC shortlist -> exact rerank)",
+)
+def v17_ivf_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production retrieval ladder in one plan — what a vector
+    store actually executes at 100 TB: (1) IVF probe limits the scan to
+    the query's nprobe=2 cells (cell id = the disk partitioning key, so
+    the other cells are never read); (2) within the probed cells, ADC
+    over 8-byte PQ codes ranks candidates reading codes only (32× less
+    memory bandwidth than floats); (3) only the top-20 shortlist touches
+    the original vectors for an exact cosine rerank to top-5.  v4 and
+    v11 exhibit stages (1) and (2) in isolation; this is their
+    composition, with the rerank bounding any quantization error to the
+    shortlist boundary.  All distances in integer micro-units or rounded
+    to 6 dp (order-independent, driver-hashable)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+    cents = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent_vec")
+    )
+    cell = SIM.assign_cells(e, cents, 1).select("vec_id", "cell")
+    qprobe = SIM.assign_cells(e.where(F.col("vec_id") == 0), cents, 2).select("cell")
+
+    blocks = corpus.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("b"),
+                    F.slice("vec", b * _PQ_DIM + 1, _PQ_DIM).alias("sub"),
+                )
+                for b in range(_PQ_BLOCKS)
+            ])
+        ).alias("bb"),
+    ).select("vec_id", F.col("bb.b").alias("b"), F.col("bb.sub").alias("sub"))
+
+    def sq_u(a, c):
+        d = F.zip_with(a, c, lambda x, y: (x - y) * (x - y))
+        s = F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
+        return F.round(s * 1e6).cast("bigint")
+
+    codebook = blocks.where(F.col("vec_id") < _PQ_CODES).select(
+        "b", F.col("vec_id").cast("int").alias("code"), F.col("sub").alias("csub")
+    )
+    from pyspark.sql import Window as W
+
+    enc_w = W.partitionBy("vec_id", "b").orderBy(
+        sq_u(F.col("sub"), F.col("csub")), F.col("code")
+    )
+    encoded = (
+        blocks.join(F.broadcast(codebook), "b")
+        .withColumn("rn", F.row_number().over(enc_w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "b", "code")
+    )
+    qblocks = blocks.where(F.col("vec_id") == 0).select(
+        "b", F.col("sub").alias("qsub")
+    )
+    dtable = codebook.join(F.broadcast(qblocks), "b").select(
+        "b", "code", sq_u(F.col("qsub"), F.col("csub")).alias("dist_u")
+    )
+    shortlist = (
+        encoded.where(F.col("vec_id") != 0)
+        .join(cell, "vec_id")
+        .join(F.broadcast(qprobe), "cell")
+        .join(F.broadcast(dtable), ["b", "code"])
+        .groupBy(F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("dist_u").cast("bigint").alias("adc_dist_u"))
+    )
+    adc_w = W.orderBy(F.col("adc_dist_u").asc(), F.col("neighbor_id").asc())
+    top = (
+        shortlist.withColumn("adc_rank", F.row_number().over(adc_w))
+        .where(F.col("adc_rank") <= 20)
+        .drop("adc_rank")
+    )
+    qvec = corpus.where(F.col("vec_id") == 0).select(F.col("vec").alias("qvec"))
+    rerank_w = W.orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        top.join(corpus, top["neighbor_id"] == corpus["vec_id"])
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            "neighbor_id",
+            "adc_dist_u",
+            F.round(SIM.cosine("vec", "qvec"), 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(rerank_w).cast("int"))
+        .where(F.col("rank") <= 5)
+    )

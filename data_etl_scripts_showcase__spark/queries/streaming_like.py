@@ -745,3 +745,38 @@ def st18_streaming_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(out, ignore_errors=True)
     streaming_dataset_card(stream, out)
     return read_dataset_card(spark, out)
+
+
+@register(
+    "st19_stream_exact_dedup",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           min(doc_id) AS doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+    survey="§2.10, NS-dedup extended (exact dedup ON INGEST: cross-batch first-wins via sink-state anti-join)",
+)
+def st19_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d1's exact dedup moved INTO the ingest path: each micro-batch keeps
+    only fingerprints no earlier epoch committed (sink-state anti-join,
+    streaming/jobs.streaming_exact_dedup), so duplicates never land at
+    rest.  With availableNow over one documents file this equals batch
+    exact dedup bit-for-bit (the oracle); multi-batch first-wins and
+    cross-batch drop counts are asserted in tests/test_streaming.py."""
+    import shutil
+    import tempfile as _tf
+
+    from ..streaming.jobs import streaming_exact_dedup
+
+    file_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(file_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    out = _tf.mkdtemp(prefix="st19_dedup_")
+    shutil.rmtree(out, ignore_errors=True)
+    streaming_exact_dedup(stream, out)
+    return spark.read.parquet(out).select("fingerprint", "doc_id")

@@ -476,7 +476,7 @@ def t10_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT term,
            CAST(count(*) AS BIGINT) AS df,
-           list_sort(list(doc_id))[1:20] AS postings_head
+           array_to_string(list_sort(list(doc_id))[1:20], '|') AS postings_head
     FROM tok GROUP BY term
     """,
     survey="NS-text (inverted-index build: term → document-frequency + sorted posting list)",
@@ -489,12 +489,16 @@ def t11_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     SORTED then truncated so the output is deterministic; at 100 TB
     posting lists shard by (term, doc_id range) rather than collecting
     unbounded arrays — the head-truncation here is that discipline in
-    miniature."""
+    miniature.  The head ships as a '|'-joined string so every top-level
+    output column is scalar (driver-canonicalizer contract)."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(TX.tokens("text")).alias("term")).distinct()
+    head = F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20)
     return tok.groupBy("term").agg(
         F.count("*").alias("df"),
-        F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20).alias("postings_head"),
+        F.array_join(
+            F.transform(head, lambda x: x.cast("string")), "|"
+        ).alias("postings_head"),
     )
 
 
@@ -1486,4 +1490,84 @@ def t26_chat_turns_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 == "assistant"
             ).alias("ends_with_assistant"),
         )
+    )
+
+
+@register(
+    "t27_hashed_linear_quality",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (
+        SELECT doc_id,
+               toks || list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS grams
+        FROM n
+    ),
+    s AS (
+        SELECT doc_id,
+               len(grams) AS n_feat,
+               list_sum(list_transform(grams,
+                 x -> ((('0x' || substr(md5('qf:' || x), 1, 8))::BIGINT % 65536) % 2001 - 1000) / 1000.0)) AS wsum
+        FROM g
+    )
+    SELECT doc_id,
+           CAST(n_feat AS BIGINT) AS n_features,
+           round(CASE WHEN n_feat = 0 THEN 0.0 ELSE wsum / n_feat END, 6) AS mean_w,
+           round(1.0 / (1.0 + exp(-4.0 * (0.1 + CASE WHEN n_feat = 0 THEN 0.0 ELSE wsum / n_feat END))), 6) AS prob,
+           round(1.0 / (1.0 + exp(-4.0 * (0.1 + CASE WHEN n_feat = 0 THEN 0.0 ELSE wsum / n_feat END))), 6) > 0.5 AS accept
+    FROM s
+    """,
+    survey="NS-text extended (fastText-style quality classifier INFERENCE: hashed unigram+bigram features → linear score → sigmoid gate, zero shuffles)",
+)
+def t27_hashed_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier INFERENCE at corpus scale, the fastText linear
+    shape: features are hashed word unigrams + bigrams (hashing trick,
+    2^16 buckets), the model is a weight per bucket (here a deterministic
+    md5-derived stand-in for trained weights — swap the weight expression
+    for a broadcast lookup of real weights), and the document score is
+    sigmoid(bias + mean feature weight) with a 0.5 accept gate.
+
+    The 100 TB shape is the point: the whole classifier is per-row array
+    expressions (transform + aggregate inside codegen) — ZERO shuffles,
+    zero Python, no explode; scoring a petabyte is one embarrassingly
+    parallel scan.  Contrast t14, whose LM score needs corpus-level count
+    tables; a hashed linear model ships the table IN the expression (or
+    as one broadcast array), which is why fastText-style filters are the
+    workhorse for pretraining-corpus quality gates."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    n = d.select("doc_id", toks.alias("toks"))
+    grams = F.concat(
+        F.col("toks"),
+        F.when(
+            F.size("toks") >= 2,
+            F.zip_with(
+                F.slice("toks", 1, F.size("toks") - 1),
+                F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        ).otherwise(F.array()),
+    )
+    bucket = lambda x: (
+        F.conv(F.substring(F.md5(F.concat(F.lit("qf:"), x)), 1, 8), 16, 10)
+        .cast("bigint")
+        % 65536
+    )
+    weight = lambda x: (bucket(x) % 2001 - 1000) / 1000.0
+    s = n.select(
+        "doc_id",
+        F.size(grams).cast("bigint").alias("n_features"),
+        F.aggregate(
+            grams, F.lit(0.0), lambda acc, x: acc + weight(x)
+        ).alias("wsum"),
+    )
+    mean_w = F.when(F.col("n_features") == 0, 0.0).otherwise(
+        F.col("wsum") / F.col("n_features")
+    )
+    prob = F.round(1.0 / (1.0 + F.exp(-4.0 * (0.1 + mean_w))), 6)
+    return s.select(
+        "doc_id",
+        "n_features",
+        F.round(mean_w, 6).alias("mean_w"),
+        prob.alias("prob"),
+        (prob > 0.5).alias("accept"),
     )

@@ -647,7 +647,7 @@ def read_hll(spark: SparkSession, out_path: str) -> DataFrame:
 
 
 def streaming_row_ids(
-    events: DataFrame, out_path: str
+    events: DataFrame, out_path: str, checkpoint_location: str | None = None
 ) -> None:
     """Contiguous global row ids maintained ACROSS micro-batches: each
     batch's rows get ids [offset, offset + |batch|) where offset is the
@@ -661,11 +661,31 @@ def streaming_row_ids(
     offsets + intra-bucket row_number plan — no single-partition sort at
     any batch size.  Ids are dense and unique by construction:
     batch-internal ids are a permutation of [0, |batch|) and offsets
-    chain exactly."""
+    chain exactly.
+
+    Restart safety is tied to the CHECKPOINT: the sink-derived offset
+    (count of committed epochs < current) is only correct within one
+    checkpoint lifetime, because epoch ids restart at 0 under a fresh
+    checkpoint while stale higher-epoch partitions would survive in
+    ``out_path``.  So a resumable caller must pass ``checkpoint_location``
+    (one per out_path, reused across restarts); with no checkpoint given,
+    a non-empty ``out_path`` is REFUSED rather than silently re-numbered
+    with duplicate/conflicting ids."""
     import os
 
     from pyspark.sql.utils import AnalysisException
     from ..queries.scale_ops2 import global_row_ids
+
+    if checkpoint_location is None:
+        if os.path.isdir(out_path) and os.listdir(out_path):
+            raise ValueError(
+                f"streaming_row_ids: out_path {out_path!r} is non-empty but no "
+                "checkpoint_location was given — a fresh checkpoint restarts "
+                "epochs at 0 and would assign duplicate/conflicting row ids. "
+                "Pass the checkpoint_location used when the sink was created, "
+                "or start with an empty out_path."
+            )
+        checkpoint_location = tempfile.mkdtemp(prefix="ckpt_rowids_")
 
     def write_batch(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
@@ -692,7 +712,7 @@ def streaming_row_ids(
 
     q = (
         events.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_rowids_"))
+        .option("checkpointLocation", checkpoint_location)
         .trigger(availableNow=True)
         .start()
     )
@@ -807,3 +827,57 @@ def read_dataset_card(spark: SparkSession, out_path: str) -> DataFrame:
             4,
         ).alias("est_dup_rate"),
     )
+
+
+def streaming_exact_dedup(docs: DataFrame, out_path: str) -> None:
+    """Cross-batch exact dedup ON INGEST: each micro-batch fingerprints
+    its documents (md5 of normalized text — the d1 discipline), keeps the
+    min-doc_id representative per fingerprint WITHIN the batch, then
+    anti-joins against every fingerprint already committed by EARLIER
+    epochs — so a duplicate arriving in a later batch is dropped at the
+    door and the sink only ever holds first-wins representatives.
+
+    The cross-batch state IS the sink (fingerprints of epochs < current),
+    not driver memory: restart within the same checkpoint re-derives it
+    by reading committed epochs, and an epoch replay overwrites its own
+    ``epoch=N`` directory (idempotent_epoch_sink's discipline).  At
+    100 TB the anti-join is a shuffle on the 16-byte fingerprint against
+    an ever-smaller-than-corpus unique set; with availableNow over one
+    input file the result equals batch exact dedup bit-for-bit, which is
+    the registry oracle (st19)."""
+    import os
+
+    from pyspark.sql.utils import AnalysisException
+
+    from ..operators.text import normalize
+
+    def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        keep = (
+            batch.select(
+                "doc_id", F.md5(normalize("text")).alias("fingerprint")
+            )
+            .groupBy("fingerprint")
+            .agg(F.min("doc_id").alias("doc_id"))
+        )
+        if os.path.isdir(out_path):
+            try:
+                seen = (
+                    spark.read.parquet(out_path)
+                    .where(F.col("epoch") < F.lit(int(epoch_id)))
+                    .select("fingerprint")
+                )
+                keep = keep.join(seen, "fingerprint", "left_anti")
+            except AnalysisException:
+                pass
+        keep.withColumn("epoch", F.lit(int(epoch_id))).write.mode(
+            "overwrite"
+        ).parquet(f"{out_path}/epoch={int(epoch_id)}")
+
+    q = (
+        docs.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_dedup_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

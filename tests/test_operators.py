@@ -1050,3 +1050,75 @@ class TestContentDefinedChunking:
         assert len(shared) >= max(1, int(0.6 * len(chunks[1])))
         # and the edited doc has at least one chunk the original lacks
         assert chunks[2] - chunks[1]
+
+
+class TestD22PairBudget:
+    """d22's exact-Jaccard audit side must be bounded by a constant pair
+    BUDGET, not a fixed sampling rate (round-2 perf-weak item): the
+    modulus derives from the corpus count so the sampled-doc count —
+    hence the quadratic pair population — stays ~AUDIT_DOC_BUDGET at any
+    SF instead of growing linearly (pairs quadratically) with data."""
+
+    def test_sampled_docs_bounded_across_sfs(self, spark):
+        from data_etl_scripts_showcase__spark.queries.dedup import AUDIT_DOC_BUDGET
+        from data_etl_scripts_showcase__spark.queries import load_all
+
+        q = load_all()["d22_lsh_scurve_audit"]
+        for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.1"):
+            out = q.fn(spark, sf_dir)
+            rows = out.collect()
+            assert rows, sf_dir
+            m = rows[0]["sample_modulus"]
+            n_docs = (
+                spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+            )
+            assert m == max(1, -(-n_docs // AUDIT_DOC_BUDGET)), sf_dir
+            # sampled side = docs with doc_id % m == 0 ≈ n_docs/m ≤ ~budget;
+            # total audited pairs ≤ ~budget²/2 regardless of corpus size.
+            sampled = n_docs // m + 1
+            assert sampled <= AUDIT_DOC_BUDGET + 1, sf_dir
+            total_pairs = sum(r["n_pairs"] for r in rows)
+            assert total_pairs <= sampled * (sampled - 1) // 2, sf_dir
+
+
+class TestNtileClosedForm:
+    """x44's closed-form decile rule must reproduce ntile(10) BIT-FOR-BIT
+    on counts that are NOT multiples of 10 (ntile front-loads the
+    remainder: first n%k buckets get the extra row — the even-spread
+    (rank*k) div n formula diverges there)."""
+
+    def test_matches_ntile_on_awkward_counts(self, spark):
+        import pyspark.sql.functions as F
+        from pyspark.sql import Window
+
+        for n in (7, 12, 101, 1000, 1003):
+            df = spark.range(n).select(
+                F.col("id"), (F.col("id") * 37 % 1009).alias("v")
+            )
+            w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+            expected = df.select(
+                "id", F.ntile(10).over(w).alias("b")
+            )
+            ranked = df.select(
+                "id", (F.row_number().over(w) - 1).alias("row_id")
+            ).withColumn("_n", F.lit(n))
+            got = ranked.select(
+                "id",
+                (
+                    F.expr(
+                        """CAST(CASE
+                             WHEN row_id < (_n % 10) * (_n DIV 10 + 1)
+                             THEN row_id DIV (_n DIV 10 + 1)
+                             ELSE (_n % 10) + (row_id - (_n % 10) * (_n DIV 10 + 1)) DIV (_n DIV 10)
+                           END AS INT)"""
+                    )
+                    + 1
+                ).alias("b"),
+            )
+            diffs = (
+                got.alias("g")
+                .join(expected.alias("e"), "id")
+                .where(F.col("g.b") != F.col("e.b"))
+                .count()
+            )
+            assert diffs == 0, f"n={n}"

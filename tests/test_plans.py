@@ -434,3 +434,60 @@ class TestRound2Plans:
         # (documented pattern); a true data-by-data product would surface as
         # CartesianProduct.
         assert "CartesianProduct" not in plan
+
+
+class TestRound3Plans:
+    """Plan-shape assertions for the operators that landed after the last
+    test_plans refresh (x49, u5, st18, t25/x48) — their shuffle/broadcast
+    claims are asserted like every other family's."""
+
+    def test_x49_fk_chain_dims_broadcast_no_cartesian(self, spark):
+        """Each referential hop is a (broadcast at this SF) left join with a
+        null-probe count — three hops, no cartesian, no accidental SMJ."""
+        plan = plan_of(spark, "x49_fk_chain_audit")
+        assert plan.count("BroadcastHashJoin LeftOuter") == 3
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_u5_symmetric_difference_no_nested_loop(self, spark):
+        """Both EXCEPTs run over deduplicated key relations — hash-based
+        plans only, never a nested-loop/cartesian fallback, and the
+        distincts aggregate before the set difference (fact rows never
+        reach the except)."""
+        plan = plan_of(spark, "u5_symmetric_difference")
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "HashAggregate" in plan
+
+    def test_t25_cdc_windows_stay_per_document(self, spark):
+        """CDC's only fan-out is the position explode (Generate); chunk
+        assembly is a window partitioned by doc_id — the exchange is
+        hashpartitioning on the document key, never a single-partition
+        global sort."""
+        plan = plan_of(spark, "t25_content_defined_chunks")
+        assert "Generate" in plan
+        assert "hashpartitioning(doc_id" in plan
+        assert "SinglePartition" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_x48_chunk_dedup_groups_after_per_doc_windows(self, spark):
+        """x48 = t25's chunk stream + a per-source distinct-count: the
+        window exchange keys on doc_id and the final aggregate on source;
+        no global sort, no cartesian."""
+        plan = plan_of(spark, "x48_chunk_dedup_ratio")
+        assert "hashpartitioning(doc_id" in plan
+        assert "hashpartitioning(source" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_st18_card_reader_merges_partials_not_corpus(self, spark):
+        """The streamed dataset card is read by MERGING partial rows —
+        the reader's plan must scan the partials sink, never rescan the
+        documents corpus."""
+        df = load_all()["st18_streaming_dataset_card"].fn(spark, SF)
+        import contextlib, io
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "documents.parquet" not in plan
+        assert "st18_card_" in plan  # the partials sink is the only scan

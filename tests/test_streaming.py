@@ -345,6 +345,29 @@ class TestStreamingRowIds:
         ids2 = sorted(r.row_id for r in spark.read.parquet(out).collect())
         assert ids2 == list(range(n))
 
+    def test_fresh_checkpoint_refuses_nonempty_out_path(self, spark, sf_dir, tmp_path):
+        """A fresh (implicit) checkpoint restarts epochs at 0, so running
+        against a populated out_path would overwrite epoch=0 while stale
+        higher epochs survive — duplicate/conflicting ids.  The job must
+        refuse, not silently re-number."""
+        import pytest
+
+        from data_etl_scripts_showcase__spark.sources import load_table
+        from data_etl_scripts_showcase__spark.streaming.jobs import (
+            streaming_row_ids,
+        )
+
+        ev = load_table(spark, sf_dir, "events").limit(10)
+        out = str(tmp_path / "out")
+        ev.write.parquet(f"{out}/epoch=0")
+
+        schema = ev.schema
+        src = str(tmp_path / "src")
+        ev.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        with pytest.raises(ValueError, match="non-empty"):
+            streaming_row_ids(stream, out)
+
 
 class TestStreamAppendCompact:
     def test_multibatch_fragments_heal(self, spark, sf_dir, tmp_path):
@@ -383,3 +406,49 @@ class TestStreamAppendCompact:
             F.countDistinct("_f").alias("nf")
         )
         assert per_part.where(F.col("nf") > 1).count() == 0
+
+
+class TestStreamingExactDedup:
+    def test_cross_batch_first_wins(self, spark, tmp_path):
+        """Duplicates arriving in LATER micro-batches must be dropped by
+        the sink-state anti-join: the surviving set equals batch exact
+        dedup (min doc_id per fingerprint) across all batches."""
+        import pyspark.sql.functions as F
+
+        from data_etl_scripts_showcase__spark.streaming.jobs import (
+            streaming_exact_dedup,
+        )
+
+        texts = ["alpha beta", "gamma delta", "epsilon zeta", "alpha  beta"]
+        rows = [
+            # batch files in doc_id order; text 'alpha beta' (and its
+            # whitespace-variant duplicate) recurs in every file.
+            [(1, texts[0]), (2, texts[1])],
+            [(3, texts[3]), (4, texts[2])],   # 3 duplicates 1 post-normalize
+            [(5, texts[0]), (6, texts[1])],   # both duplicates
+        ]
+        src = str(tmp_path / "src")
+        for i, batch in enumerate(rows):
+            spark.createDataFrame(batch, "doc_id bigint, text string").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = str(tmp_path / "out")
+        streaming_exact_dedup(stream, out)
+
+        got = {
+            r.doc_id
+            for r in spark.read.parquet(out).select("doc_id").collect()
+        }
+        # one representative per distinct normalized text, first-wins
+        assert got == {1, 2, 4}
+        n_fp = (
+            spark.read.parquet(out).select("fingerprint").distinct().count()
+        )
+        assert n_fp == 3

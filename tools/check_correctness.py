@@ -36,16 +36,27 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _hashable(v):
-    """Make list/array cells sortable/comparable (tuples), recursively."""
+class NonScalarOutputError(TypeError):
+    """A top-level output cell is a list/array/map/struct.
+
+    The DRIVER's canonicalizer cannot hash such cells (it raised
+    ``TypeError: unhashable type: 'list'`` on t11 in round 2), so the local
+    gate must reject them too rather than silently coercing to tuples —
+    driver-parity by construction.  Queries must project nested values
+    through a scalar encoding (e.g. ``array_join(transform(a, x ->
+    cast(x as string)), '|')``) before returning.
+    """
+
+
+def _assert_scalar(v, col: str):
     import numpy as np
 
-    if isinstance(v, np.ndarray):
-        v = v.tolist()
-    if isinstance(v, (list, tuple)):
-        return tuple(_hashable(x) for x in v)
-    if isinstance(v, dict):
-        return tuple(sorted((k, _hashable(x)) for k, x in v.items()))
+    if isinstance(v, (np.ndarray, list, tuple, set, dict)):
+        raise NonScalarOutputError(
+            f"column {col!r} holds a non-scalar cell of type "
+            f"{type(v).__name__}; the driver canonicalizer cannot hash it "
+            f"— stringify it in the query (and mirror in the oracle)"
+        )
     return v
 
 
@@ -53,7 +64,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for col in df.columns:
         if df[col].dtype == object:
-            df[col] = df[col].map(_hashable)
+            df[col] = df[col].map(lambda v, c=col: _assert_scalar(v, c))
     if len(df):
         key = df.apply(lambda r: tuple(repr(v) for v in r), axis=1)
         df = df.loc[key.sort_values(kind="mergesort").index]
@@ -135,7 +146,10 @@ def main() -> int:
             print(f"FAIL  {name}: oracle raised {type(e).__name__}: {e}")
             n_fail += 1
             continue
-        errs = compare(name, sdf, odf)
+        try:
+            errs = compare(name, sdf, odf)
+        except NonScalarOutputError as e:
+            errs = [f"driver-unhashable output: {e}"]
         if errs:
             print(f"FAIL  {name}: rows={len(sdf)}")
             for e in errs:
