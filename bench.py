@@ -113,6 +113,14 @@ HEADLINE = [
     # round-3 additions:
     "x4_merge_upsert",  # r1 driver failure, fixed r2 — pinned until re-sampled
     "t11_inverted_index",  # r2 driver err (raw-array output), fixed r3
+    "t27_hashed_linear_quality",  # zero-shuffle fastText-shape quality gate
+    "v17_ivf_adc_rerank",  # composed ANN: IVF probe -> ADC -> exact rerank
+    "pr7_partition_modularity",  # near-dup partition quality, exact integers
+    "x50_l_diversity_audit",  # sensitive-value diversity privacy gate
+    "st19_stream_exact_dedup",  # dedup-on-ingest, sink-state anti-join
+    "x51_dsir_importance_resample",  # DSIR-lite hashed-ngram data selection
+    "x52_curriculum_phases",  # exact quality deciles -> training phases
+    "st20_stream_neardup_gate",  # LSH near-dup gate on ingest
 ]
 
 

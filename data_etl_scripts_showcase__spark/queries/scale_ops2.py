@@ -1774,3 +1774,224 @@ def pr7_partition_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("modularity"),
         )
     )
+
+
+# --------------- x51: DSIR-style importance resampling
+
+
+@register(
+    "x51_dsir_importance_resample",
+    oracle="""
+    WITH n AS (
+        SELECT doc_id, lang,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5('ds:' || t.t), 1, 8))::BIGINT % 4096 AS f
+        FROM n, LATERAL (SELECT unnest(toks) AS t) t
+    ),
+    tgt AS (SELECT f, count(*) AS c FROM b WHERE lang = 'en' GROUP BY f),
+    raw AS (SELECT f, count(*) AS c FROM b GROUP BY f),
+    tot AS (
+        SELECT (SELECT sum(c) FROM tgt) AS nt, (SELECT sum(c) FROM raw) AS nr
+    ),
+    lr AS (
+        SELECT raw.f,
+               CAST(round(ln(((coalesce(tgt.c, 0) + 1.0) / (tot.nt + 4096))
+                            / ((raw.c + 1.0) / (tot.nr + 4096))) * 1e6) AS BIGINT) AS lr_u
+        FROM raw LEFT JOIN tgt USING (f) CROSS JOIN tot
+    ),
+    dw AS (
+        SELECT b.doc_id,
+               CAST(count(*) AS BIGINT) AS n_feat,
+               CAST(sum(lr.lr_u) AS BIGINT) AS logw_u
+        FROM b JOIN lr USING (f) GROUP BY b.doc_id
+    ),
+    keyed AS (
+        SELECT doc_id, n_feat, logw_u,
+               logw_u + CAST(round(-ln(-ln(
+                   ((('0x' || substr(md5('gu:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                     % 1000000) + 0.5) / 1000000.0)) * 1e6) AS BIGINT) AS key_u
+        FROM dw
+    )
+    SELECT doc_id, n_feat, logw_u,
+           CAST(row_number() OVER (ORDER BY key_u DESC, doc_id ASC) AS INTEGER) AS rank
+    FROM keyed QUALIFY rank <= 50
+    """,
+    survey="NS-text/x extended (DSIR-lite data selection: hashed-ngram importance weights + deterministic Gumbel top-k resampling)",
+)
+def x51_dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023),
+    engine-shaped: estimate target (lang='en') and raw unigram
+    distributions over 4096 HASHED features, score every document by the
+    summed log-ratio of its features, and draw the 50-doc selection with
+    Gumbel-top-k (noise derived from md5(doc_id), so the 'random' draw is
+    deterministic and engine-independent).  Log-ratios quantize to
+    integer micro-units BEFORE the per-doc sum — integer addition is
+    order-independent, so the driver hash matches bit-for-bit (the
+    v9/pr1/pr7 discipline).
+
+    100 TB shape: both distributions are 4096-row aggregates; the
+    log-ratio table broadcasts; scoring is one exploded-token broadcast
+    join + one groupBy(doc_id); selection is TakeOrderedAndProject
+    (distributed top-k), with the rank window running over only the 50
+    survivors — the corpus never sees a global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    toks = F.split(norm, " ")
+    b = d.select(
+        "doc_id", "lang", F.explode(toks).alias("t")
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.concat(F.lit("ds:"), F.col("t"))), 1, 8), 16, 10)
+            .cast("bigint")
+            % 4096
+        ).alias("f"),
+    )
+    tgt = b.where(F.col("lang") == "en").groupBy("f").agg(
+        F.count("*").alias("ct")
+    )
+    raw = b.groupBy("f").agg(F.count("*").alias("cr"))
+    tot = raw.agg(F.sum("cr").alias("nr")).crossJoin(
+        tgt.agg(F.sum("ct").alias("nt"))
+    )
+    lr = (
+        raw.join(tgt, "f", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "f",
+            F.round(
+                F.log(
+                    ((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (F.col("nt") + 4096))
+                    / ((F.col("cr") + 1.0) / (F.col("nr") + 4096))
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("lr_u"),
+        )
+    )
+    dw = (
+        b.join(F.broadcast(lr), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_feat"),
+            F.sum("lr_u").cast("bigint").alias("logw_u"),
+        )
+    )
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("gu:"), F.col("doc_id").cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 1000000
+        )
+        + 0.5
+    ) / 1000000.0
+    keyed = dw.select(
+        "doc_id",
+        "n_feat",
+        "logw_u",
+        (
+            F.col("logw_u")
+            + F.round(-F.log(-F.log(u)) * 1e6).cast("bigint")
+        ).alias("key_u"),
+    )
+    selected = keyed.orderBy(F.col("key_u").desc(), F.col("doc_id").asc()).limit(50)
+    from pyspark.sql import Window as W
+
+    rank_w = W.orderBy(F.col("key_u").desc(), F.col("doc_id").asc())
+    return (
+        selected.withColumn("rank", F.row_number().over(rank_w).cast("int"))
+        .select("doc_id", "n_feat", "logw_u", "rank")
+    )
+
+
+# --------------- x52: curriculum phases from quality deciles
+
+
+@register(
+    "x52_curriculum_phases",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks,
+               text
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id,
+               round(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+                 + (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+                               ELSE CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / length(text) END) * 0.3
+                 + least((CASE WHEN len(toks) = 0 THEN 0.0
+                               ELSE CAST(len(list_filter(toks, x -> list_contains(['the','a','an','of','and','or','to','in','is','it'], x))) AS DOUBLE) / len(toks) END) * 5.0, 1.0) * 0.3, 6)
+               AS qs
+        FROM t
+    ),
+    d AS (
+        SELECT doc_id, qs,
+               CAST(ntile(10) OVER (ORDER BY qs ASC, doc_id ASC) AS INTEGER) AS decile
+        FROM q
+    )
+    SELECT doc_id, qs AS quality_score, decile,
+           CASE WHEN decile >= 8 THEN 'phase1_clean'
+                WHEN decile >= 4 THEN 'phase2_mixed'
+                ELSE 'phase3_noisy' END AS phase
+    FROM d
+    """,
+    survey="NS-text/x extended (curriculum assignment: exact global quality deciles without a global sort -> training phases)",
+)
+def x52_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum construction at corpus scale: every document gets its
+    EXACT global quality decile (t2's score, x44's distributed-ntile
+    machinery — value-derived range buckets + tiny offsets aggregate, no
+    single-reducer sort) and a training phase: the cleanest 30% feed
+    phase 1, the mid deciles phase 2, the noisiest tail phase 3 — the
+    classic easy-to-hard curriculum ordering computed as metadata, so
+    the trainer just filters by phase.  The score is rounded to 6 dp
+    BEFORE ranking on both engines, pinning the order key bit-for-bit."""
+    from ..operators.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id", F.round(quality_score("text"), 6).alias("qs")
+    )
+    with_ids = global_row_ids(
+        q,
+        F.floor(F.col("qs") * 20).cast("int"),
+        ["qs", "doc_id"],
+    )
+    n = q.agg(F.count("*").alias("_n"))
+    ntile_expr = F.expr(
+        """CAST(CASE
+             WHEN row_id < (_n % 10) * (_n DIV 10 + 1)
+             THEN row_id DIV (_n DIV 10 + 1)
+             ELSE (_n % 10) + (row_id - (_n % 10) * (_n DIV 10 + 1)) DIV (_n DIV 10)
+           END AS INT)"""
+    )
+    with_dec = (
+        with_ids.crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.col("qs").alias("quality_score"),
+            (ntile_expr + 1).cast("int").alias("decile"),
+        )
+    )
+    return with_dec.select(
+        "doc_id",
+        "quality_score",
+        "decile",
+        F.when(F.col("decile") >= 8, "phase1_clean")
+        .when(F.col("decile") >= 4, "phase2_mixed")
+        .otherwise("phase3_noisy")
+        .alias("phase"),
+    )

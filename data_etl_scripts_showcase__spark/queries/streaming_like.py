@@ -780,3 +780,49 @@ def st19_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(out, ignore_errors=True)
     streaming_exact_dedup(stream, out)
     return spark.read.parquet(out).select("fingerprint", "doc_id")
+
+
+from .dedup import _BANDS_CTE as _ST20_BANDS  # noqa: E402  (shared band CTE)
+
+
+@register(
+    "st20_stream_neardup_gate",
+    oracle=f"""
+    WITH {_ST20_BANDS},
+    coll AS (
+        SELECT DISTINCT y.doc_id
+        FROM b x
+        JOIN b y ON x.band = y.band AND x.bucket = y.bucket
+                AND x.doc_id < y.doc_id
+    )
+    SELECT d.doc_id
+    FROM documents d LEFT JOIN coll ON coll.doc_id = d.doc_id
+    WHERE coll.doc_id IS NULL
+    """,
+    survey="§2.10, NS-dedup extended (MinHash/LSH near-dup gate on ingest: bucket-state accretion across epochs)",
+)
+def st20_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d3's LSH candidate machinery moved INTO the ingest path: a document
+    is admitted only if none of its (band, bucket) keys were seen before —
+    in the same batch from a smaller doc_id, or in any earlier epoch's
+    committed bucket table (streaming/jobs.streaming_neardup_gate).  With
+    one availableNow batch the kept set equals the batch rule 'survives
+    iff no bucket is shared with a smaller doc_id', which is the oracle;
+    multi-batch equivalence with ordered files is pinned in
+    tests/test_streaming.py."""
+    import shutil
+    import tempfile as _tf
+
+    from ..streaming.jobs import streaming_neardup_gate
+
+    file_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(file_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    out = _tf.mkdtemp(prefix="st20_gate_")
+    shutil.rmtree(out, ignore_errors=True)
+    streaming_neardup_gate(stream, out)
+    return spark.read.parquet(f"{out}/kept").select("doc_id")

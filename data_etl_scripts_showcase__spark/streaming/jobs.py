@@ -881,3 +881,85 @@ def streaming_exact_dedup(docs: DataFrame, out_path: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_neardup_gate(docs: DataFrame, out_path: str) -> None:
+    """MinHash/LSH near-dup gate ON INGEST: each micro-batch signatures
+    its documents, bands the signatures, and drops any document sharing a
+    (band, bucket) with EITHER a smaller doc_id in the same batch OR any
+    bucket committed by an earlier epoch.  The sink keeps two things per
+    epoch: the bucket table of every PROCESSED document (the 'seen'
+    state — kept or dropped, so later near-dups of an already-dropped doc
+    are still caught) and the kept doc ids.
+
+    Because the seen-set covers all processed docs, the kept set equals
+    the batch rule "doc survives iff no bucket is shared with any smaller
+    doc_id" whenever batches arrive in doc_id order — which is the
+    registry oracle (st20) under one availableNow batch, and what the
+    multi-batch test pins with ordered files.  At 100 TB the state is the
+    bucket table (N_BANDS rows/doc, shuffled on bucket), the same
+    relation the batch LSH join builds — the gate just accretes it
+    epoch-by-epoch instead of all at once."""
+    import os
+
+    from pyspark.sql.utils import AnalysisException
+
+    from ..operators import dedup as DD
+
+    def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        sig = DD.minhash_signature(batch, "doc_id", "text")
+        bk = DD.lsh_buckets(sig, "doc_id")
+        # within-batch: collide with a smaller doc_id
+        smaller = bk.select(
+            F.col("band").alias("b2"),
+            F.col("bucket").alias("k2"),
+            F.col("doc_id").alias("id2"),
+        )
+        hit_in_batch = (
+            bk.join(
+                smaller,
+                (F.col("band") == F.col("b2"))
+                & (F.col("bucket") == F.col("k2"))
+                & (F.col("id2") < F.col("doc_id")),
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        dropped = hit_in_batch
+        seen_path = f"{out_path}/seen"
+        if os.path.isdir(seen_path):
+            try:
+                seen = (
+                    spark.read.parquet(seen_path)
+                    .where(F.col("epoch") < F.lit(int(epoch_id)))
+                    .select("band", "bucket")
+                    .distinct()
+                )
+                hit_seen = (
+                    bk.join(seen, ["band", "bucket"], "left_semi")
+                    .select("doc_id")
+                    .distinct()
+                )
+                dropped = dropped.unionByName(hit_seen).distinct()
+            except AnalysisException:
+                pass
+        kept = (
+            batch.select("doc_id")
+            .join(dropped, "doc_id", "left_anti")
+            .withColumn("epoch", F.lit(int(epoch_id)))
+        )
+        bk.withColumn("epoch", F.lit(int(epoch_id))).write.mode(
+            "overwrite"
+        ).parquet(f"{seen_path}/epoch={int(epoch_id)}")
+        kept.write.mode("overwrite").parquet(
+            f"{out_path}/kept/epoch={int(epoch_id)}"
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_neardup_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

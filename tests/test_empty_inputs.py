@@ -43,6 +43,11 @@ SAMPLE = [
     "x48_chunk_dedup_ratio", "u5_symmetric_difference",
     "m11_struct_field_surgery", "d22_lsh_scurve_audit",
     "j13_bitemporal_asof", "w25_target_encoding_loo",
+    # round-3 additions
+    "t27_hashed_linear_quality", "v17_ivf_adc_rerank",
+    "pr7_partition_modularity", "x50_l_diversity_audit",
+    "x51_dsir_importance_resample", "x52_curriculum_phases",
+    "st19_stream_exact_dedup", "st20_stream_neardup_gate",
 ]
 
 # Documented raisers on empty input: exact selection has no k-th element;

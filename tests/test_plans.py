@@ -491,3 +491,39 @@ class TestRound3Plans:
         plan = buf.getvalue()
         assert "documents.parquet" not in plan
         assert "st18_card_" in plan  # the partials sink is the only scan
+
+
+class TestRound3NewOpPlans:
+    """Shuffle/broadcast claims of the round-3 query additions."""
+
+    def test_t27_quality_classifier_is_shuffle_free(self, spark):
+        """The hashed-linear classifier is per-row array expressions only —
+        no Exchange anywhere: scoring is one embarrassingly parallel scan."""
+        plan = plan_of(spark, "t27_hashed_linear_quality")
+        assert "Exchange" not in plan
+        assert "Generate" not in plan  # no explode either
+
+    def test_v17_broadcasts_probe_codebook_dtable(self, spark):
+        """The composed ANN path broadcasts every small side (probe cells,
+        codebook, distance table, query vector); the only corpus-sized
+        join (encoded codes <-> cell assignment, both keyed on vec_id) may
+        sort-merge — co-partitioned big-big is the right plan at scale —
+        but nothing falls back to an unbounded cartesian."""
+        plan = plan_of(spark, "v17_ivf_adc_rerank")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        # the only nested-loop joins are broadcasts of 1-row sides (the
+        # query vector / probe scalars), same class the engine-wide
+        # cartesian audit allows.
+        import re
+
+        for m in re.finditer(r"BroadcastNestedLoopJoin (\w+)", plan):
+            assert m.group(1) == "Cross"
+
+    def test_x50_l_diversity_broadcasts_dim(self, spark):
+        """Orders is the big side; the customer quasi-identifier dim is
+        broadcast, and the readout is a two-phase aggregate."""
+        plan = plan_of(spark, "x50_l_diversity_audit")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "HashAggregate" in plan

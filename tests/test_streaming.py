@@ -452,3 +452,63 @@ class TestStreamingExactDedup:
             spark.read.parquet(out).select("fingerprint").distinct().count()
         )
         assert n_fp == 3
+
+
+class TestStreamingNearDupGate:
+    def test_multibatch_equals_batch_rule(self, spark, sf_dir, tmp_path):
+        """Slicing the (doc_id-ordered) corpus into 3 micro-batches must
+        admit exactly the docs the one-shot batch rule admits: a doc
+        survives iff none of its LSH buckets is shared with a smaller
+        doc_id — across batches, via the committed bucket state."""
+        import pyspark.sql.functions as F
+
+        from data_etl_scripts_showcase__spark.operators import dedup as DD
+        from data_etl_scripts_showcase__spark.sources import load_table
+        from data_etl_scripts_showcase__spark.streaming.jobs import (
+            streaming_neardup_gate,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").limit(300)
+        src = str(tmp_path / "src")
+        # contiguous doc_id ranges per file => epoch order == doc_id order
+        for i, (lo, hi) in enumerate([(0, 100), (100, 200), (200, 10**9)]):
+            docs.where(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).coalesce(1).write.mode("append").parquet(src)
+
+        schema = docs.schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = str(tmp_path / "out")
+        streaming_neardup_gate(stream, out)
+        got = {
+            r.doc_id
+            for r in spark.read.parquet(f"{out}/kept").select("doc_id").collect()
+        }
+
+        # batch rule on the same 300 docs
+        sig = DD.minhash_signature(docs, "doc_id", "text")
+        bk = DD.lsh_buckets(sig, "doc_id")
+        b2 = bk.select(
+            F.col("band").alias("b2"),
+            F.col("bucket").alias("k2"),
+            F.col("doc_id").alias("id2"),
+        )
+        coll = (
+            bk.join(
+                b2,
+                (F.col("band") == F.col("b2"))
+                & (F.col("bucket") == F.col("k2"))
+                & (F.col("id2") < F.col("doc_id")),
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        want = {
+            r.doc_id
+            for r in docs.select("doc_id").join(coll, "doc_id", "left_anti").collect()
+        }
+        assert got == want
