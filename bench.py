@@ -121,6 +121,7 @@ HEADLINE = [
     "x51_dsir_importance_resample",  # DSIR-lite hashed-ngram data selection
     "x52_curriculum_phases",  # exact quality deciles -> training phases
     "st20_stream_neardup_gate",  # LSH near-dup gate on ingest
+    "d23_chunk_contamination",  # substring contamination via CDC chunks
 ]
 
 

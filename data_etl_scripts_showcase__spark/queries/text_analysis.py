@@ -1571,3 +1571,114 @@ def t27_hashed_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         prob.alias("prob"),
         (prob > 0.5).alias("accept"),
     )
+
+
+@register(
+    "d23_chunk_contamination",
+    oracle="""
+    WITH pos AS (
+        SELECT doc_id, text, length(text) AS n,
+               unnest(range(1, greatest(length(text) - 7, 0) + 1)) AS i
+        FROM documents WHERE length(text) >= 8
+    ),
+    b AS (
+        SELECT doc_id, text, n, i
+        FROM pos
+        WHERE i = 1
+           OR ('0x' || substr(md5(concat('cdc:', substr(text, i, 8))), 1, 8))::BIGINT % 32 = 0
+    ),
+    c AS (
+        SELECT doc_id, text, i AS start_pos,
+               coalesce(lead(i) OVER (PARTITION BY doc_id ORDER BY i), n + 1) - i AS chunk_len
+        FROM b
+    ),
+    h AS (
+        SELECT DISTINCT doc_id,
+               md5(substr(text, start_pos, chunk_len)) AS chunk_md5,
+               chunk_len
+        FROM c
+    ),
+    bench AS (SELECT doc_id AS bench_doc_id, chunk_md5, chunk_len FROM h WHERE doc_id % 20 = 0),
+    corpus AS (SELECT doc_id AS corpus_doc_id, chunk_md5 FROM h WHERE doc_id % 20 <> 0),
+    bt AS (SELECT bench_doc_id, sum(chunk_len) AS bench_chars FROM bench GROUP BY bench_doc_id),
+    ov AS (
+        SELECT corpus_doc_id, bench_doc_id,
+               CAST(count(*) AS BIGINT) AS n_shared_chunks,
+               CAST(sum(chunk_len) AS BIGINT) AS shared_chars
+        FROM corpus JOIN bench USING (chunk_md5)
+        GROUP BY corpus_doc_id, bench_doc_id
+    )
+    SELECT o.corpus_doc_id, o.bench_doc_id, o.n_shared_chunks, o.shared_chars,
+           round(CAST(o.shared_chars AS DOUBLE) / bt.bench_chars, 6) AS contamination
+    FROM ov o JOIN bt USING (bench_doc_id)
+    """,
+    survey="NS-dedup extended (substring-level benchmark contamination via content-defined chunks — catches verbatim spans n-gram sampling can miss)",
+)
+def d23_chunk_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-granular decontamination: d10 samples word-5-grams; this
+    pass content-addresses every CDC chunk (t25's rolling-hash
+    boundaries) and reports, per (corpus doc, benchmark doc) pair, how
+    many chunks and how many CHARACTERS of the benchmark doc appear
+    verbatim in the corpus doc — the evidence a 'remove or keep' appeal
+    actually needs.  Chunk boundaries are anchored to content, so a
+    verbatim span is shared chunk-for-chunk even when its byte offset
+    differs between the two documents (the property fixed windows lack).
+
+    Scale shape: identical to d10 — the benchmark side is tiny, its
+    chunk table broadcasts, the corpus chunk stream never shuffles for
+    the join; per-doc DISTINCT chunks make shared_chars a true matched
+    character count (same md5 ⇒ same content ⇒ same length)."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") >= 8)
+    pos = d.select(
+        "doc_id",
+        "text",
+        F.length("text").alias("n"),
+        F.explode(
+            F.expr("sequence(1, greatest(length(text) - 7, 1))")
+        ).alias("i"),
+    )
+    wexpr = F.expr("substring(text, i, 8)")
+    h8 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("cdc:"), wexpr)), 1, 8), 16, 10
+    ).cast("bigint")
+    b = pos.where((F.col("i") == 1) | (h8 % 32 == 0))
+    wdoc = W.partitionBy("doc_id").orderBy("i")
+    c = b.select(
+        "doc_id",
+        "text",
+        F.col("i").alias("start_pos"),
+        (
+            F.coalesce(F.lead("i").over(wdoc), F.col("n") + 1) - F.col("i")
+        ).alias("chunk_len"),
+    )
+    h = c.select(
+        "doc_id",
+        F.md5(F.expr("substring(text, start_pos, chunk_len)")).alias("chunk_md5"),
+        "chunk_len",
+    ).distinct()
+    bench = h.where(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("bench_doc_id"), "chunk_md5", "chunk_len"
+    )
+    corpus = h.where(F.col("doc_id") % 20 != 0).select(
+        F.col("doc_id").alias("corpus_doc_id"), "chunk_md5"
+    )
+    bt = bench.groupBy("bench_doc_id").agg(
+        F.sum("chunk_len").alias("bench_chars")
+    )
+    ov = (
+        corpus.join(F.broadcast(bench), "chunk_md5")
+        .groupBy("corpus_doc_id", "bench_doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shared_chunks"),
+            F.sum("chunk_len").cast("bigint").alias("shared_chars"),
+        )
+    )
+    return ov.join(F.broadcast(bt), "bench_doc_id").select(
+        "corpus_doc_id",
+        "bench_doc_id",
+        "n_shared_chunks",
+        "shared_chars",
+        F.round(
+            F.col("shared_chars").cast("double") / F.col("bench_chars"), 6
+        ).alias("contamination"),
+    )

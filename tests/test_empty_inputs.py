@@ -48,6 +48,7 @@ SAMPLE = [
     "pr7_partition_modularity", "x50_l_diversity_audit",
     "x51_dsir_importance_resample", "x52_curriculum_phases",
     "st19_stream_exact_dedup", "st20_stream_neardup_gate",
+    "d23_chunk_contamination",
 ]
 
 # Documented raisers on empty input: exact selection has no k-th element;

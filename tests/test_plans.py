@@ -527,3 +527,12 @@ class TestRound3NewOpPlans:
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
         assert "HashAggregate" in plan
+
+    def test_d23_broadcasts_benchmark_chunks(self, spark):
+        """Substring contamination joins the corpus chunk stream against a
+        BROADCAST benchmark chunk table (d10's shape at chunk granularity);
+        the corpus side never shuffles for the join."""
+        plan = plan_of(spark, "d23_chunk_contamination")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
