@@ -122,6 +122,9 @@ HEADLINE = [
     "x52_curriculum_phases",  # exact quality deciles -> training phases
     "st20_stream_neardup_gate",  # LSH near-dup gate on ingest
     "d23_chunk_contamination",  # substring contamination via CDC chunks
+    "a35_ks_drift",  # exact two-sample KS via distributed ECDF
+    "x53_negative_samples",  # contrastive negatives, hash probes + near-dup veto
+    "x54_column_profiler",  # single-pass per-column quality manifest
 ]
 
 

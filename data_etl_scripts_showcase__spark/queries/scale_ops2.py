@@ -1995,3 +1995,340 @@ def x52_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("phase3_noisy")
         .alias("phase"),
     )
+
+
+# --------------- a35: exact two-sample KS drift, distributed ECDF
+
+
+@register(
+    "a35_ks_drift",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks, text
+        FROM documents
+    ),
+    q AS (
+        SELECT CASE WHEN lang = 'en' THEN 'a' ELSE 'b' END AS grp,
+               round(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+                 + (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+                               ELSE CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / length(text) END) * 0.3
+                 + least((CASE WHEN len(toks) = 0 THEN 0.0
+                               ELSE CAST(len(list_filter(toks, x -> list_contains(['the','a','an','of','and','or','to','in','is','it'], x))) AS DOUBLE) / len(toks) END) * 5.0, 1.0) * 0.3, 6) AS v
+        FROM t
+    ),
+    vc AS (
+        SELECT v,
+               count(CASE WHEN grp = 'a' THEN 1 END) AS ca,
+               count(CASE WHEN grp = 'b' THEN 1 END) AS cb
+        FROM q GROUP BY v
+    ),
+    c AS (
+        SELECT v, sum(ca) OVER (ORDER BY v) AS cuma, sum(cb) OVER (ORDER BY v) AS cumb FROM vc
+    ),
+    n AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM vc)
+    SELECT CAST(n.na AS BIGINT) AS n_a, CAST(n.nb AS BIGINT) AS n_b,
+           round(max(abs(CAST(cuma AS DOUBLE) / n.na - CAST(cumb AS DOUBLE) / n.nb)), 6) AS ks_d,
+           round(1.358 * sqrt((n.na + n.nb) / (CAST(n.na AS DOUBLE) * n.nb)), 6) AS ks_crit,
+           max(abs(CAST(cuma AS DOUBLE) / n.na - CAST(cumb AS DOUBLE) / n.nb))
+             > 1.358 * sqrt((n.na + n.nb) / (CAST(n.na AS DOUBLE) * n.nb)) AS drifted
+    FROM c CROSS JOIN n GROUP BY n.na, n.nb
+    """,
+    survey="A-std extended, NS-monitoring (exact two-sample Kolmogorov-Smirnov drift test via a DISTRIBUTED ECDF — no global sort)",
+)
+def a35_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS test between the English slice's quality-score
+    distribution and everyone else's — the drift gate richer than PSI
+    (x-family): D = max |ECDF_a − ECDF_b|, compared against the α=0.05
+    critical value 1.358·√((n_a+n_b)/(n_a·n_b)).
+
+    The interesting part is the DISTRIBUTED ECDF: the naive cumulative
+    sum is a window over a single global sort.  Here the per-distinct-
+    value counts (one hash aggregate) get their running totals the x39
+    way — value-derived range buckets, a tiny per-bucket offsets relation
+    (|buckets| rows, windowed where it fits in one task), broadcast back,
+    plus an intra-bucket running sum whose window partitions by bucket.
+    Ties are handled exactly (counts aggregate per distinct value BEFORE
+    the cumsum, so both ECDFs jump together at a shared value).  At
+    100 TB nothing but the bucket list ever sees a single-partition
+    window."""
+    from ..operators.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select(
+        F.when(F.col("lang") == "en", "a").otherwise("b").alias("grp"),
+        F.round(quality_score("text"), 6).alias("v"),
+    )
+    vc = q.groupBy("v").agg(
+        F.count(F.when(F.col("grp") == "a", 1)).alias("ca"),
+        F.count(F.when(F.col("grp") == "b", 1)).alias("cb"),
+    )
+    b = vc.withColumn("_bkt", F.floor(F.col("v") * 20).cast("int"))
+    offsets = (
+        b.groupBy("_bkt")
+        .agg(F.sum("ca").alias("_ba"), F.sum("cb").alias("_bb"))
+        .withColumn(
+            "_offa",
+            F.coalesce(
+                F.sum("_ba").over(
+                    Window.orderBy("_bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "_offb",
+            F.coalesce(
+                F.sum("_bb").over(
+                    Window.orderBy("_bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_bkt", "_offa", "_offb")
+    )
+    wb = Window.partitionBy("_bkt").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = (
+        b.join(F.broadcast(offsets), "_bkt")
+        .select(
+            "v",
+            (F.col("_offa") + F.sum("ca").over(wb)).alias("cuma"),
+            (F.col("_offb") + F.sum("cb").over(wb)).alias("cumb"),
+        )
+    )
+    n = vc.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    crit = 1.358 * F.sqrt(
+        (F.col("na") + F.col("nb")) / (F.col("na").cast("double") * F.col("nb"))
+    )
+    dstat = F.max(
+        F.abs(
+            F.col("cuma").cast("double") / F.col("na")
+            - F.col("cumb").cast("double") / F.col("nb")
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(n))
+        .groupBy("na", "nb")
+        .agg(
+            dstat.alias("_d"),
+            F.max(crit).alias("_crit"),
+        )
+        .select(
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            F.round(F.col("_d"), 6).alias("ks_d"),
+            F.round(F.col("_crit"), 6).alias("ks_crit"),
+            (F.col("_d") > F.col("_crit")).alias("drifted"),
+        )
+    )
+
+
+# --------------- x53: contrastive negative sampling
+
+
+@register(
+    "x53_negative_samples",
+    oracle=f"""
+    WITH {_BANDS_CTE},
+    cand AS ({_CAND_SQL}),
+    nd AS (
+        SELECT id_a, id_b FROM cand
+        UNION ALL
+        SELECT id_b AS id_a, id_a AS id_b FROM cand
+    ),
+    r AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY doc_id) - 1 AS rk
+        FROM documents
+    ),
+    cnt AS (SELECT count(*) AS n_docs FROM documents),
+    trials AS (
+        SELECT a.doc_id AS anchor_id, a.rk AS ark, t.t,
+               ('0x' || substr(md5(concat('neg:', a.doc_id::VARCHAR, ':', t.t::VARCHAR)), 1, 8))::BIGINT % cnt.n_docs AS cand_rk
+        FROM r a CROSS JOIN cnt CROSS JOIN (SELECT unnest(range(0, 8)) AS t) t
+    ),
+    joined AS (
+        SELECT tr.anchor_id, tr.t, c.doc_id AS neg_id
+        FROM trials tr JOIN r c ON c.rk = tr.cand_rk
+        WHERE tr.cand_rk <> tr.ark
+    ),
+    safe AS (
+        SELECT j.anchor_id, j.t, j.neg_id
+        FROM joined j
+        LEFT JOIN nd ON nd.id_a = j.anchor_id AND nd.id_b = j.neg_id
+        WHERE nd.id_a IS NULL
+    )
+    SELECT anchor_id, neg_id,
+           CAST(row_number() OVER (PARTITION BY anchor_id ORDER BY t) AS INTEGER) AS k_idx
+    FROM safe QUALIFY k_idx <= 4
+    """,
+    survey="NS-sim/x extended (contrastive negative sampling: deterministic hash probes by global rank, near-dup exclusion, linear in corpus size)",
+)
+def x53_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training pair construction at corpus scale: for every
+    anchor document, up to 4 negatives drawn by DETERMINISTIC hash probes
+    (md5(anchor, trial) mod n → a global rank, resolved by join), with
+    LSH near-dup candidates excluded so a 'negative' is never secretly a
+    positive — the false-negative poison filter every contrastive
+    pipeline needs.
+
+    Scale shape: no per-group sampling windows and no quadratic
+    candidate set — 8 trials per anchor is a LINEAR relation joined on
+    the rank key (one shuffle), the near-dup exclusion is an anti-join
+    against the banded candidate pairs, and ranks come from the
+    distributed row-id machinery at 100 TB (row_number here rides the
+    doc_id order).  Every draw is reproducible on any engine and any
+    partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = DD.minhash_signature(
+        docs, "doc_id", "text", parallelism=spark.sparkContext.defaultParallelism
+    )
+    cand = DD.candidate_pairs(DD.lsh_buckets(sig, "doc_id"), "doc_id")
+    nd = cand.select("id_a", "id_b").unionByName(
+        cand.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    r = global_row_ids(
+        docs.select("doc_id"),
+        F.floor(F.col("doc_id") / 50).cast("int"),
+        ["doc_id"],
+        id_name="rk",
+    )
+    n = docs.agg(F.count("*").alias("n"))
+    trials = (
+        r.crossJoin(F.broadcast(n))
+        .select(
+            F.col("doc_id").alias("anchor_id"),
+            F.col("rk").alias("ark"),
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("t"),
+            F.col("n"),
+        )
+        .select(
+            "anchor_id",
+            "ark",
+            "t",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("neg:"),
+                                F.col("anchor_id").cast("string"),
+                                F.lit(":"),
+                                F.col("t").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % F.col("n")
+            ).alias("cand_rk"),
+        )
+        .where(F.col("cand_rk") != F.col("ark"))
+    )
+    joined = trials.join(
+        r.select(F.col("rk").alias("cand_rk"), F.col("doc_id").alias("neg_id")),
+        "cand_rk",
+    )
+    safe = joined.join(
+        nd,
+        (joined["anchor_id"] == nd["id_a"]) & (joined["neg_id"] == nd["id_b"]),
+        "left_anti",
+    )
+    wk = Window.partitionBy("anchor_id").orderBy("t")
+    return (
+        safe.select("anchor_id", "neg_id", "t")
+        .withColumn("k_idx", F.row_number().over(wk).cast("int"))
+        .where(F.col("k_idx") <= 4)
+        .drop("t")
+    )
+
+
+# --------------- x54: column profiler (data-quality manifest)
+
+
+@register(
+    "x54_column_profiler",
+    oracle="""
+    SELECT 'o_custkey' AS col,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(o_custkey) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_custkey) AS VARCHAR) AS min_val,
+           CAST(max(o_custkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_orderdate) AS BIGINT),
+           CAST(count(DISTINCT o_orderdate) AS BIGINT),
+           strftime(min(o_orderdate), '%Y-%m-%d'), strftime(max(o_orderdate), '%Y-%m-%d')
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_orderstatus) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_totalprice) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           CAST(round(min(o_totalprice), 2) AS VARCHAR), CAST(round(max(o_totalprice), 2) AS VARCHAR)
+    FROM orders
+    """,
+    survey="A-std extended, NS-monitoring (single-pass column profiler: per-column completeness/cardinality/extrema manifest, the data-quality handshake)",
+)
+def x54_column_profiler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-quality handshake run before a table is promoted (the
+    Deequ-profile shape): per column — row count, null count, exact
+    distinct count, min and max (stringified so one manifest holds every
+    type).  Spark computes ALL columns' statistics in ONE table pass
+    (one aggregate projecting count/count(col)/count_distinct/min/max
+    per column), then unpivots the single result row with `stack` — at
+    100 TB that is one scan and one 1-row shuffle, not one pass per
+    column.  The oracle is the per-column UNION ALL the single-pass plan
+    replaces.  (Columns with data-dependent float repr — o_totalprice —
+    round before stringifying on both sides.)"""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for col, mn, mx in [
+        ("o_custkey", F.min("o_custkey").cast("string"), F.max("o_custkey").cast("string")),
+        ("o_orderdate", F.date_format(F.min("o_orderdate"), "yyyy-MM-dd"),
+         F.date_format(F.max("o_orderdate"), "yyyy-MM-dd")),
+        ("o_orderstatus", F.min("o_orderstatus").cast("string"), F.max("o_orderstatus").cast("string")),
+        ("o_totalprice", F.round(F.min("o_totalprice"), 2).cast("string"),
+         F.round(F.max("o_totalprice"), 2).cast("string")),
+    ]:
+        aggs += [
+            F.count("*").alias(f"{col}__n"),
+            (F.count("*") - F.count(col)).alias(f"{col}__nn"),
+            F.countDistinct(col).alias(f"{col}__nd"),
+            mn.alias(f"{col}__mn"),
+            mx.alias(f"{col}__mx"),
+        ]
+    one = o.agg(*aggs)
+    cols = ["o_custkey", "o_orderdate", "o_orderstatus", "o_totalprice"]
+    stack_expr = ", ".join(
+        f"'{c}', {c}__n, {c}__nn, {c}__nd, {c}__mn, {c}__mx" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_expr}) AS "
+            "(col, n_rows, n_null, n_distinct, min_val, max_val)"
+        )
+    ).select(
+        "col",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_null").cast("bigint").alias("n_null"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        "min_val",
+        "max_val",
+    )

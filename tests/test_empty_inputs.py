@@ -48,7 +48,8 @@ SAMPLE = [
     "pr7_partition_modularity", "x50_l_diversity_audit",
     "x51_dsir_importance_resample", "x52_curriculum_phases",
     "st19_stream_exact_dedup", "st20_stream_neardup_gate",
-    "d23_chunk_contamination",
+    "d23_chunk_contamination", "a35_ks_drift", "x53_negative_samples",
+    "x54_column_profiler",
 ]
 
 # Documented raisers on empty input: exact selection has no k-th element;

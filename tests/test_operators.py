@@ -1011,6 +1011,48 @@ class TestKthSmallest:
         assert kth_smallest(df, "x", 2) == 5.0
         assert kth_smallest(df, "x", 10) == 5.0
 
+    def test_float_boundary_values_never_dropped(self, spark):
+        """Round-2 advice: narrowing by RECOMPUTED float edges (lo+b*width)
+        can drop a counted value an ulp outside the edge.  The fix narrows
+        with the identical binning expression, so values lying exactly on
+        (or an ulp around) bin boundaries keep their exact ranks."""
+        import math
+
+        from data_etl_scripts_showcase__spark.operators.selection import (
+            NBINS,
+            kth_smallest,
+        )
+
+        lo, hi = 0.1, 0.1 + 128 * 0.30000000000000004
+        width = (hi - lo) / NBINS
+        # values planted exactly at and an ulp around every 8th bin edge
+        vals = []
+        for b in range(0, NBINS, 8):
+            edge = lo + b * width
+            vals += [edge, math.nextafter(edge, -math.inf),
+                     math.nextafter(edge, math.inf)]
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        sv = sorted(vals)
+        for k in (1, 7, len(vals) // 2, len(vals)):
+            assert kth_smallest(df, "x", k) == sv[k - 1], k
+
+    def test_tiny_nonzero_range_terminates(self, spark):
+        """width underflow guard: a range a few ulps wide must not loop or
+        divide by zero — it stops narrowing and ranks the survivors."""
+        import math
+
+        from data_etl_scripts_showcase__spark.operators.selection import (
+            kth_smallest,
+        )
+
+        base = 1.0
+        vals = [base, math.nextafter(base, math.inf),
+                math.nextafter(math.nextafter(base, math.inf), math.inf)]
+        df = spark.createDataFrame([(v,) for v in vals * 3], "x double")
+        sv = sorted(vals * 3)
+        for k in (1, 5, 9):
+            assert kth_smallest(df, "x", k, rounds=4) == sv[k - 1], k
+
 
 class TestContentDefinedChunking:
     def test_boundaries_stable_under_insertion(self, spark):

@@ -536,3 +536,28 @@ class TestRound3NewOpPlans:
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
         assert "SortMergeJoin" not in plan
+
+    def test_a35_ecdf_has_no_single_partition_data_window(self, spark):
+        """The distributed ECDF must confine single-partition windows to
+        the tiny bucket-offsets relation: the per-value running sums
+        partition by bucket (hashpartitioning), and the only
+        SinglePartition exchanges feed the |buckets|-row offsets and the
+        1-row totals — never the value stream."""
+        plan = plan_of(spark, "a35_ks_drift")
+        assert "hashpartitioning(_bkt" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_x53_trials_join_by_rank_no_cartesian(self, spark):
+        """Negative sampling is linear: the 8-trials-per-anchor relation
+        joins candidates by the rank key (hash join), the near-dup veto is
+        an anti join — nothing degenerates to a cartesian."""
+        plan = plan_of(spark, "x53_negative_samples")
+        assert "CartesianProduct" not in plan
+        assert "LeftAnti" in plan
+
+    def test_x54_profiler_scans_orders_once(self, spark):
+        """All four columns' statistics ride ONE table pass: the plan has
+        exactly one orders parquet scan (the per-column UNION ALL the
+        oracle uses would scan four times)."""
+        plan = plan_of(spark, "x54_column_profiler")
+        assert plan.count("orders.parquet") == 1
