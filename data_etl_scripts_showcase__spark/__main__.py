@@ -88,6 +88,12 @@ def _parser() -> argparse.ArgumentParser:
         "mixture", help="temperature-scaled per-source sampling quotas"
     )
     mix.add_argument("--budget", type=int, default=10000)
+
+    pr = sub.add_parser(
+        "profile",
+        help="single-pass column profile (null/distinct/extrema per column)",
+    )
+    pr.add_argument("--table", required=True)
     return p
 
 
@@ -199,6 +205,13 @@ def main(argv: list[str] | None = None) -> int:
         from .queries.scale_ops2 import x43_temperature_mixture
 
         x43_temperature_mixture(spark, args.sf_dir).show(50, truncate=False)
+    elif args.cmd == "profile":
+        from .operators.profile import column_profile
+        from .sources import load_table
+
+        column_profile(load_table(spark, args.sf_dir, args.table)).show(
+            100, truncate=False
+        )
     return 0
 
 

@@ -1,0 +1,90 @@
+"""Single-pass column profiler for ANY table (the x54 shape, generalized).
+
+The data-quality handshake (Deequ-style): per column — row count, null
+count, exact distinct count, stringified min/max.  All columns' statistics
+ride ONE scan: the aggregate projects five expressions per column into a
+single row, and ``stack`` unpivots that row into the manifest.  At 100 TB
+this is one table pass and a 1-row shuffle, independent of column count;
+the naive per-column loop scans the table N times.
+
+Numeric extrema are rounded before stringifying (data-dependent float repr
+would otherwise differ between engines); dates/timestamps format to ISO.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _extrema(field: T.StructField):
+    c = field.name
+    dt = field.dataType
+    if isinstance(dt, T.DateType):
+        return (
+            F.date_format(F.min(c), "yyyy-MM-dd"),
+            F.date_format(F.max(c), "yyyy-MM-dd"),
+        )
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return (
+            F.date_format(F.min(c), "yyyy-MM-dd HH:mm:ss"),
+            F.date_format(F.max(c), "yyyy-MM-dd HH:mm:ss"),
+        )
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return (
+            F.round(F.min(c), 6).cast("string"),
+            F.round(F.max(c), 6).cast("string"),
+        )
+    if isinstance(dt, (T.ArrayType, T.MapType, T.StructType, T.BinaryType)):
+        # nested/binary: extrema are size-based (min/max element count or
+        # byte length) — comparable, deterministic, and type-agnostic.
+        size = F.length(c) if isinstance(dt, T.BinaryType) else F.size(c)
+        return (
+            F.min(size).cast("string"),
+            F.max(size).cast("string"),
+        )
+    return (F.min(c).cast("string"), F.max(c).cast("string"))
+
+
+def _distinct(field: T.StructField):
+    c = field.name
+    if isinstance(field.dataType, (T.ArrayType, T.MapType, T.StructType)):
+        # nested types are not groupable everywhere: count distinct of the
+        # canonical JSON encoding instead.
+        return F.countDistinct(F.to_json(c))
+    return F.countDistinct(c)
+
+
+def column_profile(df: DataFrame) -> DataFrame:
+    """One-pass profile of every column → (col, n_rows, n_null,
+    n_distinct, min_val, max_val)."""
+    aggs = []
+    for f in df.schema.fields:
+        c = f.name
+        mn, mx = _extrema(f)
+        aggs += [
+            F.count("*").alias(f"{c}__n"),
+            (F.count("*") - F.count(c)).alias(f"{c}__nn"),
+            _distinct(f).alias(f"{c}__nd"),
+            mn.alias(f"{c}__mn"),
+            mx.alias(f"{c}__mx"),
+        ]
+    one = df.agg(*aggs)
+    cols = [f.name for f in df.schema.fields]
+    stack_expr = ", ".join(
+        f"'{c}', {c}__n, {c}__nn, {c}__nd, {c}__mn, {c}__mx" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_expr}) AS "
+            "(col, n_rows, n_null, n_distinct, min_val, max_val)"
+        )
+    ).select(
+        "col",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_null").cast("bigint").alias("n_null"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        "min_val",
+        "max_val",
+    )

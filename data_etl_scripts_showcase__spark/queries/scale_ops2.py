@@ -2281,7 +2281,7 @@ def x53_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
            CAST(count(*) - count(o_totalprice) AS BIGINT),
            CAST(count(DISTINCT o_totalprice) AS BIGINT),
-           CAST(round(min(o_totalprice), 2) AS VARCHAR), CAST(round(max(o_totalprice), 2) AS VARCHAR)
+           CAST(round(min(o_totalprice), 6) AS VARCHAR), CAST(round(max(o_totalprice), 6) AS VARCHAR)
     FROM orders
     """,
     survey="A-std extended, NS-monitoring (single-pass column profiler: per-column completeness/cardinality/extrema manifest, the data-quality handshake)",
@@ -2296,39 +2296,17 @@ def x54_column_profiler(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB that is one scan and one 1-row shuffle, not one pass per
     column.  The oracle is the per-column UNION ALL the single-pass plan
     replaces.  (Columns with data-dependent float repr — o_totalprice —
-    round before stringifying on both sides.)"""
-    o = load_table(spark, sf_dir, "orders")
-    aggs = []
-    for col, mn, mx in [
-        ("o_custkey", F.min("o_custkey").cast("string"), F.max("o_custkey").cast("string")),
-        ("o_orderdate", F.date_format(F.min("o_orderdate"), "yyyy-MM-dd"),
-         F.date_format(F.max("o_orderdate"), "yyyy-MM-dd")),
-        ("o_orderstatus", F.min("o_orderstatus").cast("string"), F.max("o_orderstatus").cast("string")),
-        ("o_totalprice", F.round(F.min("o_totalprice"), 2).cast("string"),
-         F.round(F.max("o_totalprice"), 2).cast("string")),
-    ]:
-        aggs += [
-            F.count("*").alias(f"{col}__n"),
-            (F.count("*") - F.count(col)).alias(f"{col}__nn"),
-            F.countDistinct(col).alias(f"{col}__nd"),
-            mn.alias(f"{col}__mn"),
-            mx.alias(f"{col}__mx"),
-        ]
-    one = o.agg(*aggs)
-    cols = ["o_custkey", "o_orderdate", "o_orderstatus", "o_totalprice"]
-    stack_expr = ", ".join(
-        f"'{c}', {c}__n, {c}__nn, {c}__nd, {c}__mn, {c}__mx" for c in cols
+    round before stringifying on both sides.)  Implementation:
+    ``operators/profile.column_profile``, the type-generic form also
+    exposed as the ``profile`` CLI verb for any table."""
+    from ..operators.profile import column_profile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        # the registry binds o_orderdate as NTZ timestamp (footer-
+        # authoritative); profile it as the calendar date it is.
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_orderstatus",
+        "o_totalprice",
     )
-    return one.select(
-        F.expr(
-            f"stack({len(cols)}, {stack_expr}) AS "
-            "(col, n_rows, n_null, n_distinct, min_val, max_val)"
-        )
-    ).select(
-        "col",
-        F.col("n_rows").cast("bigint").alias("n_rows"),
-        F.col("n_null").cast("bigint").alias("n_null"),
-        F.col("n_distinct").cast("bigint").alias("n_distinct"),
-        "min_val",
-        "max_val",
-    )
+    return column_profile(o)

@@ -1164,3 +1164,31 @@ class TestNtileClosedForm:
                 .count()
             )
             assert diffs == 0, f"n={n}"
+
+
+class TestColumnProfile:
+    def test_profiles_every_type_in_one_pass(self, spark):
+        """The generic profiler handles numeric/string/date/array columns,
+        counts nulls, and its manifest matches hand-computed stats."""
+        import pyspark.sql.functions as F
+
+        from data_etl_scripts_showcase__spark.operators.profile import (
+            column_profile,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "a", 1.5, ["x", "y"]),
+                (2, None, 2.5, ["x"]),
+                (3, "b", None, []),
+                (3, "a", 4.0, None),
+            ],
+            "id bigint, s string, d double, arr array<string>",
+        )
+        prof = {r["col"]: r.asDict() for r in column_profile(df).collect()}
+        assert prof["id"]["n_distinct"] == 3 and prof["id"]["n_null"] == 0
+        assert prof["s"]["n_null"] == 1 and prof["s"]["min_val"] == "a"
+        assert prof["d"]["n_null"] == 1 and prof["d"]["max_val"] == "4.0"
+        # arrays profile by size: min size 0, max size 2
+        assert prof["arr"]["min_val"] == "0" and prof["arr"]["max_val"] == "2"
+        assert all(r["n_rows"] == 4 for r in prof.values())
