@@ -125,6 +125,8 @@ HEADLINE = [
     "a35_ks_drift",  # exact two-sample KS via distributed ECDF
     "x53_negative_samples",  # contrastive negatives, hash probes + near-dup veto
     "x54_column_profiler",  # single-pass per-column quality manifest
+    "x55_shard_manifest",  # token-budget shard assignment, distributed prefix sums
+    "d24_dedup_savings_report",  # per-source docs/tokens-removed payoff
 ]
 
 

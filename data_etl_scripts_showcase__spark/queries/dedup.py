@@ -1431,3 +1431,68 @@ def d22_lsh_scurve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(mrow.select(F.col("m").alias("sample_modulus"))))
     )
+
+
+@register(
+    "d24_dedup_savings_report",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id, source,
+               md5({_NORM}) AS fp,
+               len({_TOKS}) AS n_tok
+        FROM documents
+    ),
+    rep AS (SELECT fp, min(doc_id) AS rep_id FROM f GROUP BY fp),
+    lab AS (
+        SELECT f.source, f.n_tok,
+               CASE WHEN f.doc_id = rep.rep_id THEN 0 ELSE 1 END AS is_dup
+        FROM f JOIN rep USING (fp)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(is_dup) AS BIGINT) AS n_removed,
+           CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+           CAST(sum(CASE WHEN is_dup = 1 THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_removed,
+           round(CAST(sum(CASE WHEN is_dup = 1 THEN n_tok ELSE 0 END) AS DOUBLE)
+                 / greatest(sum(n_tok), 1), 6) AS token_savings
+    FROM lab GROUP BY source
+    """,
+    survey="NS-dedup extended (dedup payoff report: docs and tokens removed per source by exact first-wins dedup — the budget readout)",
+)
+def d24_dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What did dedup actually buy, per source?  Exact first-wins dedup
+    (d1's fingerprint groups, min-doc_id representative) projected into
+    the number every budget meeting asks for: docs and TOKENS removed per
+    source, and the token savings fraction — the per-slice readout that
+    decides which crawls are worth re-fetching.  One fingerprint
+    aggregate (the only corpus shuffle), one broadcast-size rep table
+    joined back on the digest, one per-source aggregate; O(sources)
+    output at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    f = d.select(
+        "doc_id",
+        "source",
+        F.md5(DD.normalize("text")).alias("fp"),
+        F.size(DD.tokens("text")).alias("n_tok"),
+    )
+    rep = f.groupBy("fp").agg(F.min("doc_id").alias("rep_id"))
+    lab = f.join(rep, "fp").select(
+        "source",
+        "n_tok",
+        F.when(F.col("doc_id") == F.col("rep_id"), 0).otherwise(1).alias("is_dup"),
+    )
+    return lab.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("is_dup").cast("bigint").alias("n_removed"),
+        F.sum("n_tok").cast("bigint").alias("tokens_total"),
+        F.sum(F.when(F.col("is_dup") == 1, F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_removed"),
+        F.round(
+            F.sum(F.when(F.col("is_dup") == 1, F.col("n_tok")).otherwise(0)).cast(
+                "double"
+            )
+            / F.greatest(F.sum("n_tok"), F.lit(1)),
+            6,
+        ).alias("token_savings"),
+    )

@@ -2310,3 +2310,87 @@ def x54_column_profiler(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
     )
     return column_profile(o)
+
+
+# --------------- x55: training shard manifest
+
+
+@register(
+    "x55_shard_manifest",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS n_tok
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tok,
+               sum(n_tok) OVER (ORDER BY doc_id) - n_tok AS start_off
+        FROM t
+    ),
+    s AS (SELECT doc_id, n_tok, start_off // 20000 AS shard_id FROM c)
+    SELECT CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM s GROUP BY shard_id
+    """,
+    survey="NS-layout extended (training shard manifest: token-budget shard assignment from distributed cumulative offsets — no global sort)",
+)
+def x55_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manifest a trainer actually loads: documents packed into
+    ~20k-token shards IN doc_id ORDER, each doc assigned to the shard its
+    cumulative start offset falls in, with per-shard doc ranges so a data
+    loader can seek straight to its shard.  The cumulative token offset —
+    the serial-looking part — is the same distributed prefix-sum the
+    engine uses everywhere (x39/a35): value-derived buckets, a tiny
+    per-bucket offsets relation, intra-bucket running sums.  At 100 TB no
+    single-partition window ever sees the document stream, and the
+    manifest is O(shards) rows.  Exact integer arithmetic end-to-end."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(
+            F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+        ).alias("n_tok"),
+    )
+    b = t.withColumn("_bkt", F.floor(F.col("doc_id") / 50).cast("int"))
+    offsets = (
+        b.groupBy("_bkt")
+        .agg(F.sum("n_tok").alias("_bt"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_bt").over(
+                    Window.orderBy("_bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_bkt", "_off")
+    )
+    wb = Window.partitionBy("_bkt").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    s = (
+        b.join(F.broadcast(offsets), "_bkt")
+        .select(
+            "doc_id",
+            "n_tok",
+            (
+                (F.col("_off") + F.sum("n_tok").over(wb) - F.col("n_tok"))
+                / 20000
+            )
+            .cast("bigint")
+            .alias("shard_id"),
+        )
+    )
+    return s.groupBy("shard_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+    )

@@ -49,7 +49,7 @@ SAMPLE = [
     "x51_dsir_importance_resample", "x52_curriculum_phases",
     "st19_stream_exact_dedup", "st20_stream_neardup_gate",
     "d23_chunk_contamination", "a35_ks_drift", "x53_negative_samples",
-    "x54_column_profiler",
+    "x54_column_profiler", "x55_shard_manifest", "d24_dedup_savings_report",
 ]
 
 # Documented raisers on empty input: exact selection has no k-th element;

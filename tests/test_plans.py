@@ -561,3 +561,20 @@ class TestRound3NewOpPlans:
         oracle uses would scan four times)."""
         plan = plan_of(spark, "x54_column_profiler")
         assert plan.count("orders.parquet") == 1
+
+    def test_x55_shard_offsets_partition_by_bucket(self, spark):
+        """Shard assignment's prefix sum rides the bucket machinery: the
+        document stream's window partitions by bucket (hashpartitioning),
+        never a global single-partition sort of the corpus."""
+        plan = plan_of(spark, "x55_shard_manifest")
+        assert "hashpartitioning(_bkt" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_d24_savings_single_corpus_shuffle_then_digest_join(self, spark):
+        """The payoff report's only corpus-wide shuffle keys on the md5
+        fingerprint; the rep table joins back on the digest without a
+        cartesian or nested loop."""
+        plan = plan_of(spark, "d24_dedup_savings_report")
+        assert "hashpartitioning(fp" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
