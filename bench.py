@@ -127,6 +127,7 @@ HEADLINE = [
     "x54_column_profiler",  # single-pass per-column quality manifest
     "x55_shard_manifest",  # token-budget shard assignment, distributed prefix sums
     "d24_dedup_savings_report",  # per-source docs/tokens-removed payoff
+    "st21_stream_shard_manifest",  # shard offsets accreted by the ingest
 ]
 
 

@@ -826,3 +826,60 @@ def st20_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(out, ignore_errors=True)
     streaming_neardup_gate(stream, out)
     return spark.read.parquet(f"{out}/kept").select("doc_id")
+
+
+@register(
+    "st21_stream_shard_manifest",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS n_tok
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tok,
+               sum(n_tok) OVER (ORDER BY doc_id) - n_tok AS start_off
+        FROM t
+    ),
+    s AS (SELECT doc_id, n_tok, start_off // 20000 AS shard_id FROM c)
+    SELECT CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM s GROUP BY shard_id
+    """,
+    survey="§2.10, NS-layout extended (shard manifest maintained by the ingest: committed token totals seed each batch's offsets)",
+)
+def st21_stream_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x55's shard manifest produced BY THE INGEST (streaming/jobs.
+    streaming_shard_manifest): each micro-batch continues exactly where
+    the committed epochs' token total left off, so with availableNow over
+    one documents file the manifest equals the batch assignment
+    bit-for-bit (the oracle); multi-batch continuity with ordered files
+    is pinned in tests/test_streaming.py."""
+    import shutil
+    import tempfile as _tf
+
+    from ..streaming.jobs import streaming_shard_manifest
+
+    file_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(file_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    out = _tf.mkdtemp(prefix="st21_shards_")
+    shutil.rmtree(out, ignore_errors=True)
+    streaming_shard_manifest(stream, out)
+    return (
+        spark.read.parquet(out)
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+        )
+    )

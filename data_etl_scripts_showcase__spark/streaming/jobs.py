@@ -963,3 +963,92 @@ def streaming_neardup_gate(docs: DataFrame, out_path: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_shard_manifest(docs: DataFrame, out_path: str) -> None:
+    """x55's training-shard assignment maintained BY THE INGEST: each
+    micro-batch tokenizes its documents, takes the committed token total
+    of earlier epochs as its global starting offset (sink-derived state,
+    same discipline as streaming_row_ids), runs the intra-batch
+    distributed prefix sum, and lands every doc's shard assignment in its
+    epoch directory.  Shards therefore continue seamlessly across batches
+    — doc N of batch k starts exactly where batch k−1's tokens ended — so
+    ordered batches reproduce the batch manifest bit-for-bit, and an
+    epoch replay overwrites its own assignments."""
+    import os
+
+    from pyspark.sql import Window as W
+    from pyspark.sql.utils import AnalysisException
+
+    def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        t = batch.select(
+            "doc_id",
+            F.size(
+                F.split(
+                    F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+                )
+            ).alias("n_tok"),
+        )
+        base = 0
+        if os.path.isdir(out_path):
+            try:
+                row = (
+                    spark.read.parquet(out_path)
+                    .where(F.col("epoch") < F.lit(int(epoch_id)))
+                    .agg(F.coalesce(F.sum("n_tok"), F.lit(0)).alias("s"))
+                    .collect()[0]
+                )
+                base = int(row["s"])
+            except AnalysisException:
+                base = 0
+        b = t.withColumn("_bkt", F.floor(F.col("doc_id") / 50).cast("int"))
+        offsets = (
+            b.groupBy("_bkt")
+            .agg(F.sum("n_tok").alias("_bt"))
+            .withColumn(
+                "_off",
+                F.coalesce(
+                    F.sum("_bt").over(
+                        W.orderBy("_bkt").rowsBetween(
+                            W.unboundedPreceding, -1
+                        )
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .select("_bkt", "_off")
+        )
+        wb = W.partitionBy("_bkt").orderBy("doc_id").rowsBetween(
+            W.unboundedPreceding, 0
+        )
+        assigned = (
+            b.join(F.broadcast(offsets), "_bkt")
+            .select(
+                "doc_id",
+                "n_tok",
+                (
+                    (
+                        F.lit(base)
+                        + F.col("_off")
+                        + F.sum("n_tok").over(wb)
+                        - F.col("n_tok")
+                    )
+                    / 20000
+                )
+                .cast("bigint")
+                .alias("shard_id"),
+            )
+            .withColumn("epoch", F.lit(int(epoch_id)))
+        )
+        assigned.write.mode("overwrite").parquet(
+            f"{out_path}/epoch={int(epoch_id)}"
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_shards_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

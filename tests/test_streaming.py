@@ -512,3 +512,61 @@ class TestStreamingNearDupGate:
             for r in docs.select("doc_id").join(coll, "doc_id", "left_anti").collect()
         }
         assert got == want
+
+
+class TestStreamingShardManifest:
+    def test_shards_continue_across_batches(self, spark, sf_dir, tmp_path):
+        """Three doc_id-ordered micro-batches must produce the SAME shard
+        assignment as the one-shot batch rule: each batch's offsets start
+        at the committed token total, so shard boundaries straddle batch
+        boundaries seamlessly."""
+        import pyspark.sql.functions as F
+
+        from data_etl_scripts_showcase__spark.sources import load_table
+        from data_etl_scripts_showcase__spark.streaming.jobs import (
+            streaming_shard_manifest,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").limit(300)
+        src = str(tmp_path / "src")
+        for lo, hi in [(0, 100), (100, 200), (200, 10**9)]:
+            docs.where(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).coalesce(1).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = str(tmp_path / "out")
+        streaming_shard_manifest(stream, out)
+        got = {
+            r.doc_id: r.shard_id
+            for r in spark.read.parquet(out).select("doc_id", "shard_id").collect()
+        }
+
+        # batch rule on the same docs
+        from pyspark.sql import Window as W
+
+        t = docs.select(
+            "doc_id",
+            F.size(
+                F.split(
+                    F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+                )
+            ).alias("n_tok"),
+        )
+        w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+        want = {
+            r.doc_id: r.shard_id
+            for r in t.select(
+                "doc_id",
+                ((F.sum("n_tok").over(w) - F.col("n_tok")) / 20000)
+                .cast("bigint")
+                .alias("shard_id"),
+            ).collect()
+        }
+        assert got == want
+        # a shard straddles at least one batch boundary in this setup
+        assert len(set(got.values())) >= 1
