@@ -2063,45 +2063,14 @@ def a35_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("grp") == "a", 1)).alias("ca"),
         F.count(F.when(F.col("grp") == "b", 1)).alias("cb"),
     )
-    b = vc.withColumn("_bkt", F.floor(F.col("v") * 20).cast("int"))
-    offsets = (
-        b.groupBy("_bkt")
-        .agg(F.sum("ca").alias("_ba"), F.sum("cb").alias("_bb"))
-        .withColumn(
-            "_offa",
-            F.coalesce(
-                F.sum("_ba").over(
-                    Window.orderBy("_bkt").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .withColumn(
-            "_offb",
-            F.coalesce(
-                F.sum("_bb").over(
-                    Window.orderBy("_bkt").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("_bkt", "_offa", "_offb")
-    )
-    wb = Window.partitionBy("_bkt").orderBy("v").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    c = (
-        b.join(F.broadcast(offsets), "_bkt")
-        .select(
-            "v",
-            (F.col("_offa") + F.sum("ca").over(wb)).alias("cuma"),
-            (F.col("_offb") + F.sum("cb").over(wb)).alias("cumb"),
-        )
-    )
+    from ..operators.prefix import bucketed_running_sums
+
+    c = bucketed_running_sums(
+        vc,
+        F.floor(F.col("v") * 20).cast("int"),
+        ["v"],
+        {"ca": "cuma", "cb": "cumb"},
+    ).select("v", "cuma", "cumb")
     n = vc.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
     crit = 1.358 * F.sqrt(
         (F.col("na") + F.col("nb")) / (F.col("na").cast("double") * F.col("nb"))
@@ -2355,38 +2324,19 @@ def x55_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
         ).alias("n_tok"),
     )
-    b = t.withColumn("_bkt", F.floor(F.col("doc_id") / 50).cast("int"))
-    offsets = (
-        b.groupBy("_bkt")
-        .agg(F.sum("n_tok").alias("_bt"))
-        .withColumn(
-            "_off",
-            F.coalesce(
-                F.sum("_bt").over(
-                    Window.orderBy("_bkt").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("_bkt", "_off")
-    )
-    wb = Window.partitionBy("_bkt").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    s = (
-        b.join(F.broadcast(offsets), "_bkt")
-        .select(
-            "doc_id",
-            "n_tok",
-            (
-                (F.col("_off") + F.sum("n_tok").over(wb) - F.col("n_tok"))
-                / 20000
-            )
-            .cast("bigint")
-            .alias("shard_id"),
-        )
+    from ..operators.prefix import bucketed_running_sums
+
+    s = bucketed_running_sums(
+        t,
+        F.floor(F.col("doc_id") / 50).cast("int"),
+        ["doc_id"],
+        {"n_tok": "cum_tok"},
+    ).select(
+        "doc_id",
+        "n_tok",
+        ((F.col("cum_tok") - F.col("n_tok")) / 20000)
+        .cast("bigint")
+        .alias("shard_id"),
     )
     return s.groupBy("shard_id").agg(
         F.count("*").cast("bigint").alias("n_docs"),

@@ -1002,39 +1002,20 @@ def streaming_shard_manifest(docs: DataFrame, out_path: str) -> None:
                 base = int(row["s"])
             except AnalysisException:
                 base = 0
-        b = t.withColumn("_bkt", F.floor(F.col("doc_id") / 50).cast("int"))
-        offsets = (
-            b.groupBy("_bkt")
-            .agg(F.sum("n_tok").alias("_bt"))
-            .withColumn(
-                "_off",
-                F.coalesce(
-                    F.sum("_bt").over(
-                        W.orderBy("_bkt").rowsBetween(
-                            W.unboundedPreceding, -1
-                        )
-                    ),
-                    F.lit(0),
-                ),
-            )
-            .select("_bkt", "_off")
-        )
-        wb = W.partitionBy("_bkt").orderBy("doc_id").rowsBetween(
-            W.unboundedPreceding, 0
-        )
+        from ..operators.prefix import bucketed_running_sums
+
         assigned = (
-            b.join(F.broadcast(offsets), "_bkt")
+            bucketed_running_sums(
+                t,
+                F.floor(F.col("doc_id") / 50).cast("int"),
+                ["doc_id"],
+                {"n_tok": "cum_tok"},
+            )
             .select(
                 "doc_id",
                 "n_tok",
                 (
-                    (
-                        F.lit(base)
-                        + F.col("_off")
-                        + F.sum("n_tok").over(wb)
-                        - F.col("n_tok")
-                    )
-                    / 20000
+                    (F.lit(base) + F.col("cum_tok") - F.col("n_tok")) / 20000
                 )
                 .cast("bigint")
                 .alias("shard_id"),

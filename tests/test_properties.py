@@ -735,3 +735,48 @@ def test_global_row_ids_dense_and_order_preserving(spark, rows):
         k: i for i, (k, _) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
     }
     assert got == expected
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-1000, max_value=1000),  # order key
+            st.integers(min_value=0, max_value=50),        # value
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    nparts=st.integers(min_value=1, max_value=5),
+)
+def test_bucketed_running_sums_equal_global_window(spark, rows, nparts):
+    """operators/prefix.bucketed_running_sums must equal the single-
+    partition global window cumsum it replaces — for any data, any bucket
+    granularity implied by the value range, and any input partitioning
+    (determinism precondition: unique order keys)."""
+    from pyspark.sql import Window
+
+    from data_etl_scripts_showcase__spark.operators.prefix import (
+        bucketed_running_sums,
+    )
+
+    # unique order keys (ties make both forms order-ambiguous)
+    seen, uniq = set(), []
+    for k, v in rows:
+        if k not in seen:
+            seen.add(k)
+            uniq.append((k, v))
+    df = spark.createDataFrame(uniq, "k int, v long").repartition(nparts)
+
+    got = {
+        r.k: r.cum
+        for r in bucketed_running_sums(
+            df, (F.col("k") / 7).cast("int"), ["k"], {"v": "cum"}
+        ).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.k: r.cum
+        for r in df.select("k", F.sum("v").over(w).alias("cum")).collect()
+    }
+    assert got == want
