@@ -578,3 +578,39 @@ class TestRound3NewOpPlans:
         assert "hashpartitioning(fp" in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestBucketPruning:
+    def test_point_lookup_scans_one_bucket(self, spark, tmp_path):
+        """Bucketed storage prunes at the FILE level for key-equality
+        predicates: a point lookup on the bucket key must read 1 of the 8
+        buckets (SelectedBucketsCount), not scan the table — the lookup
+        path that makes a bucketed fact table also a key-value store."""
+        import contextlib
+        import io
+
+        from data_etl_scripts_showcase__spark.sinks import write_bucketed
+        from data_etl_scripts_showcase__spark.sources import load_table
+        from pyspark.sql import functions as F
+
+        o = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+        write_bucketed(o, "b_o_prune", ["o_orderkey"], 8, path=str(tmp_path / "bp"))
+        prev = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+        try:
+            # autoBucketedScan turns the bucketed layout off when no
+            # JOIN/AGG consumes the distribution — but a point lookup
+            # benefits from bucket PRUNING, so pin the bucketed scan on.
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+            )
+            q = spark.table("b_o_prune").where(F.col("o_orderkey") == 7)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                q.explain("formatted")
+            plan = buf.getvalue()
+            assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev
+            )
+            spark.sql("DROP TABLE IF EXISTS b_o_prune")
