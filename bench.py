@@ -128,6 +128,7 @@ HEADLINE = [
     "x55_shard_manifest",  # token-budget shard assignment, distributed prefix sums
     "d24_dedup_savings_report",  # per-source docs/tokens-removed payoff
     "st21_stream_shard_manifest",  # shard offsets accreted by the ingest
+    "x56_cdc_apply",  # ordered I/U/D changelog folded to table state
 ]
 
 

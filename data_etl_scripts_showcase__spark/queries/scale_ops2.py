@@ -2344,3 +2344,88 @@ def x55_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("first_doc"),
         F.max("doc_id").cast("bigint").alias("last_doc"),
     )
+
+
+# --------------- x56: CDC changelog apply
+
+
+@register(
+    "x56_cdc_apply",
+    oracle="""
+    WITH log AS (
+        SELECT user_id AS key,
+               event_id AS seq,
+               CASE WHEN event_type = 'signup' THEN 'I'
+                    WHEN event_type = 'error' THEN 'D'
+                    ELSE 'U' END AS op,
+               CAST(value AS DECIMAL(18,2)) AS payload
+        FROM events
+    ),
+    last AS (
+        SELECT key, seq, op, payload,
+               row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+        FROM log
+    ),
+    ops AS (
+        SELECT key,
+               count(*) AS n_ops,
+               count(CASE WHEN op = 'D' THEN 1 END) AS n_deletes
+        FROM log GROUP BY key
+    )
+    SELECT l.key AS user_id,
+           CAST(l.payload AS DOUBLE) AS current_value,
+           CAST(l.seq AS BIGINT) AS version,
+           CAST(o.n_ops AS BIGINT) AS n_ops,
+           CAST(o.n_deletes AS BIGINT) AS n_deletes
+    FROM last l JOIN ops o USING (key)
+    WHERE l.rn = 1 AND l.op <> 'D'
+    """,
+    survey="S13/x extended (CDC changelog apply: ordered I/U/D stream folded to final table state — the Debezium-consumer shape)",
+)
+def x56_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fold an ordered change-data-capture stream (insert/update/delete,
+    one op per sequence number) into final table state — the consumer
+    side of a Debezium/binlog feed, and the general form of x4's
+    snapshot+delta merge: a key whose LAST op is a delete leaves the
+    table; otherwise the last op's payload wins, with op/delete counts
+    kept as audit columns.  The events table stands in as the changelog
+    (signup→I, error→D, else U; event_id is the total order).
+
+    Scale shape: one shuffle on the key for the arg-max (window rn=1 —
+    max_by semantics, no sort of the full log), one for the op counts,
+    both partial-aggregated map-side; at 100 TB the changelog is
+    processed in one pass regardless of how many ops a key has.  Payload
+    comparisons ride exact DECIMAL (the x4 fix's discipline)."""
+    from ..functions import dec2
+
+    ev = load_table(spark, sf_dir, "events")
+    log = ev.select(
+        F.col("user_id").alias("key"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        dec2("value").alias("payload"),
+    )
+    w = Window.partitionBy("key").orderBy(F.col("seq").desc())
+    last = (
+        log.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("key", "seq", "op", "payload")
+    )
+    ops = log.groupBy("key").agg(
+        F.count("*").alias("n_ops"),
+        F.count(F.when(F.col("op") == "D", 1)).alias("n_deletes"),
+    )
+    return (
+        last.join(ops, "key")
+        .where(F.col("op") != "D")
+        .select(
+            F.col("key").alias("user_id"),
+            F.col("payload").cast("double").alias("current_value"),
+            F.col("seq").cast("bigint").alias("version"),
+            F.col("n_ops").cast("bigint").alias("n_ops"),
+            F.col("n_deletes").cast("bigint").alias("n_deletes"),
+        )
+    )
