@@ -205,15 +205,55 @@ SHOWCASE = [
     (
         "x44_distributed_deciles",
         "exact ntile without the single-reducer window: ranks from "
-        "bucket-partitioned row ids, decile = (rank*10) DIV n arithmetic; "
-        "at most one SinglePartition exchange and it feeds the tiny "
-        "offsets aggregate",
+        "bucket-partitioned row ids, decile via ntile's front-loaded "
+        "remainder rule in closed form; at most one SinglePartition "
+        "exchange and it feeds the tiny offsets aggregate",
     ),
     (
         "x42_zone_map_maintenance",
         "incremental manifest: base-manifest UNION delta-stats then one "
         "merge aggregate on file_id — history is never rescanned, both "
         "inputs are already-aggregated relations",
+    ),
+    # round-3 flagships
+    (
+        "t27_hashed_linear_quality",
+        "hashed-linear quality classifier: ZERO Exchange, zero Generate — "
+        "the whole model is per-row array expressions in codegen; scoring "
+        "is one embarrassingly parallel scan",
+    ),
+    (
+        "v17_ivf_adc_rerank",
+        "composed ANN ladder: probe cells / codebook / distance table / "
+        "query vector all broadcast; the only big-big join (codes x cell "
+        "assignment) sort-merges co-partitioned on vec_id; cosine floats "
+        "appear only in the 20-row rerank",
+    ),
+    (
+        "a35_ks_drift",
+        "distributed ECDF: per-value counts hash-aggregate, running "
+        "totals via bucket offsets — the data-sized window partitions by "
+        "bucket; SinglePartition exchanges feed only the |buckets|-row "
+        "offsets and the 1-row totals",
+    ),
+    (
+        "x55_shard_manifest",
+        "token-budget shard assignment from the same bucketed prefix-sum "
+        "primitive (operators/prefix.py) — O(shards) manifest, corpus "
+        "never globally sorted",
+    ),
+    (
+        "x51_dsir_importance_resample",
+        "DSIR selection: 4096-row distributions broadcast back onto the "
+        "exploded token stream; Gumbel-top-k lands as "
+        "TakeOrderedAndProject; integer micro-unit log-ratios keep the "
+        "per-doc sum order-independent",
+    ),
+    (
+        "d23_chunk_contamination",
+        "substring decontamination: benchmark chunk table broadcast; the "
+        "corpus chunk stream joins map-side on the content digest — no "
+        "corpus shuffle for the overlap",
     ),
 ]
 
