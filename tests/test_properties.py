@@ -780,3 +780,46 @@ def test_bucketed_running_sums_equal_global_window(spark, rows, nparts):
         for r in df.select("k", F.sum("v").over(w).alias("cum")).collect()
     }
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),            # key
+            st.sampled_from(["I", "U", "D"]),                 # op
+            st.integers(min_value=0, max_value=10**6),        # payload cents
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cdc_fold_equals_sequential_apply(spark, ops):
+    """x56's declarative fold (arg-max by sequence, terminal-delete
+    filter) must equal replaying the changelog one op at a time into a
+    dict — for any op mix, any key interleaving."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    log = [(k, seq, op, p) for seq, (k, op, p) in enumerate(ops)]
+    df = spark.createDataFrame(log, "key int, seq long, op string, payload long")
+
+    w = Window.partitionBy("key").orderBy(F.col("seq").desc())
+    got = {
+        r.key: (r.payload, r.seq)
+        for r in (
+            df.withColumn("rn", F.row_number().over(w))
+            .where((F.col("rn") == 1) & (F.col("op") != "D"))
+            .collect()
+        )
+    }
+
+    state: dict[int, tuple[int, int]] = {}
+    for k, seq, op, p in log:
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = (p, seq)
+    # declarative fold keeps a key iff its LAST op isn't D; sequential
+    # apply agrees because any non-D op after a delete re-inserts.
+    assert got == state
