@@ -129,6 +129,7 @@ HEADLINE = [
     "d24_dedup_savings_report",  # per-source docs/tokens-removed payoff
     "st21_stream_shard_manifest",  # shard offsets accreted by the ingest
     "x56_cdc_apply",  # ordered I/U/D changelog folded to table state
+    "t28_rule_filter_report",  # C4-style rule cascade with drop accounting
 ]
 
 

@@ -1682,3 +1682,102 @@ def d23_chunk_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("shared_chars").cast("double") / F.col("bench_chars"), 6
         ).alias("contamination"),
     )
+
+
+@register(
+    "t28_rule_filter_report",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               {_TOKS} AS toks,
+               length(text) AS n_chr,
+               text
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) < 5 THEN 1 ELSE 0 END AS r_too_short,
+               CASE WHEN len(toks) = 0 OR n_chr = 0 THEN 1
+                    WHEN (CAST(n_chr - len(toks) + 1 AS DOUBLE) / len(toks)) < 3.0
+                      OR (CAST(n_chr - len(toks) + 1 AS DOUBLE) / len(toks)) > 10.0
+                    THEN 1 ELSE 0 END AS r_word_length,
+               CASE WHEN len(toks) > 0
+                     AND CAST(len(list_filter(toks, x -> x = toks[1])) AS DOUBLE)
+                         / len(toks) > 0.2
+                    THEN 1 ELSE 0 END AS r_repetitive,
+               CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END AS r_boilerplate
+        FROM t
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(r_too_short) AS BIGINT) AS drop_too_short,
+           CAST(sum(r_word_length) AS BIGINT) AS drop_word_length,
+           CAST(sum(r_repetitive) AS BIGINT) AS drop_repetitive,
+           CAST(sum(r_boilerplate) AS BIGINT) AS drop_boilerplate,
+           CAST(sum(CASE WHEN r_too_short + r_word_length + r_repetitive + r_boilerplate = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(CAST(sum(CASE WHEN r_too_short + r_word_length + r_repetitive + r_boilerplate = 0
+                               THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS keep_rate
+    FROM r
+    """,
+    survey="NS-text extended (C4-style rule-cascade filter with PER-RULE drop accounting — the corpus-cleaning observability readout)",
+)
+def t28_rule_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4-style heuristic cleaning cascade (Raffel et al. 2020) with
+    the accounting a production pipeline needs: each rule — too few
+    words, implausible mean word length, head-token repetition,
+    boilerplate marker — reports HOW MANY documents it would drop, plus
+    the overall keep rate, so a rule that suddenly eats a corpus slice is
+    visible before anything is deleted (rules mask independently; the
+    kept set requires all clear).  Every rule is a codegen expression
+    over the token array; the whole report is one scan + one aggregate —
+    zero shuffles beyond the final 1-row reduce, trivially extendable
+    with more WHEN columns."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    t = d.select(
+        toks.alias("toks"), F.length("text").alias("n_chr"), F.lower("text").alias("lt")
+    )
+    n_tok = F.size("toks")
+    mean_wlen = (F.col("n_chr") - n_tok + 1).cast("double") / n_tok
+    r = t.select(
+        F.when(n_tok < 5, 1).otherwise(0).alias("r_too_short"),
+        F.when((n_tok == 0) | (F.col("n_chr") == 0), 1)
+        .when((mean_wlen < 3.0) | (mean_wlen > 10.0), 1)
+        .otherwise(0)
+        .alias("r_word_length"),
+        F.when(
+            (n_tok > 0)
+            & (
+                F.size(
+                    F.filter("toks", lambda x: x == F.element_at("toks", 1))
+                ).cast("double")
+                / n_tok
+                > 0.2
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("r_repetitive"),
+        F.when(F.col("lt").contains("lorem ipsum"), 1).otherwise(0).alias(
+            "r_boilerplate"
+        ),
+    )
+    all_clear = (
+        F.col("r_too_short")
+        + F.col("r_word_length")
+        + F.col("r_repetitive")
+        + F.col("r_boilerplate")
+        == 0
+    )
+    return r.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("r_too_short").cast("bigint").alias("drop_too_short"),
+        F.sum("r_word_length").cast("bigint").alias("drop_word_length"),
+        F.sum("r_repetitive").cast("bigint").alias("drop_repetitive"),
+        F.sum("r_boilerplate").cast("bigint").alias("drop_boilerplate"),
+        F.sum(F.when(all_clear, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.round(
+            F.sum(F.when(all_clear, 1).otherwise(0)).cast("double") / F.count("*"),
+            6,
+        ).alias("keep_rate"),
+    )

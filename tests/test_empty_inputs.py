@@ -50,7 +50,7 @@ SAMPLE = [
     "st19_stream_exact_dedup", "st20_stream_neardup_gate",
     "d23_chunk_contamination", "a35_ks_drift", "x53_negative_samples",
     "x54_column_profiler", "x55_shard_manifest", "d24_dedup_savings_report",
-    "st21_stream_shard_manifest", "x56_cdc_apply",
+    "st21_stream_shard_manifest", "x56_cdc_apply", "t28_rule_filter_report",
 ]
 
 # Documented raisers on empty input: exact selection has no k-th element;
