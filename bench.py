@@ -130,6 +130,7 @@ HEADLINE = [
     "st21_stream_shard_manifest",  # shard offsets accreted by the ingest
     "x56_cdc_apply",  # ordered I/U/D changelog folded to table state
     "t28_rule_filter_report",  # C4-style rule cascade with drop accounting
+    "v18_nprobe_recall_curve",  # IVF latency/recall tuning sweep
 ]
 
 

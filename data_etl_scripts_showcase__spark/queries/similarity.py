@@ -1256,3 +1256,99 @@ def v17_ivf_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(rerank_w).cast("int"))
         .where(F.col("rank") <= 5)
     )
+
+
+@register(
+    "v18_nprobe_recall_curve",
+    oracle=f"""
+    WITH {_ASSIGN_CTE},
+    cells AS (
+        SELECT vec_id AS neighbor_id, embedding AS c_vec, centroid_id AS cell
+        FROM assign WHERE cell_rank = 1
+    ),
+    grid AS (SELECT unnest([1, 2, 4]) AS nprobe),
+    probes AS (
+        SELECT g.nprobe, a.vec_id AS query_id, a.embedding AS q_vec,
+               a.centroid_id AS cell
+        FROM assign a CROSS JOIN grid g
+        WHERE a.vec_id < 8 AND a.cell_rank <= g.nprobe
+    ),
+    ivf AS (
+        SELECT p.nprobe, p.query_id, c.neighbor_id,
+               row_number() OVER (
+                   PARTITION BY p.nprobe, p.query_id
+                   ORDER BY {_IVF_COS} DESC, c.neighbor_id ASC
+               ) AS rank
+        FROM probes p JOIN cells c ON p.cell = c.cell AND p.query_id <> c.neighbor_id
+        QUALIFY rank <= 3
+    ),
+    exact AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round({_COS}, 6) DESC, c.vec_id ASC
+               ) AS rank
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id
+        QUALIFY rank <= 3
+    )
+    SELECT g.nprobe,
+           round(CAST(count(i.neighbor_id) AS DOUBLE)
+                 / (3.0 * (SELECT count(DISTINCT query_id) FROM exact)), 6) AS mean_recall_at_3,
+           CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(count(*) AS BIGINT) AS n_truth_pairs
+    FROM grid g
+    CROSS JOIN exact e
+    LEFT JOIN ivf i ON i.nprobe = g.nprobe AND e.query_id = i.query_id
+                   AND e.neighbor_id = i.neighbor_id
+    GROUP BY g.nprobe
+    """,
+    survey="NS-sim extended (ANN tuning curve: recall@3 vs nprobe — the IVF analog of d22's LSH S-curve audit)",
+)
+def v18_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many cells must a probe read?  Recall@3 against the exact
+    ground truth, measured at nprobe ∈ {{1, 2, 4}} of 8 cells — the
+    tuning curve that decides the IVF latency/recall trade BEFORE the
+    index ships (the ANN counterpart of d22's LSH S-curve calibration;
+    v6 pins the deployed nprobe=2 point, this sweeps the knob).  The
+    exact side is computed once and reused for every grid point; the IVF
+    side re-probes per nprobe on the same single-assignment cell layout,
+    so the whole sweep costs |grid| candidate joins, never |grid| index
+    builds.  At 100 TB the query set is a hash sample (x2-style), not
+    every vector."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 8)
+    par = spark.sparkContext.defaultParallelism
+    exact = SIM.knn_bruteforce(q, e, k=3, parallelism=par).select(
+        "query_id", "neighbor_id"
+    )
+    n_q = exact.select("query_id").distinct().count()
+    curves = None
+    for nprobe in (1, 2, 4):
+        ivf = SIM.knn_ivf(
+            q, e, k=3, n_centroids=8, nprobe=nprobe, parallelism=par
+        ).select(
+            F.col("query_id").alias("i_qid"), F.col("neighbor_id").alias("i_nid")
+        )
+        j = (
+            exact.join(
+                ivf,
+                (F.col("query_id") == F.col("i_qid"))
+                & (F.col("neighbor_id") == F.col("i_nid")),
+                "left",
+            )
+            .agg(
+                F.count("i_nid").alias("n_hits"),
+                F.count("*").alias("n_truth_pairs"),
+            )
+            .select(
+                F.lit(nprobe).alias("nprobe"),
+                F.round(
+                    F.col("n_hits").cast("double") / (3.0 * n_q), 6
+                ).alias("mean_recall_at_3"),
+                F.col("n_hits").cast("bigint").alias("n_hits"),
+                F.col("n_truth_pairs").cast("bigint").alias("n_truth_pairs"),
+            )
+        )
+        curves = j if curves is None else curves.unionByName(j)
+    return curves
