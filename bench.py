@@ -131,6 +131,7 @@ HEADLINE = [
     "x56_cdc_apply",  # ordered I/U/D changelog folded to table state
     "t28_rule_filter_report",  # C4-style rule cascade with drop accounting
     "v18_nprobe_recall_curve",  # IVF latency/recall tuning sweep
+    "j14_nearest_asof_join",  # either-direction nearest as-of
 ]
 
 

@@ -665,3 +665,84 @@ def j13_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("tx_from", "yyyy-MM-dd").alias("tx_from"),
         )
     )
+
+
+@register(
+    "j14_nearest_asof_join",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id, ts, value
+        FROM events WHERE event_type = 'purchase'
+        QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+    ),
+    pairs AS (
+        SELECT c.event_id, c.user_id, c.ts AS cts, p.ts AS pts, p.value,
+               row_number() OVER (
+                   PARTITION BY c.event_id
+                   ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)) ASC, p.ts ASC
+               ) AS rn
+        FROM clicks c JOIN purchases p USING (user_id)
+    )
+    SELECT c.event_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           b.value AS nearest_purchase_value,
+           CAST(epoch_us(b.pts) - epoch_us(c.ts) AS BIGINT) AS signed_dt_us
+    FROM clicks c
+    LEFT JOIN (SELECT * FROM pairs WHERE rn = 1) b ON b.event_id = c.event_id
+    """,
+    survey="custom op extended (NEAREST as-of join — either direction, backward-preferring tie-break; completes the backward/forward/nearest family)",
+)
+def j14_nearest_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third as-of semantics: for every click, the purchase NEAREST
+    in time in EITHER direction (j7 looks only backward, j9 only
+    forward), ties preferring the earlier/backward match.  Composed from
+    the two linear as-of operators — one backward pass + one forward
+    pass + a per-row CASE on the absolute deltas — so the plan is two
+    union+window joins (each ONE shuffle on the key), never the
+    quadratic candidate join the oracle uses for its tiny ground truth.
+    The matched timestamps travel as value columns so the distance
+    arithmetic is exact integer microseconds."""
+    from ..operators.asof import asof_join, asof_join_forward
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("value"))
+        .withColumn("p_ts", F.col("ts"))
+    )
+    back = asof_join(clicks, purchases, on="ts", by=["user_id"]).select(
+        "event_id",
+        F.col("value").alias("b_value"),
+        F.unix_micros(F.col("p_ts").cast("timestamp")).alias("b_us"),
+    )
+    fwd = asof_join_forward(clicks, purchases, on="ts", by=["user_id"]).select(
+        "event_id",
+        F.col("value").alias("f_value"),
+        F.unix_micros(F.col("p_ts").cast("timestamp")).alias("f_us"),
+    )
+    c = clicks.withColumn("c_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    j = c.join(back, "event_id", "left").join(fwd, "event_id", "left")
+    b_d = F.abs(F.col("c_us") - F.col("b_us"))
+    f_d = F.abs(F.col("f_us") - F.col("c_us"))
+    pick_b = F.col("b_us").isNotNull() & (
+        F.col("f_us").isNull() | (b_d <= f_d)
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.when(pick_b, F.col("b_value"))
+        .otherwise(F.col("f_value"))
+        .alias("nearest_purchase_value"),
+        F.when(pick_b, F.col("b_us") - F.col("c_us"))
+        .otherwise(F.col("f_us") - F.col("c_us"))
+        .cast("bigint")
+        .alias("signed_dt_us"),
+    )

@@ -51,7 +51,7 @@ SAMPLE = [
     "d23_chunk_contamination", "a35_ks_drift", "x53_negative_samples",
     "x54_column_profiler", "x55_shard_manifest", "d24_dedup_savings_report",
     "st21_stream_shard_manifest", "x56_cdc_apply", "t28_rule_filter_report",
-    "v18_nprobe_recall_curve",
+    "v18_nprobe_recall_curve", "j14_nearest_asof_join",
 ]
 
 # Documented raisers on empty input: exact selection has no k-th element;
