@@ -132,6 +132,7 @@ HEADLINE = [
     "t28_rule_filter_report",  # C4-style rule cascade with drop accounting
     "v18_nprobe_recall_curve",  # IVF latency/recall tuning sweep
     "j14_nearest_asof_join",  # either-direction nearest as-of
+    "w29_multitouch_attribution",  # linear credit split, exact milli-cents
 ]
 
 

@@ -1356,3 +1356,77 @@ def w27_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cusum",
         (F.col("cusum") > 5 * F.col("t")).alias("drift_alarm"),
     )
+
+
+@register(
+    "w29_multitouch_attribution",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT event_id AS p_id, user_id, ts AS p_ts,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touched AS (
+        SELECT c.event_id, c.user_id, p.p_id, p.value_cents
+        FROM clicks c JOIN purchases p
+          ON c.user_id = p.user_id
+         AND c.ts <= p.p_ts AND c.ts >= p.p_ts - INTERVAL 1 DAY
+    ),
+    share AS (
+        SELECT event_id, user_id, p_id,
+               value_cents * 1000 // count(*) OVER (PARTITION BY p_id) AS credit_mc
+        FROM touched
+    )
+    SELECT event_id, user_id,
+           CAST(count(*) AS BIGINT) AS n_conversions_touched,
+           CAST(sum(credit_mc) AS BIGINT) AS credited_millicents
+    FROM share GROUP BY event_id, user_id
+    """,
+    survey="W-std extended (multi-touch attribution: linear credit split across the conversion's preceding touches — exact integer milli-cents)",
+)
+def w29_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase's value is split
+    EQUALLY across the user's clicks in the preceding 24 h, and each
+    click accumulates its credit over every conversion it touched — the
+    revenue-attribution readout marketing actually reconciles against
+    (w13's funnel says WHETHER users convert; this says which touches
+    get paid).  Credit is computed in integer MILLI-CENTS with floor
+    division (value_cents·1000 div n_touches), so per-click sums are
+    order-independent and the driver hash matches bit-for-bit.
+
+    Scale shape: the touch join is keyed on user_id (hash join) with the
+    24 h range as a residual predicate — per-user event counts are
+    bounded, so no candidate explosion; the per-conversion touch count is
+    one window over the touched pairs, and the final per-click rollup is
+    a partial-aggregated groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_uid"),
+        F.col("ts").alias("p_ts"),
+        (dec2("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    touched = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_uid"))
+        & (F.col("ts") <= F.col("p_ts"))
+        & (F.col("ts") >= F.col("p_ts") - F.expr("INTERVAL 1 DAY")),
+    )
+    wp = W.partitionBy("p_id")
+    share = touched.select(
+        "event_id",
+        "user_id",
+        F.floor(
+            (F.col("value_cents") * 1000) / F.count("*").over(wp)
+        ).cast("bigint").alias("credit_mc"),
+    )
+    return share.groupBy("event_id", "user_id").agg(
+        F.count("*").cast("bigint").alias("n_conversions_touched"),
+        F.sum("credit_mc").cast("bigint").alias("credited_millicents"),
+    )

@@ -52,6 +52,7 @@ SAMPLE = [
     "x54_column_profiler", "x55_shard_manifest", "d24_dedup_savings_report",
     "st21_stream_shard_manifest", "x56_cdc_apply", "t28_rule_filter_report",
     "v18_nprobe_recall_curve", "j14_nearest_asof_join",
+    "w29_multitouch_attribution",
 ]
 
 # Documented raisers on empty input: exact selection has no k-th element;
