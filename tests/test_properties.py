@@ -823,3 +823,61 @@ def test_cdc_fold_equals_sequential_apply(spark, ops):
     # declarative fold keeps a key iff its LAST op isn't D; sequential
     # apply agrees because any non-D op after a delete re-inserts.
     assert got == state
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    clicks=st.lists(
+        st.integers(min_value=0, max_value=10**6), min_size=1, max_size=12
+    ),
+    purchases=st.lists(
+        st.integers(min_value=0, max_value=10**6), min_size=0, max_size=12
+    ),
+)
+def test_nearest_asof_backward_forward_compose(spark, clicks, purchases):
+    """j14's compose-from-two-linear-passes rule (backward candidate,
+    forward candidate, pick smaller |delta|, tie -> backward) must equal
+    the naive nearest-neighbor scan for any time layout, including
+    no-purchase users and exact ties."""
+    from pyspark.sql import functions as F
+
+    from data_etl_scripts_showcase__spark.operators.asof import (
+        asof_join,
+        asof_join_forward,
+    )
+
+    cdf = spark.createDataFrame(
+        [(i, 1, t) for i, t in enumerate(sorted(set(clicks)))],
+        "event_id long, user_id long, ts long",
+    )
+    pts = sorted(set(purchases))
+    pdf = spark.createDataFrame(
+        [(1, t, float(t)) for t in pts] or [(2, 0, 0.0)],
+        "user_id long, ts long, value double",
+    ).withColumn("p_ts", F.col("ts"))
+
+    back = asof_join(cdf, pdf, on="ts", by=["user_id"]).select(
+        "event_id", F.col("p_ts").alias("b_ts")
+    )
+    fwd = asof_join_forward(cdf, pdf, on="ts", by=["user_id"]).select(
+        "event_id", F.col("p_ts").alias("f_ts")
+    )
+    j = cdf.join(back, "event_id", "left").join(fwd, "event_id", "left")
+    b_d = F.abs(F.col("ts") - F.col("b_ts"))
+    f_d = F.abs(F.col("f_ts") - F.col("ts"))
+    pick_b = F.col("b_ts").isNotNull() & (F.col("f_ts").isNull() | (b_d <= f_d))
+    got = {
+        r.event_id: r.n_ts
+        for r in j.select(
+            "event_id",
+            F.when(pick_b, F.col("b_ts")).otherwise(F.col("f_ts")).alias("n_ts"),
+        ).collect()
+    }
+
+    def naive(t):
+        if not pts:
+            return None
+        return min(pts, key=lambda p: (abs(t - p), p))  # tie -> earlier
+
+    want = {i: naive(t) for i, t in enumerate(sorted(set(clicks)))}
+    assert got == want
