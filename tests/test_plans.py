@@ -614,3 +614,19 @@ class TestBucketPruning:
                 "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev
             )
             spark.sql("DROP TABLE IF EXISTS b_o_prune")
+
+    def test_j14_nearest_asof_no_range_explosion(self, spark):
+        """The nearest as-of composes two union+window passes — no
+        nested-loop or cartesian candidate join anywhere in the plan."""
+        plan = plan_of(spark, "j14_nearest_asof_join")
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_w29_attribution_join_keys_on_user(self, spark):
+        """Multi-touch attribution's touch join is an equality join on the
+        user key (the 24h bound rides as a residual filter), and the final
+        rollup partial-aggregates map-side."""
+        plan = plan_of(spark, "w29_multitouch_attribution")
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "partial_count" in plan or "partial_sum" in plan
