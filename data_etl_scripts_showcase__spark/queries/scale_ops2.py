@@ -140,6 +140,25 @@ def global_row_ids(
     )
 
 
+def ntile_from_rank(rank_col: str, n_col: str, k: int = 10):
+    """ntile(k)'s exact bucketing as closed-form arithmetic on a 0-based
+    global rank: with q = n div k and r = n mod k, the FIRST r buckets get
+    q+1 rows (ntile front-loads the remainder), so
+    bucket = rank < r(q+1) ? rank div (q+1) : r + (rank - r(q+1)) div q.
+    When n < k, q = 0 and every rank takes the first branch (r = n), so
+    the div-by-q arm never divides by zero.  Parity with the window
+    function is pinned in tests (TestNtileClosedForm, non-multiple-of-k
+    counts).  Returns the 0-based bucket as INT; add 1 for ntile's value.
+    """
+    return F.expr(
+        f"""CAST(CASE
+             WHEN {rank_col} < ({n_col} % {k}) * ({n_col} DIV {k} + 1)
+             THEN {rank_col} DIV ({n_col} DIV {k} + 1)
+             ELSE ({n_col} % {k}) + ({rank_col} - ({n_col} % {k}) * ({n_col} DIV {k} + 1)) DIV ({n_col} DIV {k})
+           END AS INT)"""
+    )
+
+
 @register(
     "x39_global_row_ids",
     oracle="""
@@ -1382,18 +1401,9 @@ def x44_distributed_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_totalprice", "o_orderkey"],
     )
     n = o.agg(F.count("*").alias("_n"))
-    # ntile's rule; when n < k, q = 0 and every rank falls in the first
-    # branch (r = n, rank < n·1), so the div-by-q arm never divides by 0.
-    ntile_expr = F.expr(
-        """CAST(CASE
-             WHEN row_id < (_n % 10) * (_n DIV 10 + 1)
-             THEN row_id DIV (_n DIV 10 + 1)
-             ELSE (_n % 10) + (row_id - (_n % 10) * (_n DIV 10 + 1)) DIV (_n DIV 10)
-           END AS INT)"""
-    )
     return (
         with_ids.crossJoin(F.broadcast(n))
-        .select("o_orderkey", ntile_expr.alias("_q"))
+        .select("o_orderkey", ntile_from_rank("row_id", "_n").alias("_q"))
         .select(
             "o_orderkey", (F.col("_q") + 1).cast("int").alias("price_decile")
         )
@@ -1971,19 +1981,12 @@ def x52_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["qs", "doc_id"],
     )
     n = q.agg(F.count("*").alias("_n"))
-    ntile_expr = F.expr(
-        """CAST(CASE
-             WHEN row_id < (_n % 10) * (_n DIV 10 + 1)
-             THEN row_id DIV (_n DIV 10 + 1)
-             ELSE (_n % 10) + (row_id - (_n % 10) * (_n DIV 10 + 1)) DIV (_n DIV 10)
-           END AS INT)"""
-    )
     with_dec = (
         with_ids.crossJoin(F.broadcast(n))
         .select(
             "doc_id",
             F.col("qs").alias("quality_score"),
-            (ntile_expr + 1).cast("int").alias("decile"),
+            (ntile_from_rank("row_id", "_n") + 1).cast("int").alias("decile"),
         )
     )
     return with_dec.select(
