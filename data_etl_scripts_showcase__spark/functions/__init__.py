@@ -31,6 +31,24 @@ def dsum2(col: Column | str, precision: int = 18) -> Column:
     return F.sum(dec2(col, precision)).cast("double")
 
 
+def ntz_epoch_us(col: Column | str) -> Column:
+    """Timezone-independent epoch microseconds of a TIMESTAMP_NTZ column.
+
+    ``unix_micros(CAST(ntz AS TIMESTAMP))`` interprets the wall-clock in the
+    session timezone — differences taken across a DST transition in a
+    non-UTC session would be off by the offset change, and absolute values
+    shift by the whole offset.  ``timestampdiff(MICROSECOND, epoch, ts)``
+    on the NTZ value is pure wall-clock arithmetic: identical under every
+    session timezone, matching DuckDB's ``epoch_us`` on the same data.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        c.cast("timestamp_ntz"),
+    )
+
+
 def davg2(col: Column | str, precision: int = 18) -> Column:
     """Deterministic mean: exact decimal sum ÷ count, one double division."""
     c = F.col(col) if isinstance(col, str) else col

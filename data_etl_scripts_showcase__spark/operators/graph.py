@@ -300,6 +300,8 @@ def bfs_hops(
     dist = sources.select(
         F.col("id"), F.lit(0).cast("bigint").alias("hops")
     ).localCheckpoint(eager=True)
+    changed = -1  # mirrors connected_components: max_iter <= 0 must hit the
+    # convergence warning below, not a NameError.
     for _ in range(max_iter):
         via = sym.join(dist, sym["a"] == dist["id"]).select(
             F.col("b").alias("id"), (F.col("hops") + 1).alias("hops")

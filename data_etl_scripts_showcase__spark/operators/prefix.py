@@ -36,9 +36,18 @@ def bucketed_running_sums(
     sum of ``value_col`` over all rows at-or-before this row.
 
     ``bucket_col`` must sort consistently with ``order_cols[0]`` (the
-    global_row_ids precondition).  All other columns pass through.
+    global_row_ids precondition) and must never evaluate to NULL: a NULL
+    bucket would silently vanish from the offsets join while still being
+    counted by callers that aggregate the un-joined input, so it is a
+    hard error raised row-side (JVM ``raise_error``, no extra action).
     """
-    b = df.withColumn("_bkt", bucket_col)
+    guarded = F.when(bucket_col.isNotNull(), bucket_col).otherwise(
+        F.raise_error(
+            F.lit("bucketed_running_sums: bucket_col evaluated to NULL; "
+                  "coalesce NULL order values into a sentinel bucket first")
+        )
+    )
+    b = df.withColumn("_bkt", guarded)
     offset_aggs = [F.sum(v).alias(f"_bt_{v}") for v in sums]
     off = b.groupBy("_bkt").agg(*offset_aggs)
     wprev = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)

@@ -56,28 +56,50 @@ def _distinct(field: T.StructField):
     return F.countDistinct(c)
 
 
+def _bq(name: str) -> str:
+    """Backtick-quote an arbitrary column name for Spark SQL (backticks in
+    the name are escaped by doubling, per the SQL identifier rules)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _slit(name: str) -> str:
+    """Single-quoted Spark SQL string literal for an arbitrary name."""
+    return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def column_profile(df: DataFrame) -> DataFrame:
     """One-pass profile of every column → (col, n_rows, n_null,
-    n_distinct, min_val, max_val)."""
+    n_distinct, min_val, max_val).
+
+    Works on ANY column name (spaces, dots, quotes, backticks): the input
+    is first projected onto positional ``_c{i}`` aliases — so the internal
+    aggregate aliases and the ``stack`` unpivot only ever see sanitized
+    identifiers — and the original name re-enters only as an escaped
+    string literal in the output ``col`` cell."""
+    fields = df.schema.fields
+    safe = df.select(
+        *[F.col(_bq(f.name)).alias(f"_c{i}") for i, f in enumerate(fields)]
+    )
     aggs = []
-    for f in df.schema.fields:
-        c = f.name
-        mn, mx = _extrema(f)
+    for i, f in enumerate(fields):
+        sf = T.StructField(f"_c{i}", f.dataType)
+        c = sf.name
+        mn, mx = _extrema(sf)
         aggs += [
             F.count("*").alias(f"{c}__n"),
             (F.count("*") - F.count(c)).alias(f"{c}__nn"),
-            _distinct(f).alias(f"{c}__nd"),
+            _distinct(sf).alias(f"{c}__nd"),
             mn.alias(f"{c}__mn"),
             mx.alias(f"{c}__mx"),
         ]
-    one = df.agg(*aggs)
-    cols = [f.name for f in df.schema.fields]
+    one = safe.agg(*aggs)
     stack_expr = ", ".join(
-        f"'{c}', {c}__n, {c}__nn, {c}__nd, {c}__mn, {c}__mx" for c in cols
+        f"{_slit(f.name)}, _c{i}__n, _c{i}__nn, _c{i}__nd, _c{i}__mn, _c{i}__mx"
+        for i, f in enumerate(fields)
     )
     return one.select(
         F.expr(
-            f"stack({len(cols)}, {stack_expr}) AS "
+            f"stack({len(fields)}, {stack_expr}) AS "
             "(col, n_rows, n_null, n_distinct, min_val, max_val)"
         )
     ).select(

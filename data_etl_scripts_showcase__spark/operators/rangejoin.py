@@ -19,10 +19,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import ntz_epoch_us
+
 
 def _bucket(ts: Column, seconds: int) -> Column:
     return F.floor(
-        F.unix_micros(ts.cast("timestamp")) / F.lit(seconds * 1_000_000)
+        ntz_epoch_us(ts) / F.lit(seconds * 1_000_000)
     )
 
 

@@ -61,7 +61,11 @@ def kth_smallest(
     if not 1 <= k <= n:
         raise ValueError(f"k={k} out of range 1..{n}")
 
-    cur = df.select(F.col(col).alias("_x"))
+    # NULLs are excluded from the rank set up front: k is validated against
+    # the non-null count, and row_number over ``_x ASC`` would otherwise
+    # sort NULLs first on the rounds=0 / width-underflow paths and shift
+    # the k-th rank.
+    cur = df.select(F.col(col).alias("_x")).where(F.col("_x").isNotNull())
     for _ in range(rounds):
         if lo == hi:
             return lo

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import ntz_epoch_us
 from ..sources import load_table
 from . import register
 
@@ -373,8 +374,8 @@ def j8_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "click_id",
         "purchase_id",
-        (F.unix_micros(F.col("ts").cast("timestamp"))
-         - F.unix_micros(F.col("p_ts").cast("timestamp"))).alias("offset_us"),
+        (ntz_epoch_us("ts")
+         - ntz_epoch_us("p_ts")).alias("offset_us"),
     )
 
 
@@ -720,14 +721,14 @@ def j14_nearest_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = asof_join(clicks, purchases, on="ts", by=["user_id"]).select(
         "event_id",
         F.col("value").alias("b_value"),
-        F.unix_micros(F.col("p_ts").cast("timestamp")).alias("b_us"),
+        ntz_epoch_us("p_ts").alias("b_us"),
     )
     fwd = asof_join_forward(clicks, purchases, on="ts", by=["user_id"]).select(
         "event_id",
         F.col("value").alias("f_value"),
-        F.unix_micros(F.col("p_ts").cast("timestamp")).alias("f_us"),
+        ntz_epoch_us("p_ts").alias("f_us"),
     )
-    c = clicks.withColumn("c_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    c = clicks.withColumn("c_us", ntz_epoch_us("ts"))
     j = c.join(back, "event_id", "left").join(fwd, "event_id", "left")
     b_d = F.abs(F.col("c_us") - F.col("b_us"))
     f_d = F.abs(F.col("f_us") - F.col("c_us"))

@@ -749,11 +749,13 @@ def v11_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("dist_u").cast("bigint").alias("adc_dist_u"))
     )
+    # Scale-safe top-k: orderBy().limit(k) compiles to TakeOrderedAndProject
+    # (parallel per-partition partial top-k, tiny driver merge) instead of an
+    # unpartitioned WindowExec that funnels every ADC-scored corpus row
+    # through one reducer.  The rank window then runs over only k rows.
+    top = scored.orderBy(F.col("adc_dist_u").asc(), F.col("neighbor_id").asc()).limit(5)
     rank_w = W.orderBy(F.col("adc_dist_u").asc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(rank_w).cast("int"))
-        .where(F.col("rank") <= 5)
-    )
+    return top.withColumn("rank", F.row_number().over(rank_w).cast("int"))
 
 
 @register(
@@ -1237,15 +1239,16 @@ def v17_ivf_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("dist_u").cast("bigint").alias("adc_dist_u"))
     )
-    adc_w = W.orderBy(F.col("adc_dist_u").asc(), F.col("neighbor_id").asc())
-    top = (
-        shortlist.withColumn("adc_rank", F.row_number().over(adc_w))
-        .where(F.col("adc_rank") <= 20)
-        .drop("adc_rank")
-    )
+    # Both selection stages use the scale-safe limit-first shape: the probed
+    # shortlist still grows with corpus size / nlist, so its top-20 must be a
+    # TakeOrderedAndProject (parallel partial top-k), not an unpartitioned
+    # WindowExec over the whole shortlist.  The rerank stage then windows
+    # over <= 20 rows only.
+    top = shortlist.orderBy(
+        F.col("adc_dist_u").asc(), F.col("neighbor_id").asc()
+    ).limit(20)
     qvec = corpus.where(F.col("vec_id") == 0).select(F.col("vec").alias("qvec"))
-    rerank_w = W.orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
-    return (
+    reranked = (
         top.join(corpus, top["neighbor_id"] == corpus["vec_id"])
         .crossJoin(F.broadcast(qvec))
         .select(
@@ -1253,9 +1256,11 @@ def v17_ivf_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "adc_dist_u",
             F.round(SIM.cosine("vec", "qvec"), 6).alias("cos_sim"),
         )
-        .withColumn("rank", F.row_number().over(rerank_w).cast("int"))
-        .where(F.col("rank") <= 5)
+        .orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+        .limit(5)
     )
+    rerank_w = W.orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return reranked.withColumn("rank", F.row_number().over(rerank_w).cast("int"))
 
 
 @register(

@@ -455,8 +455,12 @@ def x11_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     their skew factor vs a uniform key distribution — the diagnostic that
     decides WHEN the x1/x6 salting strategies are worth their extra pass.
     One key-count aggregate (map-side partials), a broadcast 1-row total,
-    and a top-k rank with a pinned (count desc, key asc) tie-break; at
-    100 TB the rank input is |distinct keys| rows, not |rows|."""
+    and a top-k rank with a pinned (count desc, key asc) tie-break.  The
+    top-10 is selected limit-first (``orderBy().limit(10)`` →
+    TakeOrderedAndProject, parallel partial top-k) BEFORE the rank window
+    runs — a skew diagnostic is exactly the query that meets
+    high-cardinality keys, so the selection must never funnel all
+    |distinct keys| rows through one reducer."""
     from pyspark.sql import Window as W
 
     ev = load_table(spark, sf_dir, "events")
@@ -464,7 +468,8 @@ def x11_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = c.agg(
         F.sum("n").alias("total"), F.count("*").alias("n_keys")
     )
-    r = c.crossJoin(F.broadcast(t)).withColumn(
+    top = c.orderBy(F.col("n").desc(), F.col("user_id").asc()).limit(10)
+    r = top.crossJoin(F.broadcast(t)).withColumn(
         "rk", F.row_number().over(W.orderBy(F.col("n").desc(), F.col("user_id").asc()))
     )
     return r.where(F.col("rk") <= 10).select(

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions import dec2
+from ..functions import dec2, ntz_epoch_us
 from ..sources import load_table
 from . import register
 
@@ -228,7 +228,7 @@ def w7_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch micros (int64) for cross-engine determinism."""
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    us = ntz_epoch_us("ts")
     prev_us = F.lag(us).over(w)
     flagged = ev.withColumn(
         "new_session",
@@ -241,8 +241,8 @@ def w7_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return numbered.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
         (
-            F.max(F.unix_micros(F.col("ts").cast("timestamp")))
-            - F.min(F.unix_micros(F.col("ts").cast("timestamp")))
+            F.max(ntz_epoch_us("ts"))
+            - F.min(ntz_epoch_us("ts"))
         ).alias("duration_us"),
     )
 
@@ -265,7 +265,7 @@ def w8_rolling_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal timestamps land in the same frame on both engines, so no
     tie-break is needed for determinism (plus exact-decimal summation)."""
     ev = load_table(spark, sf_dir, "events")
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    us = ntz_epoch_us("ts")
     w = (
         W.partitionBy("user_id")
         .orderBy(us.asc())
@@ -453,7 +453,7 @@ def w13_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw event stream is needed (min-by-filter beats sort-based
     sessionizing when only stage boundaries matter)."""
     ev = load_table(spark, sf_dir, "events")
-    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    us = ntz_epoch_us
     signup = (
         ev.where(F.col("event_type") == "signup")
         .groupBy("user_id")
@@ -576,7 +576,7 @@ def w15_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer microseconds (epoch_us convention), so only the final
     ratio is floating point."""
     ev = load_table(spark, sf_dir, "events")
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    us = ntz_epoch_us("ts")
     w = W.partitionBy("user_id").orderBy("us", "event_id")
     o = (
         ev.select("user_id", "value", us.alias("us"), "event_id")
@@ -819,7 +819,7 @@ def w19_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     # argmax key both engines implement identically (struct keys are not
     # portable to the oracle's min_by)
     order = F.format_string(
-        "%020d%012d", F.unix_micros(F.col("ts").cast("timestamp")), F.col("event_id")
+        "%020d%012d", ntz_epoch_us("ts"), F.col("event_id")
     )
     return (
         ev.withColumn("bar", F.date_trunc("hour", "ts"))
@@ -1370,14 +1370,19 @@ def w27_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events WHERE event_type = 'purchase'
     ),
     touched AS (
-        SELECT c.event_id, c.user_id, p.p_id, p.value_cents
+        SELECT c.event_id, c.user_id, c.ts, p.p_id, p.value_cents
         FROM clicks c JOIN purchases p
           ON c.user_id = p.user_id
          AND c.ts <= p.p_ts AND c.ts >= p.p_ts - INTERVAL 1 DAY
     ),
     share AS (
         SELECT event_id, user_id, p_id,
-               value_cents * 1000 // count(*) OVER (PARTITION BY p_id) AS credit_mc
+               value_cents * 1000 // count(*) OVER (PARTITION BY p_id)
+               + CASE WHEN row_number() OVER (
+                          PARTITION BY p_id ORDER BY ts ASC, event_id ASC
+                      ) = 1
+                      THEN (value_cents * 1000) % (count(*) OVER (PARTITION BY p_id))
+                      ELSE 0 END AS credit_mc
         FROM touched
     )
     SELECT event_id, user_id,
@@ -1393,15 +1398,21 @@ def w29_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     click accumulates its credit over every conversion it touched — the
     revenue-attribution readout marketing actually reconciles against
     (w13's funnel says WHETHER users convert; this says which touches
-    get paid).  Credit is computed in integer MILLI-CENTS with floor
-    division (value_cents·1000 div n_touches), so per-click sums are
-    order-independent and the driver hash matches bit-for-bit.
+    get paid).  Credit is computed in integer MILLI-CENTS and CONSERVED
+    exactly: each touch gets value_mc div n_touches, and the remainder
+    goes to the earliest touch (ties by event_id) — so per-purchase
+    credit sums reconcile to the purchase value bit-for-bit (the
+    hypothesis property test pins this invariant over generated
+    streams), and per-click sums are order-independent.
 
     Scale shape: the touch join is keyed on user_id (hash join) with the
     24 h range as a residual predicate — per-user event counts are
-    bounded, so no candidate explosion; the per-conversion touch count is
-    one window over the touched pairs, and the final per-click rollup is
-    a partial-aggregated groupBy."""
+    bounded, so no candidate explosion; the per-conversion touch count
+    and earliest-touch rank ride one window over the touched pairs
+    (operators/attribution.py), and the final per-click rollup is a
+    partial-aggregated groupBy."""
+    from ..operators.attribution import linear_attribution
+
     ev = load_table(spark, sf_dir, "events")
     clicks = ev.where(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
@@ -1412,20 +1423,7 @@ def w29_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("p_ts"),
         (dec2("value") * 100).cast("bigint").alias("value_cents"),
     )
-    touched = clicks.join(
-        purchases,
-        (F.col("user_id") == F.col("p_uid"))
-        & (F.col("ts") <= F.col("p_ts"))
-        & (F.col("ts") >= F.col("p_ts") - F.expr("INTERVAL 1 DAY")),
-    )
-    wp = W.partitionBy("p_id")
-    share = touched.select(
-        "event_id",
-        "user_id",
-        F.floor(
-            (F.col("value_cents") * 1000) / F.count("*").over(wp)
-        ).cast("bigint").alias("credit_mc"),
-    )
+    share = linear_attribution(clicks, purchases)
     return share.groupBy("event_id", "user_id").agg(
         F.count("*").cast("bigint").alias("n_conversions_touched"),
         F.sum("credit_mc").cast("bigint").alias("credited_millicents"),

@@ -18,7 +18,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import dec2
+from ..functions import dec2, ntz_epoch_us
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,7 +162,7 @@ def stateful_user_activity(events: DataFrame) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    src = events.select(F.col("user_id"), F.unix_micros("ts").alias("ts_us"))
+    src = events.select(F.col("user_id"), ntz_epoch_us("ts").alias("ts_us"))
 
     out_schema = (
         "user_id bigint, n_events bigint, first_ts_us bigint, last_ts_us bigint"
@@ -319,8 +319,8 @@ def click_purchase_attribution(
         "purchase_id",
         F.col("c_user").alias("user_id"),
         (
-            F.unix_micros(F.col("purchase_ts").cast("timestamp"))
-            - F.unix_micros(F.col("click_ts").cast("timestamp"))
+            ntz_epoch_us("purchase_ts")
+            - ntz_epoch_us("click_ts")
         ).alias("lag_us"),
     )
 
@@ -580,7 +580,11 @@ def idempotent_epoch_sink(
 def write_epoch(df: DataFrame, out_path: str, epoch_id: int) -> None:
     """One epoch's write, exposed so tests can replay an epoch verbatim."""
     (
-        df.withColumn("epoch", F.lit(int(epoch_id)))
+        # The epoch is encoded ONLY in the partition directory name —
+        # writing it into the files too would collide with partition
+        # discovery on read-back (COLUMN_ALREADY_EXISTS noise burying
+        # real warnings).  Parent-dir readers get `epoch` from discovery.
+        df.drop("epoch")
         .write.mode("overwrite")
         .parquet(f"{out_path}/epoch={int(epoch_id)}")
     )
@@ -704,7 +708,6 @@ def streaming_row_ids(
         ).select(
             "event_id",
             (F.col("row_id") + F.lit(offset)).alias("row_id"),
-            F.lit(int(epoch_id)).alias("epoch"),
         )
         with_ids.write.mode("overwrite").parquet(
             f"{out_path}/epoch={int(epoch_id)}"
@@ -870,7 +873,7 @@ def streaming_exact_dedup(docs: DataFrame, out_path: str) -> None:
                 keep = keep.join(seen, "fingerprint", "left_anti")
             except AnalysisException:
                 pass
-        keep.withColumn("epoch", F.lit(int(epoch_id))).write.mode(
+        keep.drop("epoch").write.mode(
             "overwrite"
         ).parquet(f"{out_path}/epoch={int(epoch_id)}")
 
@@ -947,9 +950,9 @@ def streaming_neardup_gate(docs: DataFrame, out_path: str) -> None:
         kept = (
             batch.select("doc_id")
             .join(dropped, "doc_id", "left_anti")
-            .withColumn("epoch", F.lit(int(epoch_id)))
+            .drop("epoch")
         )
-        bk.withColumn("epoch", F.lit(int(epoch_id))).write.mode(
+        bk.drop("epoch").write.mode(
             "overwrite"
         ).parquet(f"{seen_path}/epoch={int(epoch_id)}")
         kept.write.mode("overwrite").parquet(
@@ -1020,7 +1023,7 @@ def streaming_shard_manifest(docs: DataFrame, out_path: str) -> None:
                 .cast("bigint")
                 .alias("shard_id"),
             )
-            .withColumn("epoch", F.lit(int(epoch_id)))
+            .drop("epoch")
         )
         assigned.write.mode("overwrite").parquet(
             f"{out_path}/epoch={int(epoch_id)}"

@@ -1192,3 +1192,98 @@ class TestColumnProfile:
         # arrays profile by size: min size 0, max size 2
         assert prof["arr"]["min_val"] == "0" and prof["arr"]["max_val"] == "2"
         assert all(r["n_rows"] == 4 for r in prof.values())
+
+
+class TestAdviceR3Fixes:
+    """Regression pins for the round-3 ADVICE items."""
+
+    def test_kth_smallest_ignores_nulls(self, spark):
+        """NULLs must not shift the k-th rank on the rounds=0 or
+        width-underflow paths (k is validated against the non-null
+        count; row_number over _x ASC would otherwise sort NULLs
+        first)."""
+        from data_etl_scripts_showcase__spark.operators.selection import (
+            kth_smallest,
+        )
+
+        vals = [3.0, None, 1.0, None, 2.0, None]
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        for rounds in (0, 2):
+            assert kth_smallest(df, "x", 1, rounds=rounds) == 1.0
+            assert kth_smallest(df, "x", 2, rounds=rounds) == 2.0
+            assert kth_smallest(df, "x", 3, rounds=rounds) == 3.0
+
+    def test_running_sums_null_bucket_is_hard_error(self, spark):
+        """A NULL bucket key would silently vanish from the offsets join
+        while still being counted by callers aggregating the un-joined
+        input — it must raise, not diverge."""
+        import pytest
+        from pyspark.sql import functions as F
+        from py4j.protocol import Py4JJavaError
+
+        from data_etl_scripts_showcase__spark.operators.prefix import (
+            bucketed_running_sums,
+        )
+
+        df = spark.createDataFrame(
+            [(None, 1), ("b", 2)], "k string, v bigint"
+        )
+        out = bucketed_running_sums(df, F.col("k"), ["v"], {"v": "rs"})
+        with pytest.raises(Exception, match="bucket_col"):
+            out.collect()
+
+    def test_bfs_hops_zero_iterations_warns_not_nameerror(self, spark):
+        """max_iter=0 must exit through the convergence warning (like
+        connected_components), never a NameError on `changed`."""
+        import pytest
+
+        from data_etl_scripts_showcase__spark.operators.graph import bfs_hops
+
+        edges = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+        sources = spark.createDataFrame([(1,)], "id bigint")
+        with pytest.warns(RuntimeWarning, match="bfs_hops"):
+            got = bfs_hops(edges, sources, max_iter=0)
+            assert got.count() == 1  # sources only, no expansion ran
+
+    def test_column_profile_exotic_column_names(self, spark):
+        """Names with spaces, dots, quotes, and backticks must profile
+        correctly (CLI-exposed on ANY table): positional sanitization
+        inside, escaped literal out."""
+        from data_etl_scripts_showcase__spark.operators.profile import (
+            column_profile,
+        )
+
+        data = [(1, 2.0, "x"), (2, None, "y")]
+        names = ["a b", "c.d", "it's`q"]
+        df = spark.createDataFrame(data, "x1 bigint, x2 double, x3 string")
+        for old, new in zip(["x1", "x2", "x3"], names):
+            df = df.withColumnRenamed(old, new)
+        prof = {r["col"]: r.asDict() for r in column_profile(df).collect()}
+        assert set(prof) == set(names)
+        assert prof["a b"]["n_distinct"] == 2
+        assert prof["c.d"]["n_null"] == 1
+        assert prof["it's`q"]["min_val"] == "x"
+
+    def test_attribution_operator_importable_shape(self, spark):
+        """linear_attribution keeps per-touch rows with conserved credit
+        (full invariant property-tested in test_properties)."""
+        from pyspark.sql import functions as F
+
+        from data_etl_scripts_showcase__spark.operators.attribution import (
+            linear_attribution,
+        )
+
+        clicks = spark.createDataFrame(
+            [(1, 7, 100), (2, 7, 200)], "event_id bigint, user_id bigint, sec bigint"
+        ).select("event_id", "user_id", F.timestamp_seconds("sec").alias("ts"))
+        purchases = spark.createDataFrame(
+            [(10, 7, 300, 101)],
+            "p_id bigint, p_uid bigint, p_sec bigint, value_cents bigint",
+        ).select(
+            "p_id", "p_uid", F.timestamp_seconds("p_sec").alias("p_ts"), "value_cents"
+        )
+        rows = linear_attribution(clicks, purchases).collect()
+        got = {r.event_id: r.credit_mc for r in rows}
+        # 101000 mc / 2 = 50500 each, remainder 0; earliest is event 1
+        assert got == {1: 50500, 2: 50500}
+        assert sum(got.values()) == 101 * 1000

@@ -630,3 +630,101 @@ class TestBucketPruning:
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
         assert "partial_count" in plan or "partial_sum" in plan
+
+
+class TestRound4Plans:
+    """Round-4 scale fixes: top-k selection shapes and the engine-wide
+    unpartitioned-window audit (VERDICT r3 items 1-2)."""
+
+    def test_v11_topk_is_take_ordered(self, spark):
+        """v11's final top-5 over the FULL ADC-scored corpus must compile
+        to TakeOrderedAndProject (parallel per-partition partial top-k,
+        tiny driver merge) — never an unpartitioned row_number over an
+        input that grows with the corpus.  The rank window then runs over
+        only k rows."""
+        plan = plan_of(spark, "v11_pq_adc_topk")
+        assert "TakeOrderedAndProject" in plan
+
+    def test_v17_both_selection_stages_take_ordered(self, spark):
+        """v17 selects twice (ADC shortlist top-20, exact-rerank top-5);
+        BOTH must be TakeOrderedAndProject — the probed shortlist still
+        scales with corpus size / nlist."""
+        plan = plan_of(spark, "v17_ivf_adc_rerank")
+        assert plan.count("TakeOrderedAndProject") >= 2
+
+    def test_x11_heavy_hitters_limit_first(self, spark):
+        """The skew diagnostic is exactly the query that meets
+        high-cardinality keys: its top-10 selection must be a
+        TakeOrderedAndProject over the key counts, not a global window
+        over all |distinct keys| rows."""
+        plan = plan_of(spark, "x11_heavy_hitters")
+        assert "TakeOrderedAndProject" in plan
+
+
+class TestEngineWideWindowAudit:
+    """Companion to TestEngineWidePlanAudit: no query may ship an
+    unpartitioned WindowExec whose input is unbounded.
+
+    A WindowExec with an empty partition spec moves EVERY input row to a
+    single partition — the one-reducer sort that turns a parallel plan
+    into a scale-killer at 100 TB (the v11/v17 class VERDICT r3 named).
+    It is acceptable ONLY when the input is already bounded: a preceding
+    TakeOrderedAndProject / GlobalLimit (top-k first, rank the k rows) or
+    an aggregate-to-constant (scalar digest).  Whitelist is currently
+    EMPTY — every global rank in the engine is limit-first or
+    scalar-bounded; w9/t18's global ntiles sit over aggregate-to-constant
+    / limited inputs and pass on their own (their scale-safe twins are
+    x44's bucketed deciles and a21's cutpoints)."""
+
+    # Same build-time-action skips as the cartesian audit.
+    SKIP = TestEngineWidePlanAudit.SKIP
+    WHITELIST: set[str] = set()
+
+    @staticmethod
+    def _walk(node):
+        yield node
+        ch = node.children()
+        for i in range(ch.size()):
+            yield from TestEngineWideWindowAudit._walk(ch.apply(i))
+
+    @classmethod
+    def _has_unbounded_global_window(cls, jplan) -> bool:
+        bounding = ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit")
+        for node in cls._walk(jplan):
+            if node.getClass().getSimpleName() != "WindowExec":
+                continue
+            if not node.partitionSpec().isEmpty():
+                continue
+            bounded = False
+            for d in cls._walk(node):
+                if d is node:
+                    continue
+                dcls = d.getClass().getSimpleName()
+                if any(b in dcls for b in bounding):
+                    bounded = True
+                    break
+                if "Aggregate" in dcls:
+                    try:
+                        if d.groupingExpressions().isEmpty():
+                            bounded = True
+                            break
+                    except Exception:
+                        pass
+            if not bounded:
+                return True
+        return False
+
+    def test_no_unbounded_global_windows_anywhere(self, spark):
+        registry = load_all()
+        offenders = []
+        for name, q in sorted(registry.items()):
+            if name in self.SKIP or name in self.WHITELIST:
+                continue
+            try:
+                jplan = q.fn(spark, SF)._jdf.queryExecution().executedPlan()
+            except Exception as e:  # pragma: no cover - surface build errors
+                offenders.append(f"{name}: plan build failed: {e}")
+                continue
+            if self._has_unbounded_global_window(jplan):
+                offenders.append(name)
+        assert not offenders, offenders

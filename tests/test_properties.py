@@ -881,3 +881,65 @@ def test_nearest_asof_backward_forward_compose(spark, clicks, purchases):
 
     want = {i: naive(t) for i, t in enumerate(sorted(set(clicks)))}
     assert got == want
+
+
+@FAST
+@given(
+    st.lists(  # clicks: (user, offset-seconds within a day)
+        st.tuples(st.integers(0, 3), st.integers(0, 86_400)),
+        min_size=0,
+        max_size=40,
+    ),
+    st.lists(  # purchases: (user, offset-seconds, value in cents)
+        st.tuples(st.integers(0, 3), st.integers(0, 86_400), st.integers(0, 10**7)),
+        min_size=1,
+        max_size=20,
+    ),
+)
+def test_attribution_conserves_purchase_value(spark, crows, prows):
+    """w29's money-conservation invariant (VERDICT r4 item 5): for every
+    purchase with >= 1 touch, the credits distributed across its touches
+    sum EXACTLY to the purchase value in milli-cents; every touch gets at
+    least the floor share; and the remainder lands on the earliest touch
+    (ties by event_id) — bit-exact over generated click/purchase streams."""
+    from data_etl_scripts_showcase__spark.operators.attribution import (
+        linear_attribution,
+    )
+
+    base = 1_700_000_000
+    clicks = spark.createDataFrame(
+        [(i, u, base + t) for i, (u, t) in enumerate(crows)],
+        "event_id bigint, user_id bigint, sec bigint",
+    ).select("event_id", "user_id", F.timestamp_seconds("sec").alias("ts"))
+    purchases = spark.createDataFrame(
+        [(10_000 + i, u, base + t, v) for i, (u, t, v) in enumerate(prows)],
+        "p_id bigint, p_uid bigint, p_sec bigint, value_cents bigint",
+    ).select(
+        "p_id", "p_uid", F.timestamp_seconds("p_sec").alias("p_ts"), "value_cents"
+    )
+    share = linear_attribution(clicks, purchases).collect()
+
+    # brute-force ground truth of the touch set
+    touches = {}  # p_id -> sorted [(ts, event_id)]
+    pmap = {10_000 + i: (u, base + t, v) for i, (u, t, v) in enumerate(prows)}
+    for i, (u, t) in enumerate(crows):
+        cts = base + t
+        for p_id, (pu, pts, v) in pmap.items():
+            if u == pu and cts <= pts and cts >= pts - 86_400:
+                touches.setdefault(p_id, []).append((cts, i))
+    got = {}
+    for r in share:
+        got.setdefault(r.p_id, []).append(r)
+    assert set(got) == set(touches)
+    for p_id, rows_ in got.items():
+        _, _, v = pmap[p_id]
+        n = len(touches[p_id])
+        assert len(rows_) == n
+        # conservation: credits sum to the exact purchase milli-cents
+        assert sum(r.credit_mc for r in rows_) == v * 1000, (p_id, rows_)
+        base_share = (v * 1000) // n
+        rem = (v * 1000) % n
+        earliest = min(touches[p_id])[1]
+        for r in rows_:
+            want = base_share + (rem if r.event_id == earliest else 0)
+            assert r.credit_mc == want, (p_id, r.event_id, r.credit_mc, want)

@@ -339,11 +339,76 @@ class TestStreamingRowIds:
         ).select(
             "event_id",
             (F.col("row_id") + F.lit(offset)).alias("row_id"),
-            F.lit(int(replay_epoch)).alias("epoch"),
         )
         with_ids.write.mode("overwrite").parquet(f"{out}/epoch={replay_epoch}")
         ids2 = sorted(r.row_id for r in spark.read.parquet(out).collect())
         assert ids2 == list(range(n))
+
+    def test_resume_with_same_checkpoint_keeps_ids_dense(
+        self, spark, sf_dir, tmp_path
+    ):
+        """The positive path of the checkpoint-reuse guard (VERDICT r4
+        item 6): run the job, stop, add new source files, re-run with the
+        SAME checkpoint_location — the resumed query must process only the
+        new files and chain their ids after the committed ones, so the
+        union stays dense [0, N), unique, with no overlap between the two
+        runs' epochs."""
+        import pyspark.sql.functions as F
+
+        from data_etl_scripts_showcase__spark.sources import load_table
+        from data_etl_scripts_showcase__spark.streaming.jobs import (
+            streaming_row_ids,
+        )
+
+        ev = load_table(spark, sf_dir, "events").limit(200)
+        src = str(tmp_path / "src")
+        # first run: two source files
+        for i in range(2):
+            ev.where(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        n1 = spark.read.parquet(src).count()
+
+        schema = spark.read.parquet(src).schema
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+
+        def run():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            streaming_row_ids(stream, out, checkpoint_location=ckpt)
+
+        run()
+        first_ids = sorted(
+            r.row_id for r in spark.read.parquet(out).collect()
+        )
+        assert first_ids == list(range(n1))
+
+        # stop happened (availableNow drains and terminates); add new files
+        for i in range(2, 4):
+            ev.where(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        n2 = spark.read.parquet(src).count()
+
+        run()  # resume: same checkpoint, same out_path
+        got = spark.read.parquet(out)
+        ids = sorted(r.row_id for r in got.select("row_id").collect())
+        assert ids == list(range(n2))  # dense + unique across the restart
+        # the first run's ids were not renumbered, and the resumed epochs
+        # continued from the committed offset (no overlap)
+        resumed = sorted(
+            r.row_id
+            for r in got.join(
+                spark.read.parquet(out).where(F.col("row_id") < n1),
+                "row_id",
+                "left_anti",
+            ).collect()
+        )
+        assert resumed == list(range(n1, n2))
 
     def test_fresh_checkpoint_refuses_nonempty_out_path(self, spark, sf_dir, tmp_path):
         """A fresh (implicit) checkpoint restarts epochs at 0, so running
