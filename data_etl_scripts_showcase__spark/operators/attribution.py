@@ -10,11 +10,17 @@ milli-cents) is distributed EXACTLY across its touches —
 
     sum(credit_mc over the purchase's touches) == value_cents * 1000
 
-Each touch gets ``value_mc div n_touches`` and the remainder
-(``value_mc mod n_touches`` < n_touches) goes to the EARLIEST touch
-(ties broken by event_id), so the split is deterministic, integer, and
-order-independent — the driver's hash gate and a finance reconciliation
-both see bit-identical totals.
+Each touch gets the FLOOR share ``floor(value_mc / n_touches)`` and the
+floor-consistent remainder ``pmod(value_mc, n_touches)`` (always in
+``[0, n)``, even for refunds where value_mc < 0) goes to the EARLIEST
+touch (ties broken by event_id), so the split is deterministic, integer,
+and order-independent — the driver's hash gate and a finance
+reconciliation both see bit-identical totals.  ``base*n + rem ==
+value_mc`` holds for ANY sign of value_mc; a sign-of-dividend ``%``
+would break it for negatives (e.g. -7 mc over 2 touches would credit
+-9).  All arithmetic is bigint (pmod + exact ``div`` on the already-
+divisible numerator) — no double division, so parity with the integer
+oracle holds past 2^53.
 
 Scale shape: the touch join is keyed on user_id (hash join) with the
 time window as a residual predicate; the per-purchase touch count and
@@ -47,15 +53,26 @@ def linear_attribution(
     )
     wp = W.partitionBy("p_id")
     wr = wp.orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    n = F.count("*").over(wp)
-    value_mc = F.col("value_cents") * 1000
-    base = F.floor(value_mc / n).cast("bigint")
-    rem = (value_mc % n).cast("bigint")
-    first = F.row_number().over(wr) == 1
-    return touched.select(
+    staged = touched.select(
         "event_id",
         "user_id",
         "p_id",
         "value_cents",
-        (base + F.when(first, rem).otherwise(F.lit(0))).alias("credit_mc"),
+        (F.col("value_cents").cast("bigint") * 1000).alias("_vmc"),
+        F.count("*").over(wp).alias("_n"),
+        (F.row_number().over(wr) == 1).alias("_first"),
+    )
+    # floor-consistent split in pure bigint: rem = pmod(vmc, n) in [0, n);
+    # (vmc - rem) is exactly divisible by n, so integral `div` == floor —
+    # conservation holds for negative vmc and bit-exactly above 2^53.
+    rem = F.pmod(F.col("_vmc"), F.col("_n"))
+    base = F.expr("(_vmc - pmod(_vmc, _n)) div _n")
+    return staged.select(
+        "event_id",
+        "user_id",
+        "p_id",
+        "value_cents",
+        (base + F.when(F.col("_first"), rem).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("credit_mc"),
     )

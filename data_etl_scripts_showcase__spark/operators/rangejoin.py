@@ -22,10 +22,22 @@ from pyspark.sql import functions as F
 from ..functions import ntz_epoch_us
 
 
-def _bucket(ts: Column, seconds: int) -> Column:
-    return F.floor(
-        ntz_epoch_us(ts) / F.lit(seconds * 1_000_000)
-    )
+def _bucket(ts: Column, seconds: int, dtype: str) -> Column:
+    """Quantize a timestamp-or-numeric column into ``seconds``-wide buckets.
+
+    Two contracts, chosen by the RESOLVED dtype (the operator has the
+    DataFrame in hand):
+    - timestamp / timestamp_ntz / date → DST-safe wall-clock microseconds
+      via :func:`ntz_epoch_us` (a plain ``unix_micros(cast)`` would shift
+      across DST transitions in non-UTC sessions);
+    - numeric (bigint/int/double…) → the value IS epoch seconds;
+      ``floor(ts / seconds)`` directly.  Casting a numeric through
+      TIMESTAMP_NTZ is not a legal Spark cast, and routing it through the
+      session timezone would silently change the bucket boundaries.
+    """
+    if dtype.startswith("timestamp") or dtype == "date":
+        return F.floor(ntz_epoch_us(ts) / F.lit(seconds * 1_000_000))
+    return F.floor(ts / F.lit(seconds)).cast("bigint")
 
 
 def interval_join(
@@ -42,13 +54,17 @@ def interval_join(
     Returns all columns of both sides (names must not collide outside
     ``by``).  Equality-join plan — no nested-loop, no cartesian.
     """
-    p = points.withColumn("_b", _bucket(F.col(point_ts), bucket_seconds))
+    p_dtype = dict(points.dtypes)[point_ts]
+    iv_dtypes = dict(intervals.dtypes)
+    p = points.withColumn(
+        "_b", _bucket(F.col(point_ts), bucket_seconds, p_dtype)
+    )
     iv = intervals.withColumn(
         "_b",
         F.explode(
             F.sequence(
-                _bucket(F.col(start_col), bucket_seconds),
-                _bucket(F.col(end_col), bucket_seconds),
+                _bucket(F.col(start_col), bucket_seconds, iv_dtypes[start_col]),
+                _bucket(F.col(end_col), bucket_seconds, iv_dtypes[end_col]),
             )
         ),
     )

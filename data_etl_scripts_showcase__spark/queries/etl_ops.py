@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..functions import dec2
 from ..sources import load_table
-from . import register
+from . import fragment, register
 
 _CUT = "1998-01-01"
 
@@ -904,4 +904,42 @@ def x37_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seq").cast("bigint").alias("last_seq"),
         F.col("op").alias("last_op"),
         F.col("val").cast("double").alias("last_val"),
+    )
+
+
+# -- plan-audit fragments (VERDICT r4 #3) ------------------------------------
+
+
+@fragment("x18_bucketed_colocated_join")
+def _frag_x18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same merge-hint sort-merge join + rollup, on the unbucketed loads
+    # (the bucketed zero-exchange property itself is plan-asserted by the
+    # dedicated test that reads the written tables)
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    return (
+        o.hint("merge")
+        .join(c, on=["o_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(dec2("o_totalprice")).cast("double").alias("price_sum"),
+        )
+    )
+
+
+@fragment("x19_targeted_delete")
+def _frag_x19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the delete's two lazy plans fused: partition-find is a metadata-scale
+    # distinct, the rewrite is this anti-filter; the post-delete aggregate
+    # is what the query returns
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ds", F.date_format("ts", "yyyy-MM-dd")
+    )
+    kept = ev.where(~F.col("user_id").isin(3, 7))
+    return kept.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )

@@ -36,7 +36,7 @@ from ..sources.files import (
     write_orc,
     write_text,
 )
-from . import register
+from . import fragment, register
 
 
 def _tmp(prefix: str) -> str:
@@ -686,4 +686,89 @@ def io15_version_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
         F.lit(int(n_kept)).cast("bigint").alias("n_versions_kept"),
+    )
+
+
+# -- plan-audit fragments (VERDICT r4 #3) ------------------------------------
+# The io* roundtrips write files at build; the read-back side is a plain
+# scan.  Each fragment is the query's operator tree applied directly to the
+# pre-write frame — the lazily-buildable plan the engine-wide audits walk.
+
+
+@fragment("io1_csv_roundtrip")
+def _frag_io1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum(dec2("c_acctbal")).cast("double").alias("acct_sum"),
+    )
+
+
+@fragment("io2_json_archive_roundtrip")
+def _frag_io2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    target = o.where(F.col("o_orderkey") % 100 == 0)
+    return target.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(dec2("o_totalprice")).cast("double").alias("price_sum"),
+    )
+
+
+@fragment("io3_snapshot_sink_roundtrip")
+def _frag_io3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    return s.groupBy(F.col("s_nationkey").alias("nation")).agg(
+        F.count("*").alias("n"),
+        F.sum(dec2("s_acctbal")).cast("double").alias("bal_sum"),
+    )
+
+
+@fragment("io4_orc_roundtrip")
+def _frag_io4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 50 == 0
+    )
+    return (
+        li.select("l_orderkey", "l_returnflag", "l_quantity")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec2("l_quantity")).cast("double").alias("qty_sum"),
+        )
+    )
+
+
+@fragment("io5_text_corpus_roundtrip")
+def _frag_io5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        F.count_distinct(F.md5(F.col("text").cast("binary")))
+        .cast("bigint")
+        .alias("n_distinct_md5"),
+    )
+
+
+@fragment("io6_schema_evolution_read")
+def _frag_io6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # union-with-missing-columns is the in-memory twin of the mergeSchema
+    # read (typed-null backfill for the old generation)
+    s = load_table(spark, sf_dir, "supplier")
+    v1 = s.where(F.col("s_suppkey") % 2 == 0).select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    v2 = s.where(F.col("s_suppkey") % 2 == 1).select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.when(F.col("s_acctbal") >= 0.0, "ok").otherwise("debt").alias("tier"),
+    )
+    back = v1.unionByName(v2, allowMissingColumns=True)
+    return back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n"),
+        F.sum(dec2("s_acctbal")).cast("double").alias("bal_sum"),
+        F.count("tier").cast("bigint").alias("n_with_tier"),
     )

@@ -747,3 +747,62 @@ def j14_nearest_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("signed_dt_us"),
     )
+
+
+@register(
+    "j15_interval_join_numeric",
+    oracle="""
+    WITH c AS (
+        SELECT event_id AS click_id, user_id,
+               epoch_us(ts) // 1000000 AS ts_s
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT event_id AS purchase_id, user_id,
+               epoch_us(ts) // 1000000 AS p_s
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.click_id, p.purchase_id,
+           CAST(c.ts_s - p.p_s AS BIGINT) AS offset_s
+    FROM c JOIN p
+      ON c.user_id = p.user_id
+     AND c.ts_s BETWEEN p.p_s - 900 AND p.p_s + 900
+    """,
+    survey="custom op (interval join, NUMERIC timestamp contract)",
+)
+def j15_interval_join_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j8's attribution window driven through ``interval_join``'s NUMERIC
+    contract: the timestamps are pre-converted to BIGINT epoch seconds and
+    the operator buckets them with plain integer division (no timestamp
+    cast anywhere in the bucketing path).
+
+    Exists because the round-4 regression — ``_bucket`` unconditionally
+    casting through TIMESTAMP_NTZ, which is an illegal cast from BIGINT —
+    was invisible to the oracle sweep: every registered query fed real
+    timestamps.  This row sweep-guards the operator's second dtype contract
+    (unit tests pin it too, but the driver gate only sees registry rows).
+    Same banding plan as j8: equality join on (user, bucket), exact
+    containment refilter, no nested-loop.
+    """
+    from ..operators.rangejoin import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    secs = F.floor(ntz_epoch_us("ts") / F.lit(1_000_000)).cast("bigint")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", secs.alias("ts_s")
+    )
+    windows = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        secs.alias("p_s"),
+        (secs - 900).alias("w_lo"),
+        (secs + 900).alias("w_hi"),
+    )
+    return interval_join(
+        clicks, windows, "ts_s", "w_lo", "w_hi", by=["user_id"],
+        bucket_seconds=600,
+    ).select(
+        "click_id",
+        "purchase_id",
+        (F.col("ts_s") - F.col("p_s")).cast("bigint").alias("offset_s"),
+    )

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from ..enrichment.stage import METRICS
 from ..plans import enrichment_pipeline
 from ..sources import load_table
-from . import register
+from . import fragment, register
 
 _K = "CAST(c_custkey AS VARCHAR)"
 _H = f"md5(concat('loc:', {_K}))"
@@ -218,3 +218,20 @@ def e4_enrichment_cross_run_cache(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.when(~F.col("from_cache"), 1)).cast("bigint").alias("n_fetched"),
         F.every(F.col("title").isNotNull()).alias("all_enriched"),
     )
+
+
+# -- plan-audit fragments (VERDICT r4 #3) ------------------------------------
+
+
+@fragment("e1_enrichment_flagship")
+def _frag_e1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the flagship's pre-gate frame: id cleanse -> mapInPandas enrichment ->
+    # shred, WITHOUT the raising reconcile() count or the publish write
+    from ..enrichment import enrich, mock_fetch_page
+    from ..plans.pipelines import shred_enriched
+
+    customer = load_table(spark, sf_dir, "customer")
+    keys = customer.select(F.col("c_custkey").alias("merchant_id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return shred_enriched(enrich(keys, "merchant_id", mock_fetch_page), "merchant_id")

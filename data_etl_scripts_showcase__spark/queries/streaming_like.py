@@ -23,7 +23,7 @@ from ..streaming import (
     stream_dedup_keys,
     tumbling_counts,
 )
-from . import register
+from . import fragment, register
 
 _TUMBLING_ORACLE = """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -883,3 +883,76 @@ def st21_stream_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").cast("bigint").alias("last_doc"),
         )
     )
+
+
+# -- plan-audit fragments (VERDICT r4 #3) ------------------------------------
+# The st* queries above EXECUTE their streaming jobs at build, and the frame
+# they return is a memory-sink/parquet read-back whose plan says nothing
+# about the job.  Each fragment below is the BATCH twin of the streamed
+# transformation — the identical operator tree Structured Streaming
+# incrementalizes (watermark calls are no-ops / gated on .isStreaming) —
+# registered so the engine-wide cartesian + window audits walk a real plan
+# for these queries instead of skipping them.  st4/st5/st11 have NO batch
+# twin (their operators exist only on streams) and stay justified skips in
+# tests/test_plans.py.
+
+
+@fragment("st1_stream_tumbling_counts")
+def _frag_st1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+@fragment("st6_stream_static_join")
+def _frag_st6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_name").alias("user_name")
+    )
+    return ev.join(
+        F.broadcast(cust), ev.user_id == cust.c_custkey, "inner"
+    ).select("event_id", "user_id", "user_name", "event_type", "value")
+
+
+@fragment("st7_stream_stream_interval_join")
+def _frag_st7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import click_purchase_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    return click_purchase_attribution(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+    )
+
+
+@fragment("st8_stream_session_windows")
+def _frag_st8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize_batch(load_table(spark, sf_dir, "events"))
+
+
+@fragment("st9_incremental_rollup")
+def _frag_st9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the per-batch partial the foreachBatch writer lands (the read-side
+    # merge is a scan + re-aggregate of these partials, same agg shape)
+    return tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+@fragment("st10_incremental_user_snapshot")
+def _frag_st10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one micro-batch step: merge the previous snapshot with a delta —
+    # exactly what write_batch does with (prev version, batch)
+    from ..streaming import merge_snapshots, user_snapshot
+
+    ev = load_table(spark, sf_dir, "events")
+    prev = user_snapshot(ev.where(F.col("event_id") % 2 == 0))
+    delta = user_snapshot(ev.where(F.col("event_id") % 2 == 1))
+    return merge_snapshots(prev, delta)
+
+
+@fragment("st12_streaming_countmin")
+def _frag_st12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-batch grid partial + read-side cell merge + probe, on batch input
+    from ..operators.sketches import cms_build, cms_probe
+
+    ev = load_table(spark, sf_dir, "events")
+    keys = ev.select("user_id").distinct()
+    return cms_probe(cms_build(ev, "user_id"), keys, "user_id")

@@ -1375,15 +1375,24 @@ def w27_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON c.user_id = p.user_id
          AND c.ts <= p.p_ts AND c.ts >= p.p_ts - INTERVAL 1 DAY
     ),
-    share AS (
+    staged AS (
         SELECT event_id, user_id, p_id,
-               value_cents * 1000 // count(*) OVER (PARTITION BY p_id)
-               + CASE WHEN row_number() OVER (
-                          PARTITION BY p_id ORDER BY ts ASC, event_id ASC
-                      ) = 1
-                      THEN (value_cents * 1000) % (count(*) OVER (PARTITION BY p_id))
-                      ELSE 0 END AS credit_mc
+               value_cents * 1000 AS vmc,
+               count(*) OVER (PARTITION BY p_id) AS n,
+               row_number() OVER (
+                   PARTITION BY p_id ORDER BY ts ASC, event_id ASC
+               ) AS rn
         FROM touched
+    ),
+    -- floor-consistent split: rem = pmod(vmc, n) in [0, n); DuckDB's // and
+    -- % truncate toward zero, so emulate pmod and divide the exactly-
+    -- divisible numerator (conservation holds for negative vmc too).
+    share AS (
+        SELECT event_id, user_id,
+               (vmc - ((vmc % n) + n) % n) // n
+               + CASE WHEN rn = 1 THEN ((vmc % n) + n) % n ELSE 0 END
+                   AS credit_mc
+        FROM staged
     )
     SELECT event_id, user_id,
            CAST(count(*) AS BIGINT) AS n_conversions_touched,

@@ -8,6 +8,12 @@ equivalents: windowed aggregations with watermarks, stateful dedup, and
 availableNow incremental processing — validated against their batch
 equivalents on the same data (SURVEY §7 risk register: streaming has no
 reference ground truth, so batch equivalence IS the test).
+
+Epoch-sink output schema (since r4): the per-epoch parquet sinks encode the
+epoch ONLY in the partition directory (``out/epoch=N/``) — data files carry
+no ``epoch`` column.  Readers of the PARENT path get ``epoch`` back via
+partition discovery; readers of a SINGLE epoch directory see only the data
+columns and must take the epoch from the path (as the replay test does).
 """
 
 from __future__ import annotations

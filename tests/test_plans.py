@@ -12,13 +12,32 @@ from __future__ import annotations
 import contextlib
 import io
 
-from data_etl_scripts_showcase__spark.queries import load_all
+from data_etl_scripts_showcase__spark.queries import FRAGMENTS, load_all
 
 SF = "/root/testdata/sf0.001"
 
 
 def plan_of(spark, name: str) -> str:
     df = load_all()[name].fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def audit_df(spark, name: str):
+    """The frame the engine-wide audits walk for a query: its registered
+    plan FRAGMENT if the builder executes an action at build time
+    (queries.fragment(), VERDICT r4 #3), else the query's own frame."""
+    load_all()
+    builder = FRAGMENTS.get(name)
+    if builder is not None:
+        return builder(spark, SF)
+    return load_all()[name].fn(spark, SF)
+
+
+def audit_plan_of(spark, name: str) -> str:
+    df = audit_df(spark, name)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
@@ -272,21 +291,19 @@ class TestEngineWidePlanAudit:
     # j6 is the deliberate tiny cross join (SURVEY J-std); everything else
     # must compile to hash/broadcast/sort-merge equality joins.
     ALLOWED_CARTESIAN = {"j6_cross_join"}
-    # Queries that EXECUTE streaming jobs / write files inside the builder
-    # are skipped here (explain would run the job); their plans are audited
-    # by their own dedicated tests.
+    # Queries whose builders EXECUTE an action (streaming start, file
+    # write, raising gate) register a lazily-buildable batch fragment via
+    # queries.fragment() — the audits walk THAT plan (see _auditable_df).
+    # Only queries with NO batch fragment remain skipped, each justified:
     SKIP = {
-        "st1_stream_tumbling_counts", "st4_stream_dedup_keys",
-        "st5_stateful_user_activity", "st6_stream_static_join",
-        "st7_stream_stream_interval_join", "st8_stream_session_windows",
-        "st9_incremental_rollup", "st10_incremental_user_snapshot",
-        "st11_transform_with_state", "st12_streaming_countmin",
-        "io1_csv_roundtrip", "io2_json_archive_roundtrip",
-        "io3_snapshot_sink_roundtrip", "io4_orc_roundtrip",
-        "io5_text_corpus_roundtrip", "io6_schema_evolution_read",
-        "x18_bucketed_colocated_join", "x19_targeted_delete",
-        "e1_enrichment_flagship",  # runs the QA gate (an action) at build
-        "a9_reconciliation_gate",
+        # dropDuplicatesWithinWatermark exists only on streams; the batch
+        # DISTINCT twin is already audited as its oracle shape elsewhere
+        "st4_stream_dedup_keys",
+        # applyInPandasWithState is streaming-only; its state machine is
+        # gated by the batch-equivalence test in tests/test_streaming.py
+        "st5_stateful_user_activity",
+        # transformWithStateInPandas is streaming-only; same gate
+        "st11_transform_with_state",
     }
 
     def test_no_accidental_cartesians_anywhere(self, spark):
@@ -305,7 +322,7 @@ class TestEngineWidePlanAudit:
             if name in self.SKIP or name in self.ALLOWED_CARTESIAN:
                 continue
             try:
-                plan = plan_of(spark, name)
+                plan = audit_plan_of(spark, name)
             except Exception as e:  # pragma: no cover - surface build errors
                 offenders.append(f"{name}: explain failed: {e}")
                 continue
@@ -688,29 +705,42 @@ class TestEngineWideWindowAudit:
             yield from TestEngineWideWindowAudit._walk(ch.apply(i))
 
     @classmethod
+    def _is_bounded(cls, node) -> bool:
+        """Row-count-bounded subtree: a limit, a grouping-empty (scalar)
+        aggregate, or any node ALL of whose input branches are bounded.
+
+        Branch-aware on purpose (ADVICE r4): `any descendant is a limit`
+        would mark a global window over join(unbounded_scan,
+        broadcast_scalar_agg) as bounded — exactly the pre-fix x11 shape
+        this audit exists to catch.  A join/union is bounded only if EVERY
+        child is; a leaf scan is unbounded."""
+        name = node.getClass().getSimpleName()
+        if any(
+            b in name
+            for b in ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit")
+        ):
+            return True
+        if "Aggregate" in name:
+            try:
+                if node.groupingExpressions().isEmpty():
+                    return True
+            except Exception:
+                pass
+        ch = node.children()
+        n = ch.size()
+        if n == 0:
+            return False
+        return all(cls._is_bounded(ch.apply(i)) for i in range(n))
+
+    @classmethod
     def _has_unbounded_global_window(cls, jplan) -> bool:
-        bounding = ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit")
         for node in cls._walk(jplan):
             if node.getClass().getSimpleName() != "WindowExec":
                 continue
             if not node.partitionSpec().isEmpty():
                 continue
-            bounded = False
-            for d in cls._walk(node):
-                if d is node:
-                    continue
-                dcls = d.getClass().getSimpleName()
-                if any(b in dcls for b in bounding):
-                    bounded = True
-                    break
-                if "Aggregate" in dcls:
-                    try:
-                        if d.groupingExpressions().isEmpty():
-                            bounded = True
-                            break
-                    except Exception:
-                        pass
-            if not bounded:
+            ch = node.children()
+            if not all(cls._is_bounded(ch.apply(i)) for i in range(ch.size())):
                 return True
         return False
 
@@ -721,7 +751,7 @@ class TestEngineWideWindowAudit:
             if name in self.SKIP or name in self.WHITELIST:
                 continue
             try:
-                jplan = q.fn(spark, SF)._jdf.queryExecution().executedPlan()
+                jplan = audit_df(spark, name)._jdf.queryExecution().executedPlan()
             except Exception as e:  # pragma: no cover - surface build errors
                 offenders.append(f"{name}: plan build failed: {e}")
                 continue

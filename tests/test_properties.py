@@ -653,6 +653,48 @@ def test_band_join_equals_brute_force(spark, lvals, rvals, eps):
     assert got == want
 
 
+@FAST
+@given(
+    st.lists(st.integers(-5000, 5000), min_size=1, max_size=25),  # points
+    st.lists(  # intervals as (lo, span)
+        st.tuples(st.integers(-5000, 5000), st.integers(0, 400)),
+        min_size=1,
+        max_size=12,
+    ),
+    st.sampled_from([3, 60, 900]),
+)
+def test_interval_join_numeric_equals_brute_force(spark, pts, ivs, bucket_s):
+    """The banded interval join's NUMERIC contract (bigint epoch seconds,
+    including negatives) returns exactly the brute-force containment pair
+    set for any data and bucket width — sweep-guard for the r4 regression
+    class where the bucketing path stopped accepting numeric timestamps."""
+    from data_etl_scripts_showcase__spark.operators.rangejoin import (
+        interval_join,
+    )
+
+    p = spark.createDataFrame(
+        [(0, i, t) for i, t in enumerate(pts)],
+        "k bigint, pid bigint, ts bigint",
+    )
+    iv = spark.createDataFrame(
+        [(0, i, lo, lo + span) for i, (lo, span) in enumerate(ivs)],
+        "k bigint, iid bigint, lo bigint, hi bigint",
+    )
+    got = {
+        (x.pid, x.iid)
+        for x in interval_join(
+            p, iv, "ts", "lo", "hi", by=["k"], bucket_seconds=bucket_s
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, t in enumerate(pts)
+        for j, (lo, span) in enumerate(ivs)
+        if lo <= t <= lo + span
+    }
+    assert got == want
+
+
 _SLOW_GRAPH = settings(
     max_examples=6,
     deadline=None,
@@ -891,7 +933,13 @@ def test_nearest_asof_backward_forward_compose(spark, clicks, purchases):
         max_size=40,
     ),
     st.lists(  # purchases: (user, offset-seconds, value in cents)
-        st.tuples(st.integers(0, 3), st.integers(0, 86_400), st.integers(0, 10**7)),
+        # negative values (refunds) included: conservation must hold for
+        # any sign, which requires the floor/pmod split — a
+        # sign-of-dividend % breaks it (ADVICE r4)
+        st.tuples(
+            st.integers(0, 3), st.integers(0, 86_400),
+            st.integers(-(10**7), 10**7),
+        ),
         min_size=1,
         max_size=20,
     ),
@@ -899,9 +947,11 @@ def test_nearest_asof_backward_forward_compose(spark, clicks, purchases):
 def test_attribution_conserves_purchase_value(spark, crows, prows):
     """w29's money-conservation invariant (VERDICT r4 item 5): for every
     purchase with >= 1 touch, the credits distributed across its touches
-    sum EXACTLY to the purchase value in milli-cents; every touch gets at
-    least the floor share; and the remainder lands on the earliest touch
-    (ties by event_id) — bit-exact over generated click/purchase streams."""
+    sum EXACTLY to the purchase value in milli-cents (including NEGATIVE
+    values — refunds); every touch gets at least the floor share; and the
+    remainder lands on the earliest touch (ties by event_id) — bit-exact
+    over generated click/purchase streams.  The Python ground truth's
+    // and % are floor/pmod semantics, exactly the operator's contract."""
     from data_etl_scripts_showcase__spark.operators.attribution import (
         linear_attribution,
     )
