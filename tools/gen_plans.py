@@ -255,6 +255,13 @@ SHOWCASE = [
         "corpus chunk stream joins map-side on the content digest — no "
         "corpus shuffle for the overlap",
     ),
+    (
+        "j15_interval_join_numeric",
+        "interval join's NUMERIC contract (bigint epoch seconds): same "
+        "banded equality-join plan as j8 — hash join on (key, bucket) + "
+        "containment refilter, integer-division bucketing, no "
+        "nested-loop and no timestamp cast anywhere",
+    ),
 ]
 
 
