@@ -135,6 +135,7 @@ HEADLINE = [
     "w29_multitouch_attribution",  # linear credit split, exact milli-cents
     # round-5 additions:
     "j15_interval_join_numeric",  # interval join's numeric-ts contract
+    "x57_seeded_epoch_shuffle",  # deterministic per-epoch training order
 ]
 
 

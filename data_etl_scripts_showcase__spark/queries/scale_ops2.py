@@ -2432,3 +2432,55 @@ def x56_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_deletes").cast("bigint").alias("n_deletes"),
         )
     )
+
+
+@register(
+    "x57_seeded_epoch_shuffle",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(concat('7:', CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT % 8 AS shard,
+               ('0x' || substr(md5(concat('101:', CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT AS h1,
+               ('0x' || substr(md5(concat('102:', CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT AS h2
+        FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY h1, doc_id) AS BIGINT)
+               AS pos_epoch1,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY h2, doc_id) AS BIGINT)
+               AS pos_epoch2
+    FROM d
+    """,
+    survey="x-std extended (training data order: seeded deterministic per-epoch shuffle, shard-local ranks)",
+)
+def x57_seeded_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training order WITHOUT a global sort: every
+    document hashes to a shard (stable across epochs — a reader owns the
+    same shard every epoch) and gets a per-epoch position by ranking a
+    seeded hash WITHIN its shard.  Changing only the epoch seed re-permutes
+    every shard; re-running the same seed reproduces the exact byte order —
+    the property a resumable 100 TB training job needs from its data
+    loader (the reference has no ordering notion at all; its CSV order is
+    whatever the cursor returned — buisness_profile_etl/main.py:710-715).
+
+    Scale shape: one md5-based hash per (doc, epoch) in codegen, windows
+    partitioned BY SHARD (positions are shard-local offsets, as consumed
+    by per-worker data loaders) — no unpartitioned window, no global sort,
+    shuffle volume = one hash partition pass.  Epoch seeds are orthogonal
+    md5 namespaces, so epoch orders decorrelate without any state."""
+    d = load_table(spark, sf_dir, "documents")
+    shard = (DD.h32("doc_id", 7) % 8).alias("shard")
+    staged = d.select(
+        "doc_id",
+        shard,
+        DD.h32("doc_id", 101).alias("h1"),
+        DD.h32("doc_id", 102).alias("h2"),
+    )
+    w1 = Window.partitionBy("shard").orderBy(F.col("h1").asc(), F.col("doc_id").asc())
+    w2 = Window.partitionBy("shard").orderBy(F.col("h2").asc(), F.col("doc_id").asc())
+    return staged.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w1).cast("bigint").alias("pos_epoch1"),
+        F.row_number().over(w2).cast("bigint").alias("pos_epoch2"),
+    )

@@ -287,6 +287,50 @@ class TestNewOpPlans:
         assert "BroadcastHashJoin" in plan
 
 
+class TestFragmentRegistry:
+    def test_every_fragment_names_a_registered_query(self):
+        """A typo'd fragment key would be silently orphaned — the audits
+        would fall back to q.fn and EXECUTE the action they were meant to
+        avoid (slow, side-effectful, and for streaming jobs auditing a
+        meaningless memory-sink scan).  Keys must match the registry."""
+        registry = load_all()
+        orphans = sorted(set(FRAGMENTS) - set(registry))
+        assert not orphans, f"fragments with no registered query: {orphans}"
+
+    def test_fragment_coverage_plus_skips_is_exhaustive(self):
+        """Every action-executing query is either fragment-audited or a
+        justified SKIP — if someone adds a new streaming/write query
+        without a fragment, the audits will execute its action; this test
+        is the reminder that a fragment (or a justified skip) is part of
+        the contract.  Heuristic: queries whose builder source mentions a
+        terminal action."""
+        import inspect
+
+        registry = load_all()
+        action_re = (
+            "run_to_memory(", ".start()", "write.mode(", "write.parquet(",
+            ".writeStream", "write_bucketed(", "write_csv(", "write_orc(",
+            "write_text(", "write_snapshot(", "write_json_archive(",
+            "reconcile(",
+        )
+        covered = set(FRAGMENTS) | TestEngineWidePlanAudit.SKIP
+        missing = []
+        for name, q in sorted(registry.items()):
+            src = inspect.getsource(q.fn)
+            if any(tok in src for tok in action_re) and name not in covered:
+                missing.append(name)
+        # Queries that execute a bounded action at build but whose RETURNED
+        # frame is itself the lazily-auditable plan (read-back aggregates
+        # over just-written tiny fixtures, or memory-sink post-processing
+        # whose batch shape is audited via a sibling query) — each audited
+        # via q.fn today; adding a fragment is optional for them.
+        tolerated = {
+            n for n in missing
+            if n.startswith(("io", "st", "x33", "e4", "x25", "x36", "x42"))
+        }
+        assert not (set(missing) - tolerated), sorted(set(missing) - tolerated)
+
+
 class TestEngineWidePlanAudit:
     # j6 is the deliberate tiny cross join (SURVEY J-std); everything else
     # must compile to hash/broadcast/sort-merge equality joins.
