@@ -107,6 +107,29 @@ def decode_real(payload: bytes, media_type: str) -> tuple[int, int, int]:
     return img.width, img.height, int(getattr(img, "n_frames", 1))
 
 
+def _feature_frame(pdf: pd.DataFrame, dims: list) -> pd.DataFrame:
+    """FEATURE_SCHEMA frame from a batch + its decoded (w, h, n_frames)
+    triples — shared by the stub and real-codec stages so the two paths
+    cannot drift in checksum/sampling behavior."""
+    payloads = [bytes(p) for p in pdf["content"]]
+    n_frames = [d[2] for d in dims]
+    step = [max(1, (n + 3) // 4) for n in n_frames]
+    return pd.DataFrame(
+        {
+            "asset_id": pdf["asset_id"],
+            "media_type": pdf["media_type"],
+            "byte_len": [len(p) for p in payloads],
+            "checksum": [hashlib.md5(p).hexdigest() for p in payloads],
+            "width": [d[0] for d in dims],
+            "height": [d[1] for d in dims],
+            "n_frames": n_frames,
+            "sampled_frames": [
+                list(range(0, n, s)) for n, s in zip(n_frames, step)
+            ],
+        }
+    )
+
+
 def decode_real_features(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
@@ -114,26 +137,12 @@ def decode_real_features(
     shape as ``decode_stub_features``, dims from actual decode.  Only
     callable where PIL exists (decode_real raises otherwise)."""
     for pdf in batches:
-        payloads = [bytes(p) for p in pdf["content"]]
-        dims = [
-            decode_real(p, m)
-            for p, m in zip(payloads, pdf["media_type"])
-        ]
-        n_frames = [d[2] for d in dims]
-        step = [max(1, (n + 3) // 4) for n in n_frames]
-        yield pd.DataFrame(
-            {
-                "asset_id": pdf["asset_id"],
-                "media_type": pdf["media_type"],
-                "byte_len": [len(p) for p in payloads],
-                "checksum": [hashlib.md5(p).hexdigest() for p in payloads],
-                "width": [d[0] for d in dims],
-                "height": [d[1] for d in dims],
-                "n_frames": n_frames,
-                "sampled_frames": [
-                    list(range(0, n, s)) for n, s in zip(n_frames, step)
-                ],
-            }
+        yield _feature_frame(
+            pdf,
+            [
+                decode_real(bytes(p), m)
+                for p, m in zip(pdf["content"], pdf["media_type"])
+            ],
         )
 
 
@@ -145,25 +154,8 @@ def decode_stub_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
     Frame sampling keeps ≤4 evenly-spaced frame indices.
     """
     for pdf in batches:
-        payloads = pdf["content"]
-        dims = [_pseudo_dims(bytes(p)) for p in payloads]
-        n_frames = [d[2] for d in dims]
-        step = [max(1, (n + 3) // 4) for n in n_frames]
-        yield pd.DataFrame(
-            {
-                "asset_id": pdf["asset_id"],
-                "media_type": pdf["media_type"],
-                "byte_len": [len(bytes(p)) for p in payloads],
-                "checksum": [
-                    hashlib.md5(bytes(p)).hexdigest() for p in payloads
-                ],
-                "width": [d[0] for d in dims],
-                "height": [d[1] for d in dims],
-                "n_frames": n_frames,
-                "sampled_frames": [
-                    list(range(0, n, s)) for n, s in zip(n_frames, step)
-                ],
-            }
+        yield _feature_frame(
+            pdf, [_pseudo_dims(bytes(p)) for p in pdf["content"]]
         )
 
 

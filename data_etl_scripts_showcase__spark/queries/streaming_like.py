@@ -956,3 +956,193 @@ def _frag_st12(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     keys = ev.select("user_id").distinct()
     return cms_probe(cms_build(ev, "user_id"), keys, "user_id")
+
+
+# Round-5 code-review follow-up: st13-st21 also execute their jobs at
+# build (they were never in the audits' SKIP, so the audits walked their
+# read-back scans — the same blind spot, unlisted).  Batch twins below.
+
+
+@fragment("st13_streaming_hll")
+def _frag_st13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-batch register partial -> cell-wise max merge -> estimate
+    from ..operators.sketches import hll_estimate, hll_merge, hll_registers
+
+    ev = load_table(spark, sf_dir, "events")
+    return hll_estimate(hll_merge(hll_registers(ev, "user_id")))
+
+
+@fragment("st14_python_stream_source")
+def _frag_st14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the same Python DataSource read in BATCH mode + the identical agg
+    from ..sources.restpages import register_restpages
+
+    register_restpages(spark)
+    pages = (
+        spark.read.format("restpages")
+        .option("pages", 6)
+        .option("page_size", 25)
+        .load()
+    )
+    return pages.groupBy("page").agg(
+        F.count("*").alias("n_items"),
+        F.min("item_id").alias("min_id"),
+        F.max("item_id").alias("max_id"),
+    )
+
+
+@fragment("st15_stream_left_outer_attribution")
+def _frag_st15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # batch twin of the stream-stream LEFT OUTER interval join + the
+    # watermark-region restriction (broadcast scalar bound)
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 DAY"))
+    )
+    safe = ev.where(F.col("event_type").isin("click", "purchase")).groupBy(
+        "event_type"
+    ).agg(F.max("ts").alias("mx")).agg(
+        (
+            F.min("mx") - F.expr("INTERVAL 1 DAY") - F.expr("INTERVAL 2 HOUR")
+        ).alias("safe_ts")
+    )
+    return (
+        clicks.join(purch, cond, "left_outer")
+        .crossJoin(F.broadcast(safe))
+        .where(F.col("click_ts") <= F.col("safe_ts"))
+        .select(
+            "click_id",
+            "purchase_id",
+            F.col("purchase_id").isNotNull().alias("converted"),
+        )
+    )
+
+
+@fragment("st16_stream_row_ids")
+def _frag_st16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one micro-batch's id assignment (bucketed offsets + intra-bucket
+    # row_number — the x39 plan), offset is a literal at batch time
+    from .scale_ops2 import global_row_ids
+
+    ev = load_table(spark, sf_dir, "events")
+    return global_row_ids(
+        ev, F.col("ts").cast("date").cast("string"), ["ts", "event_id"]
+    ).select("event_id", "row_id")
+
+
+@fragment("st17_stream_append_compact")
+def _frag_st17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the per-batch day-partition frame + the read-back layout aggregate
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ds", F.date_format("ts", "yyyy-MM-dd")
+    )
+    return ev.groupBy("ds").agg(F.count("*").alias("n"))
+
+
+@fragment("st18_streaming_dataset_card")
+def _frag_st18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one micro-batch's card partial: additive stats x HLL register map
+    # (the crossJoin here is two broadcast scalar aggregates)
+    from ..operators.sketches import hll_registers
+    from ..operators.text import normalize, token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        F.length("text").alias("n_chr"),
+        token_count("text").alias("n_tok"),
+        F.md5(normalize("text")).alias("fp"),
+    )
+    regs = hll_registers(base, "fp").agg(
+        F.map_from_entries(F.collect_list(F.struct("idx", "reg"))).alias("regs")
+    )
+    return base.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum("n_chr"), F.lit(0)).cast("bigint").alias("total_chars"),
+        F.coalesce(F.sum("n_tok"), F.lit(0)).cast("bigint").alias("total_tokens"),
+    ).crossJoin(regs)
+
+
+@fragment("st19_stream_exact_dedup")
+def _frag_st19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one micro-batch's within-batch dedup (the cross-epoch anti-join
+    # rides the same fingerprint key)
+    from ..operators.text import normalize
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(normalize("text")).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+
+
+@fragment("st20_stream_neardup_gate")
+def _frag_st20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one micro-batch's gate: signature -> bands -> smaller-id bucket
+    # collision -> anti-join (the committed-bucket semi-join is the same
+    # (band, bucket) equality key)
+    from ..operators import dedup as _DD
+
+    d = load_table(spark, sf_dir, "documents")
+    bk = _DD.lsh_buckets(_DD.minhash_signature(d, "doc_id", "text"), "doc_id")
+    smaller = bk.select(
+        F.col("band").alias("b2"),
+        F.col("bucket").alias("k2"),
+        F.col("doc_id").alias("id2"),
+    )
+    hit = (
+        bk.join(
+            smaller,
+            (F.col("band") == F.col("b2"))
+            & (F.col("bucket") == F.col("k2"))
+            & (F.col("id2") < F.col("doc_id")),
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    return d.select("doc_id").join(hit, "doc_id", "left_anti")
+
+
+@fragment("st21_stream_shard_manifest")
+def _frag_st21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one micro-batch's assignment (x55's bucketed prefix sums, base
+    # offset literal at batch time) + the query's read-back aggregate
+    from ..operators.prefix import bucketed_running_sums
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(
+            F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+        ).alias("n_tok"),
+    )
+    assigned = bucketed_running_sums(
+        t,
+        F.floor(F.col("doc_id") / 50).cast("int"),
+        ["doc_id"],
+        {"n_tok": "cum_tok"},
+    ).select(
+        "doc_id",
+        "n_tok",
+        ((F.col("cum_tok") - F.col("n_tok")) / 20000)
+        .cast("bigint")
+        .alias("shard_id"),
+    )
+    return assigned.groupBy("shard_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+    )

@@ -29,6 +29,18 @@ if echo "$staged" | grep -qE \
       echo "  Or for a WIP milestone commit: ALLOW_STALE_PYTEST=1 git commit ..."
       exit 1
     fi
+    # The marker hashes the WORKING TREE (what pytest ran against) but the
+    # commit records the INDEX.  If unstaged edits touch gated paths, the
+    # staged tree is NOT the tree the suite validated - block that too.
+    unstaged="$(git diff --name-only -- data_etl_scripts_showcase__spark \
+      tests __spark_entry__.py)"
+    if [ -n "$unstaged" ]; then
+      echo "[pre-commit] BLOCKED: unstaged source edits mean the staged tree"
+      echo "  differs from the tree the full suite ran against:"
+      echo "$unstaged" | sed 's/^/    /'
+      echo "  Stage everything you tested, or ALLOW_STALE_PYTEST=1 for WIP."
+      exit 1
+    fi
     echo "[pre-commit] full-pytest marker fresh ($(grep '^result=' .fullpytest_ok | cut -d= -f2-))"
   fi
 fi

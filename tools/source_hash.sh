@@ -4,5 +4,10 @@
 # stamp .fullpytest_ok and by the pre-commit hook to detect staleness.
 set -euo pipefail
 cd "$(dirname "$0")/.."
+# Filter to files that exist: a tracked-but-deleted file would make
+# sha256sum exit non-zero and silently kill the pre-commit hook with no
+# BLOCKED message (the deletion also wasn't there when pytest ran, so
+# excluding it keeps the hash consistent with what the suite saw).
 git ls-files -- data_etl_scripts_showcase__spark tests __spark_entry__.py \
-  | sort | xargs sha256sum 2>/dev/null | sha256sum | cut -d' ' -f1
+  | sort | while IFS= read -r f; do [ -f "$f" ] && printf '%s\n' "$f"; done \
+  | xargs -r sha256sum | sha256sum | cut -d' ' -f1
