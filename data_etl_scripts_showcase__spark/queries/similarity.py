@@ -1316,11 +1316,16 @@ def v18_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     tuning curve that decides the IVF latency/recall trade BEFORE the
     index ships (the ANN counterpart of d22's LSH S-curve calibration;
     v6 pins the deployed nprobe=2 point, this sweeps the knob).  The
-    exact side is computed once and reused for every grid point; the IVF
-    side re-probes per nprobe on the same single-assignment cell layout,
-    so the whole sweep costs |grid| candidate joins, never |grid| index
-    builds.  At 100 TB the query set is a hash sample (x2-style), not
-    every vector."""
+    exact side is computed once and reused for every grid point, and so
+    is the INDEX WORK: the corpus is cell-assigned ONCE and the queries
+    probe-ranked once at max(nprobe); each grid point is then just a
+    filter on the probe rank (nprobe=1's candidates ⊂ nprobe=2's ⊂
+    nprobe=4's), so the sweep costs ONE corpus assignment and ONE
+    candidate join, not |grid| of either (round-5 rewrite: the previous
+    per-nprobe knn_ivf calls re-assigned the corpus 3x).  At 100 TB the
+    query set is a hash sample (x2-style), not every vector."""
+    from pyspark.sql import Window as W
+
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 8)
     par = spark.sparkContext.defaultParallelism
@@ -1328,32 +1333,67 @@ def v18_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id"
     )
     n_q = exact.select("query_id").distinct().count()
-    curves = None
-    for nprobe in (1, 2, 4):
-        ivf = SIM.knn_ivf(
-            q, e, k=3, n_centroids=8, nprobe=nprobe, parallelism=par
-        ).select(
-            F.col("query_id").alias("i_qid"), F.col("neighbor_id").alias("i_nid")
+
+    grid = (1, 2, 4)
+    cents = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent_vec")
+    )
+    cells = SIM.assign_cells(e.repartition(par), cents, 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        "cell",
+    )
+    probes = SIM.assign_cells(q, cents, max(grid)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        "cell",
+        F.col("cell_rank").alias("probe_rank"),
+    )
+    scored = (
+        cells.join(F.broadcast(probes), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "probe_rank",
+            F.round(SIM.cosine("q_vec", "c_vec"), 6).alias("sim"),
         )
-        j = (
-            exact.join(
-                ivf,
-                (F.col("query_id") == F.col("i_qid"))
-                & (F.col("neighbor_id") == F.col("i_nid")),
-                "left",
-            )
-            .agg(
-                F.count("i_nid").alias("n_hits"),
-                F.count("*").alias("n_truth_pairs"),
-            )
-            .select(
-                F.lit(nprobe).alias("nprobe"),
-                F.round(
-                    F.col("n_hits").cast("double") / (3.0 * n_q), 6
-                ).alias("mean_recall_at_3"),
-                F.col("n_hits").cast("bigint").alias("n_hits"),
-                F.col("n_truth_pairs").cast("bigint").alias("n_truth_pairs"),
-            )
+    )
+    # fan the ONE scored relation out to the grid; each grid point keeps
+    # the candidates its nprobe would have generated, then takes top-k
+    cand = scored.select(
+        "*", F.explode(F.array(*[F.lit(g) for g in grid])).alias("nprobe")
+    ).where(F.col("probe_rank") <= F.col("nprobe"))
+    w = W.partitionBy("nprobe", "query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    ivf = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("nprobe", "query_id", "neighbor_id")
+    )
+    # grid relations are 3 rows — broadcast explicitly so neither the
+    # fan-out nor the zero-hit backfill can plan as CartesianProduct
+    # (the engine-wide audit rejects any non-broadcast cartesian)
+    grid_df = spark.createDataFrame([(g,) for g in grid], "nprobe int")
+    grid_truth = exact.crossJoin(F.broadcast(grid_df))
+    hits = (
+        grid_truth.join(ivf, ["nprobe", "query_id", "neighbor_id"], "left_semi")
+        .groupBy("nprobe")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        grid_df.join(F.broadcast(hits), "nprobe", "left")
+        .select(
+            "nprobe",
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / (3.0 * n_q),
+                6,
+            ).alias("mean_recall_at_3"),
+            F.coalesce(F.col("n_hits"), F.lit(0))
+            .cast("bigint")
+            .alias("n_hits"),
+            F.lit(3 * n_q).cast("bigint").alias("n_truth_pairs"),
         )
-        curves = j if curves is None else curves.unionByName(j)
-    return curves
+    )
