@@ -1,0 +1,251 @@
+"""Empirical scaling probe: does each operator family's runtime grow
+~linearly with input volume?
+
+The local test data tops out at sf0.1, so the plan-shape arguments in
+SCALE.md (bounded windows, banded LSH, broadcastable dims, ...) are
+verified on plans, not on measured growth.  This tool closes that gap:
+it materializes a synthetic 10x scale-up of sf0.1 (~"sf1") under /tmp
+and times a representative query per family at both scales.  A family
+whose ratio is far above the replication factor is superlinear — the
+exact failure mode (all-pairs joins, one-reducer sorts, per-group state
+that grows with corpus size) the 100 TB design is supposed to exclude.
+
+How the scale-up stays honest (pure replication would NOT be):
+
+- **FK-consistent block remap.**  Each fact table is unioned R times
+  with every key shifted into a per-replica block (``key + r * domain``)
+  using the SAME domain constant on both sides of every FK edge
+  (customer/orders on custkey, orders/lineitem on orderkey, ...), so
+  join fan-outs scale linearly instead of quadratically and per-key
+  group sizes stay constant — which is how real growth looks (more
+  customers, not 10 copies of each customer).
+- **Dimensions stay fixed.**  region/nation are NOT replicated: real
+  scale-up grows facts against bounded dims, and the broadcast-ability
+  of the dim side is exactly what we want to keep testing.
+- **Text is per-replica letter-translated.**  Verbatim 10x-copied text
+  would make every document a 10-way near-duplicate, so dedup pair
+  counts would grow O(R^2) by construction and the probe would "detect"
+  superlinearity the engine didn't cause.  Translating a rotating
+  alphabet per replica keeps each replica's duplicate structure internal
+  (dup groups scale in NUMBER, not size) while preserving lengths,
+  whitespace, and per-doc statistics.
+- **Low-id anchors survive.**  Block remap keeps replica 0 identical to
+  the source, so queries anchored on small ids (``vec_id < 8`` IVF
+  centroids/queries) keep a fixed probe set against a 10x corpus — the
+  realistic "fixed workload, growing corpus" shape.
+
+Usage:
+    python tools/scale_probe.py                  # build (once) + probe
+    python tools/scale_probe.py --rebuild        # force rebuild
+    python tools/scale_probe.py q1_pricing_summary d3_lsh_candidate_pairs
+
+Output: one human-readable table on stderr + one JSON line on stdout
+(per-query base/scaled seconds, ratio, and the replication factor).
+Results land in SCALE.md's "Measured scaling" section each round.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from data_etl_scripts_showcase__spark.queries import load_all  # noqa: E402
+from data_etl_scripts_showcase__spark.session import get_session  # noqa: E402
+
+REPLICAS = 10
+SRC_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT_DIR = os.environ.get(
+    "SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale/sf1_synth"
+)
+
+# One representative per operator family; pure-batch only (file-IO and
+# streaming queries time their sinks/triggers, not data-volume scaling).
+PROBE_QUERIES = [
+    "q1_pricing_summary",  # full-scan agg over lineitem
+    "q3_shipping_priority",  # 3-way join + top-k
+    "j2_multiway_left_enrichment",  # multi-join enrichment
+    "j7_asof_join",  # as-of join over events
+    "w1_topk_per_group",  # per-group window top-k
+    "w14_cohort_retention",  # cohort self-join retention
+    "d1_exact_dedup",  # exact hash dedup
+    "d3_lsh_candidate_pairs",  # MinHash banded LSH
+    "v1_knn_bruteforce",  # fixed probes x growing corpus
+    "v4_knn_ivf",  # IVF cell-probed ANN
+    "t2_quality_score",  # per-doc text scoring
+    "t25_content_defined_chunks",  # CDC rolling-hash chunking
+    "pr4_cc_alternating",  # iterative connected components
+    "x44_distributed_deciles",  # exact ntile without global sort
+    "x55_shard_manifest",  # token-budget prefix-sum packing
+    "x57_seeded_epoch_shuffle",  # seeded per-epoch training order
+]
+
+# Per-table key remap: every listed column is shifted by
+# r * (max(col-domain)+1), with the domain shared across FK edges.
+# Domain name -> (table, column) used to size it.
+DOMAINS = {
+    "cust": ("customer", "c_custkey"),
+    "supp": ("supplier", "s_suppkey"),
+    "part": ("part", "p_partkey"),
+    "ord": ("orders", "o_orderkey"),
+    "event": ("events", "event_id"),
+    "user": ("events", "user_id"),
+    "doc": ("documents", "doc_id"),
+    "vec": ("embeddings", "vec_id"),
+}
+
+KEYMAP = {
+    "customer": {"c_custkey": "cust"},
+    "supplier": {"s_suppkey": "supp"},
+    "part": {"p_partkey": "part"},
+    "orders": {"o_orderkey": "ord", "o_custkey": "cust"},
+    "lineitem": {"l_orderkey": "ord", "l_partkey": "part", "l_suppkey": "supp"},
+    "events": {"event_id": "event", "user_id": "user"},
+    "documents": {"doc_id": "doc"},
+    "embeddings": {"vec_id": "vec"},
+}
+
+DIM_TABLES = ["region", "nation"]
+
+# Rotating translate alphabet: high-frequency letters, both cases, so
+# each replica's text differs from every other replica's in most
+# characters (shingle/fingerprint families diverge across replicas).
+# MUST be longer than REPLICAS: rotation k = r % len(_ALPHA), and a
+# wrap-around would hand two replicas the identical translation (caught
+# by the smoke validation: 9 letters made replica 9 a verbatim copy of
+# replica 0, re-creating exactly the cross-replica dup explosion the
+# translation exists to prevent).
+_ALPHA = "etaoinshrdlc"
+assert len(_ALPHA) > REPLICAS
+
+
+def _translate_text(col: F.Column, r: int) -> F.Column:
+    if r == 0:
+        return col
+    k = r % len(_ALPHA)
+    rot = _ALPHA[k:] + _ALPHA[:k]
+    up = _ALPHA.upper()
+    rot_up = rot.upper()
+    return F.translate(F.translate(col, _ALPHA, rot), up, rot_up)
+
+
+def build_scaleup(spark: SparkSession, src: str, out: str, replicas: int) -> None:
+    os.makedirs(out, exist_ok=True)
+    doms = {}
+    for name, (tbl, col) in DOMAINS.items():
+        m = (
+            spark.read.parquet(f"{src}/{tbl}.parquet")
+            .agg(F.max(col).cast("bigint"))
+            .first()[0]
+        )
+        doms[name] = int(m) + 1
+    for tbl in DIM_TABLES:
+        spark.read.parquet(f"{src}/{tbl}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out}/{tbl}.parquet")
+    for tbl, keys in KEYMAP.items():
+        base = spark.read.parquet(f"{src}/{tbl}.parquet")
+        dtypes = dict(base.dtypes)
+        parts = []
+        for r in range(replicas):
+            cols = []
+            for c in base.columns:
+                if c in keys:
+                    # preserve the declared key dtype (bigint keys stay
+                    # bigint after the shift; int dims are never remapped)
+                    cols.append(
+                        (F.col(c) + F.lit(r * doms[keys[c]]))
+                        .cast(dtypes[c])
+                        .alias(c)
+                    )
+                elif tbl == "documents" and c == "text":
+                    cols.append(_translate_text(F.col(c), r).alias(c))
+                else:
+                    cols.append(F.col(c))
+            parts.append(base.select(*cols))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        n_files = max(4, min(32, df.rdd.getNumPartitions()))
+        df.repartition(n_files).write.mode("overwrite").parquet(
+            f"{out}/{tbl}.parquet"
+        )
+    with open(f"{out}/.scale_probe_built", "w") as f:
+        f.write(f"src={src}\nreplicas={replicas}\n")
+
+
+def _run_once(registry, name: str, spark: SparkSession, sf_dir: str) -> float:
+    t0 = time.time()
+    registry[name].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    return time.time() - t0
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    rebuild = "--rebuild" in sys.argv
+    names = args or PROBE_QUERIES
+
+    spark = get_session("scale_probe")
+    registry = load_all()
+    missing = [n for n in names if n not in registry]
+    if missing:
+        print(f"unknown queries: {missing}", file=sys.stderr)
+        sys.exit(2)
+
+    marker = f"{OUT_DIR}/.scale_probe_built"
+    if rebuild or not os.path.exists(marker):
+        print(
+            f"[scale_probe] building {REPLICAS}x scale-up of {SRC_DIR} "
+            f"at {OUT_DIR} ...",
+            file=sys.stderr,
+        )
+        t0 = time.time()
+        build_scaleup(spark, SRC_DIR, OUT_DIR, REPLICAS)
+        print(
+            f"[scale_probe] built in {time.time() - t0:.1f}s", file=sys.stderr
+        )
+
+    results = {}
+    for name in names:
+        # warm then time, both scales (same methodology as bench.py: the
+        # second run measures the plan, not process bootstrap)
+        _run_once(registry, name, spark, SRC_DIR)
+        base = _run_once(registry, name, spark, SRC_DIR)
+        _run_once(registry, name, spark, OUT_DIR)
+        scaled = _run_once(registry, name, spark, OUT_DIR)
+        ratio = scaled / base if base > 0 else float("inf")
+        results[name] = {
+            "base_s": round(base, 3),
+            "scaled_s": round(scaled, 3),
+            "ratio": round(ratio, 2),
+        }
+        print(
+            f"[scale_probe] {name:34s} {base:7.2f}s -> {scaled:7.2f}s  "
+            f"x{ratio:5.2f}",
+            file=sys.stderr,
+        )
+
+    print(
+        json.dumps(
+            {
+                "metric": "scale_probe",
+                "replicas": REPLICAS,
+                "base_dir": SRC_DIR,
+                "scaled_dir": OUT_DIR,
+                "queries": results,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
