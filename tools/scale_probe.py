@@ -60,7 +60,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from data_etl_scripts_showcase__spark.queries import load_all  # noqa: E402
 from data_etl_scripts_showcase__spark.session import get_session  # noqa: E402
 
-REPLICAS = 10
+REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10"))
 SRC_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT_DIR = os.environ.get(
     "SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale/sf1_synth"
@@ -114,26 +114,33 @@ KEYMAP = {
 
 DIM_TABLES = ["region", "nation"]
 
-# Rotating translate alphabet: high-frequency letters, both cases, so
+# Rotating translate alphabets: high-frequency letters, both cases, so
 # each replica's text differs from every other replica's in most
 # characters (shingle/fingerprint families diverge across replicas).
-# MUST be longer than REPLICAS: rotation k = r % len(_ALPHA), and a
-# wrap-around would hand two replicas the identical translation (caught
-# by the smoke validation: 9 letters made replica 9 a verbatim copy of
+# TWO independent alphabets give len(A)*len(B) distinct translations —
+# a single alphabet wraps at len(A) replicas and the wrap-around hands
+# two replicas the identical translation (caught by the DuckDB smoke
+# validation: a 9-letter alphabet made replica 9 a verbatim copy of
 # replica 0, re-creating exactly the cross-replica dup explosion the
 # translation exists to prevent).
-_ALPHA = "etaoinshrdlc"
-assert len(_ALPHA) > REPLICAS
+_ALPHA_A = "etaoinshrdlc"  # 12 rotations
+_ALPHA_B = "uwyfgbmpv"  # x 9 rotations = 108 distinct replicas
+assert REPLICAS <= len(_ALPHA_A) * len(_ALPHA_B)
+
+
+def _rot_translate(col: F.Column, alpha: str, k: int) -> F.Column:
+    if k == 0:
+        return col
+    rot = alpha[k:] + alpha[:k]
+    return F.translate(
+        F.translate(col, alpha, rot), alpha.upper(), rot.upper()
+    )
 
 
 def _translate_text(col: F.Column, r: int) -> F.Column:
-    if r == 0:
-        return col
-    k = r % len(_ALPHA)
-    rot = _ALPHA[k:] + _ALPHA[:k]
-    up = _ALPHA.upper()
-    rot_up = rot.upper()
-    return F.translate(F.translate(col, _ALPHA, rot), up, rot_up)
+    ka = r % len(_ALPHA_A)
+    kb = (r // len(_ALPHA_A)) % len(_ALPHA_B)
+    return _rot_translate(_rot_translate(col, _ALPHA_A, ka), _ALPHA_B, kb)
 
 
 def build_scaleup(spark: SparkSession, src: str, out: str, replicas: int) -> None:
@@ -202,6 +209,11 @@ def main() -> None:
         sys.exit(2)
 
     marker = f"{OUT_DIR}/.scale_probe_built"
+    want = f"src={SRC_DIR}\nreplicas={REPLICAS}\n"
+    if not rebuild and os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() != want:  # built for a different src/replica count
+                rebuild = True
     if rebuild or not os.path.exists(marker):
         print(
             f"[scale_probe] building {REPLICAS}x scale-up of {SRC_DIR} "
