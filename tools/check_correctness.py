@@ -30,9 +30,14 @@ from data_etl_scripts_showcase__spark.sources import TABLES  # noqa: E402
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        # Driver testdata is a single file per table; the scale-probe's
+        # synthetic scale-ups are Spark-written DIRECTORIES of part files
+        # (tools/scale_probe.py) — glob those so the same gate verifies
+        # correctness at 10x/100x volume, not just timing.
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{path}'")
     return con
 
 
