@@ -22,21 +22,54 @@ from pyspark.sql import functions as F
 from ..functions import ntz_epoch_us
 
 
+_INTEGRAL_DTYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _floor_div_exact(x: Column, y: int) -> Column:
+    """Exact floor division of an INTEGRAL column by a positive literal.
+
+    ``F.floor(x / y)`` computes the quotient in DOUBLE, which is exact
+    only while the dividend stays under 2^53 (epoch-microseconds cross
+    that around year 2112; arbitrary bigint keys can sit anywhere in
+    int64).  Above it, the rounded quotient can floor to the wrong
+    bucket — and a wrong bucket here silently DROPS join matches: the
+    post-join containment predicate can only remove false positives,
+    never recover a pair the equality join never produced.
+
+    Exact route: ``pmod`` makes the dividend an exact multiple of ``y``
+    (floor-consistent for negatives — same pmod discipline as
+    operators/attribution.py), the division then runs in DECIMAL(38,0),
+    where an exactly-divisible quotient is exact for the whole int64
+    range.  One decimal op per row; nothing at shuffle granularity.
+    """
+    # subtract in DECIMAL as well: at the int64 edge (x near -2^63) the
+    # bigint subtraction itself overflows under ANSI mode
+    exact = x.cast("decimal(38,0)") - F.pmod(x, F.lit(y))
+    return (exact / F.lit(y)).cast("bigint")
+
+
 def _bucket(ts: Column, seconds: int, dtype: str) -> Column:
     """Quantize a timestamp-or-numeric column into ``seconds``-wide buckets.
 
-    Two contracts, chosen by the RESOLVED dtype (the operator has the
+    Three contracts, chosen by the RESOLVED dtype (the operator has the
     DataFrame in hand):
     - timestamp / timestamp_ntz / date → DST-safe wall-clock microseconds
       via :func:`ntz_epoch_us` (a plain ``unix_micros(cast)`` would shift
-      across DST transitions in non-UTC sessions);
-    - numeric (bigint/int/double…) → the value IS epoch seconds;
-      ``floor(ts / seconds)`` directly.  Casting a numeric through
-      TIMESTAMP_NTZ is not a legal Spark cast, and routing it through the
-      session timezone would silently change the bucket boundaries.
+      across DST transitions in non-UTC sessions), then exact integral
+      floor-division;
+    - integral numeric (bigint/int/…) → the value IS epoch seconds; exact
+      floor-division (see :func:`_floor_div_exact` for why not
+      ``floor(ts / seconds)``).  Casting a numeric through TIMESTAMP_NTZ
+      is not a legal Spark cast, and routing it through the session
+      timezone would silently change the bucket boundaries;
+    - double/float/decimal → ``floor(ts / seconds)``; the input itself
+      carries double precision, so the double quotient is as exact as
+      the data.
     """
     if dtype.startswith("timestamp") or dtype == "date":
-        return F.floor(ntz_epoch_us(ts) / F.lit(seconds * 1_000_000))
+        return _floor_div_exact(ntz_epoch_us(ts), seconds * 1_000_000)
+    if dtype in _INTEGRAL_DTYPES:
+        return _floor_div_exact(ts, seconds)
     return F.floor(ts / F.lit(seconds)).cast("bigint")
 
 
@@ -98,6 +131,12 @@ def band_join(
     as the interval join above, applied to a symmetric numeric band.
     ``extra_keys`` are additional equality keys (they ride the same
     shuffle).
+
+    Precision note: ``eps`` is a runtime Column, so the bucket quotient
+    runs in double here (no dtype branch is possible).  The ±1 band
+    fan-out absorbs one bucket of rounding slack, but callers banding
+    integral values beyond ~2^52·eps should pre-divide with an exact
+    integral expression (see :func:`_floor_div_exact`).
     """
     keys = list(extra_keys or [])
     lb = F.floor(F.col(left_val) / eps).cast("bigint")

@@ -293,6 +293,44 @@ class TestIntervalJoin:
         assert out.count() == 10
         assert out.select("tag").distinct().count() == 10
 
+    def test_bucket_exact_floor_full_int64_range(self, spark):
+        """Bucketing is exact floor division over the ENTIRE int64 range.
+
+        ``floor(x / y)`` in double is exact only below 2^53; above it a
+        bucket boundary can round to the wrong side, and a mis-bucketed
+        point is a silently DROPPED match (the containment refilter can
+        only discard false positives).  Pins _floor_div_exact against
+        Python's arbitrary-precision ``//`` at adversarial boundary
+        values: +/-1 around multiples of the bucket width, at 2^53 and
+        out to the int64 edges, negatives included.
+        """
+        from data_etl_scripts_showcase__spark.operators.rangejoin import (
+            _floor_div_exact,
+        )
+
+        y = 900
+        anchors = [
+            0, 1, 899, 900, 2**31, 2**53 - 1, 2**53, 2**53 + 1,
+            (2**53 // y) * y, (2**60 // y) * y, 2**62, 2**63 - 2,
+        ]
+        vals = set()
+        for a in anchors:
+            for d in (-1, 0, 1):
+                for s in (1, -1):
+                    v = s * (a + d)
+                    if -(2**63) <= v <= 2**63 - 1:
+                        vals.add(v)
+        rows = [(v,) for v in sorted(vals)]
+        df = spark.createDataFrame(rows, "x bigint")
+        got = {
+            r.x: r.b
+            for r in df.select(
+                "x", _floor_div_exact(F.col("x"), y).alias("b")
+            ).collect()
+        }
+        for v in sorted(vals):
+            assert got[v] == v // y, (v, got[v], v // y)
+
 
 class TestCodecSeam:
     """The real-codec seam (VERDICT r4 #7): one test, runs EITHER way.
@@ -1337,3 +1375,34 @@ class TestAdviceR3Fixes:
         # 101000 mc / 2 = 50500 each, remainder 0; earliest is event 1
         assert got == {1: 50500, 2: 50500}
         assert sum(got.values()) == 101 * 1000
+
+
+class TestSeededEpochShuffle:
+    """x57's contract: positions are a per-shard bijection 1..n, stable
+    across runs (resumable training order), and the two epoch seeds give
+    genuinely different permutations (decorrelated epochs)."""
+
+    def test_positions_bijective_deterministic_decorrelated(self, spark):
+        from data_etl_scripts_showcase__spark.queries import load_all
+
+        q = load_all()["x57_seeded_epoch_shuffle"].fn
+        sf = "/root/testdata/sf0.001"
+        rows = q(spark, sf).collect()
+        again = q(spark, sf).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+        by_shard: dict[int, list] = {}
+        for r in rows:
+            by_shard.setdefault(r.shard, []).append(r)
+        assert len(by_shard) > 1  # data actually spreads across shards
+        diff_any = False
+        for shard, rs in by_shard.items():
+            n = len(rs)
+            assert sorted(r.pos_epoch1 for r in rs) == list(range(1, n + 1))
+            assert sorted(r.pos_epoch2 for r in rs) == list(range(1, n + 1))
+            order1 = [r.doc_id for r in sorted(rs, key=lambda r: r.pos_epoch1)]
+            order2 = [r.doc_id for r in sorted(rs, key=lambda r: r.pos_epoch2)]
+            if order1 != order2:
+                diff_any = True
+        # with ~60 docs/shard the chance two seeded orders coincide is ~1/60!
+        assert diff_any, "epoch seeds produced identical shard orders"
