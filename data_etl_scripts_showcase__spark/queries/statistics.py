@@ -378,13 +378,13 @@ def x8_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH p AS (
         SELECT event_type,
-               quantile_cont(value, 0.05) AS p05,
-               quantile_cont(value, 0.95) AS p95
+               round(quantile_cont(value, 0.05), 6) AS p05,
+               round(quantile_cont(value, 0.95), 6) AS p95
         FROM events GROUP BY event_type
     )
     SELECT e.event_type,
-           round(p.p05, 6) AS p05,
-           round(p.p95, 6) AS p95,
+           p.p05,
+           p.p95,
            CAST(sum(CASE WHEN e.value < p.p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
            CAST(sum(CASE WHEN e.value > p.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
            round(avg(least(greatest(e.value, p.p05), p.p95)), 6) AS winsorized_mean,
@@ -404,21 +404,28 @@ def x10_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per event_type), broadcast back onto the fact scan for the
     clip + re-aggregate.  At 100 TB the first pass swaps to
     approx_percentile (a21's verified error contract) and the plan shape —
-    small-side broadcast join, one fact shuffle — is unchanged.  Both
-    engines use linear-interpolated exact percentiles here, so the
-    rounded values hash-match."""
+    small-side broadcast join, one fact shuffle — is unchanged.
+
+    The clip thresholds are applied AT the quoted 6-dp precision (both
+    engines round the interpolated percentile BEFORE comparing): the
+    engines' linear interpolations can differ in the last ulp
+    (2.52 vs 2.5200000000000005 on the 10x scale-probe data), and a
+    strict `<` against an un-rounded threshold flips every row tied at
+    the boundary — 50 rows at 10x volume.  Rounding first makes the
+    counts reproducible across engines at any data volume, and means
+    the thresholds the report QUOTES are the thresholds it APPLIED."""
     ev = load_table(spark, sf_dir, "events")
     p = ev.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.05)).alias("p05"),
-        F.percentile("value", F.lit(0.95)).alias("p95"),
+        F.round(F.percentile("value", F.lit(0.05)), 6).alias("p05"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
     )
     clipped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
     return (
         ev.join(F.broadcast(p), "event_type")
         .groupBy("event_type")
         .agg(
-            F.round(F.first("p05"), 6).alias("p05"),
-            F.round(F.first("p95"), 6).alias("p95"),
+            F.first("p05").alias("p05"),
+            F.first("p95").alias("p95"),
             F.sum(F.when(F.col("value") < F.col("p05"), 1).otherwise(0)).alias(
                 "n_clipped_low"
             ),

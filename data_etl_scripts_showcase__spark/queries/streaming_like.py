@@ -21,6 +21,7 @@ from ..streaming import (
     sliding_counts,
     stateful_user_activity,
     stream_dedup_keys,
+    stream_source_path,
     tumbling_counts,
 )
 from . import fragment, register
@@ -735,11 +736,12 @@ def st18_streaming_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import read_dataset_card, streaming_dataset_card
 
     file_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    src_path, src_glob = stream_source_path(sf_dir, "documents")
     stream = (
         spark.readStream.schema(file_schema)
         .format("parquet")
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
+        .option("pathGlobFilter", src_glob)
+        .load(src_path)
     )
     out = _tf.mkdtemp(prefix="st18_card_")
     shutil.rmtree(out, ignore_errors=True)
@@ -770,11 +772,12 @@ def st19_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import streaming_exact_dedup
 
     file_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    src_path, src_glob = stream_source_path(sf_dir, "documents")
     stream = (
         spark.readStream.schema(file_schema)
         .format("parquet")
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
+        .option("pathGlobFilter", src_glob)
+        .load(src_path)
     )
     out = _tf.mkdtemp(prefix="st19_dedup_")
     shutil.rmtree(out, ignore_errors=True)
@@ -816,11 +819,12 @@ def st20_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import streaming_neardup_gate
 
     file_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    src_path, src_glob = stream_source_path(sf_dir, "documents")
     stream = (
         spark.readStream.schema(file_schema)
         .format("parquet")
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
+        .option("pathGlobFilter", src_glob)
+        .load(src_path)
     )
     out = _tf.mkdtemp(prefix="st20_gate_")
     shutil.rmtree(out, ignore_errors=True)
@@ -864,11 +868,12 @@ def st21_stream_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import streaming_shard_manifest
 
     file_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    src_path, src_glob = stream_source_path(sf_dir, "documents")
     stream = (
         spark.readStream.schema(file_schema)
         .format("parquet")
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
+        .option("pathGlobFilter", src_glob)
+        .load(src_path)
     )
     out = _tf.mkdtemp(prefix="st21_shards_")
     shutil.rmtree(out, ignore_errors=True)

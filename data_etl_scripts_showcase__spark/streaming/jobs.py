@@ -18,6 +18,7 @@ columns and must take the epoch from the path (as the replay test does).
 
 from __future__ import annotations
 
+import os as _os
 import tempfile
 import uuid
 
@@ -25,6 +26,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import dec2, ntz_epoch_us
+
+
+def stream_source_path(sf_dir: str, table: str) -> tuple[str, str]:
+    """(load_path, pathGlobFilter) for a file-stream over ONE table.
+
+    The driver testdata stores each table as a single ``{table}.parquet``
+    FILE, so the stream loads ``sf_dir`` glob-filtered to that name (the
+    file-stream source wants a directory, and the filter keeps sibling
+    tables out of the stream).  Spark-written datasets — e.g. the scale
+    probe's synthetic scale-ups (tools/scale_probe.py) — store each table
+    as a DIRECTORY of part files; a filename glob matches nothing there
+    and the stream silently sees zero files, so load the table directory
+    itself and glob its parts instead.
+    """
+    p = _os.path.join(sf_dir, f"{table}.parquet")
+    if _os.path.isdir(p):
+        return p, "*.parquet"
+    return sf_dir, f"{table}.parquet"
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -57,13 +76,12 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             for f in file_schema.fields
         ]
     )
-    # the file-stream source wants a directory; glob-filter to the events
-    # file so sibling tables in sf_dir aren't swept into the stream.
+    path, glob = stream_source_path(sf_dir, "events")
     raw = (
         spark.readStream.schema(stream_schema)
         .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
+        .option("pathGlobFilter", glob)
+        .load(path)
     )
     if ts_is_long:
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
