@@ -76,6 +76,61 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def _sort_canon(df: pd.DataFrame, float_last: list[str]) -> pd.DataFrame:
+    """Vectorized canonical row order: sort by all columns, with columns
+    that are FLOAT in either frame ordered LAST in the key so rows that
+    agree on their exact-typed keys cannot be reordered by cross-engine
+    ulp differences (the same discipline the repr path gets implicitly
+    from near-unique exact keys).  Raises TypeError on columns pandas
+    cannot compare (mixed incomparable types) — caller falls back to the
+    repr path."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    for col in df.columns:
+        # driver-parity scalar lint must survive the fast path: a
+        # list/array cell is a FAIL, not a silent tuple-coercion
+        if df[col].dtype == object and len(df):
+            mask = df[col].map(
+                lambda v: isinstance(v, (list, tuple, set, dict))
+                or type(v).__name__ == "ndarray"
+            )
+            if mask.any():
+                _assert_scalar(df[col][mask.idxmax()], col)
+    if not len(df):
+        return df.reset_index(drop=True)
+    keys = [c for c in df.columns if c not in float_last] + [
+        c for c in df.columns if c in float_last
+    ]
+    out = df.sort_values(by=keys, kind="mergesort", na_position="last")
+    return out.reset_index(drop=True)
+
+
+def _fast_mismatch_cells(s: pd.Series, o: pd.Series):
+    """Vectorized accept-filter: indices that MIGHT mismatch.  A cell the
+    fast check accepts always satisfies values_equal (exact equality, or
+    isclose with the same tolerances); rejected cells are re-judged by
+    values_equal, so the verdict is identical to the per-cell loop."""
+    import numpy as np
+
+    a_na = s.isna().to_numpy()
+    b_na = o.isna().to_numpy()
+    both_na = a_na & b_na
+    s_f = pd.api.types.is_float_dtype(s)
+    o_f = pd.api.types.is_float_dtype(o)
+    s_n = pd.api.types.is_numeric_dtype(s)
+    o_n = pd.api.types.is_numeric_dtype(o)
+    if (s_f or o_f) and s_n and o_n:
+        af = s.to_numpy(dtype="float64", na_value=np.nan)
+        bf = o.to_numpy(dtype="float64", na_value=np.nan)
+        ok = np.isclose(af, bf, rtol=1e-9, atol=1e-12) | both_na
+    else:
+        with np.errstate(all="ignore"):
+            eq = s.to_numpy() == o.to_numpy()
+        if not isinstance(eq, np.ndarray):  # scalar False from len mismatch
+            eq = np.zeros(len(s), dtype=bool)
+        ok = (eq & ~(a_na | b_na)) | both_na
+    return np.nonzero(~ok)[0]
+
+
 def values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
@@ -92,6 +147,16 @@ def values_equal(a, b) -> bool:
     return a == b
 
 
+def _cell_mismatch(x, y) -> bool:
+    x = None if (isinstance(x, float) and math.isnan(x)) else x
+    y = None if (isinstance(y, float) and math.isnan(y)) else y
+    if pd.isna(x) if not isinstance(x, (list, tuple)) else False:
+        x = None
+    if pd.isna(y) if not isinstance(y, (list, tuple)) else False:
+        y = None
+    return not values_equal(x, y)
+
+
 def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     errs: list[str] = []
     scols, ocols = sorted(sdf.columns), sorted(odf.columns)
@@ -100,18 +165,44 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     if len(sdf) != len(odf):
         errs.append(f"row count differs: spark={len(sdf)} oracle={len(odf)}")
         return errs
+    # Vectorized path first (the repr path is O(rows) Python and dominates
+    # the sweep wall-clock at 10x/100x volume); any structural surprise
+    # falls back to the proven per-cell path.  NonScalarOutputError is a
+    # verdict, not a structural surprise — it must propagate from either.
+    try:
+        float_cols = [
+            c
+            for c in scols
+            if pd.api.types.is_float_dtype(sdf[c])
+            or pd.api.types.is_float_dtype(odf[c])
+        ]
+        s, o = _sort_canon(sdf, float_cols), _sort_canon(odf, float_cols)
+        n_bad = 0
+        for col in s.columns:
+            idx = _fast_mismatch_cells(s[col], o[col])
+            if len(idx):
+                sv, ov = s[col].iloc[idx].tolist(), o[col].iloc[idx].tolist()
+                for i, x, y in zip(idx.tolist(), sv, ov):
+                    if _cell_mismatch(x, y):
+                        n_bad += 1
+                        if n_bad <= 3:
+                            errs.append(
+                                f"value mismatch col={col} row={i}: "
+                                f"spark={x!r} oracle={y!r}"
+                            )
+        if n_bad > 3:
+            errs.append(f"... {n_bad} total value mismatches")
+        return errs
+    except NonScalarOutputError:
+        raise
+    except Exception:
+        errs = []
     s, o = canon(sdf), canon(odf)
     n_bad = 0
     for col in s.columns:
         sv, ov = s[col].tolist(), o[col].tolist()
         for i, (x, y) in enumerate(zip(sv, ov)):
-            x = None if (isinstance(x, float) and math.isnan(x)) else x
-            y = None if (isinstance(y, float) and math.isnan(y)) else y
-            if pd.isna(x) if not isinstance(x, (list, tuple)) else False:
-                x = None
-            if pd.isna(y) if not isinstance(y, (list, tuple)) else False:
-                y = None
-            if not values_equal(x, y):
+            if _cell_mismatch(x, y):
                 n_bad += 1
                 if n_bad <= 3:
                     errs.append(f"value mismatch col={col} row={i}: spark={x!r} oracle={y!r}")
@@ -140,28 +231,37 @@ def main() -> int:
             print(f"FAIL  {name}: spark raised {type(e).__name__}: {e}")
             n_fail += 1
             continue
+        t_spark = time.time() - t0
         if q.oracle is None:
             status = "ROWS" if len(sdf) >= 0 else "??"
-            print(f"{status}  {name}: rows={len(sdf)} (no oracle) [{time.time()-t0:.1f}s]")
+            print(f"{status}  {name}: rows={len(sdf)} (no oracle) [{t_spark:.1f}s]")
             n_rows_only += 1
             continue
+        t1 = time.time()
         try:
             odf = con.execute(q.oracle).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: oracle raised {type(e).__name__}: {e}")
             n_fail += 1
             continue
+        t_oracle = time.time() - t1
+        t2 = time.time()
         try:
             errs = compare(name, sdf, odf)
         except NonScalarOutputError as e:
             errs = [f"driver-unhashable output: {e}"]
+        t_cmp = time.time() - t2
+        timing = (
+            f"[{time.time()-t0:.1f}s: spark {t_spark:.1f} "
+            f"oracle {t_oracle:.1f} cmp {t_cmp:.1f}]"
+        )
         if errs:
             print(f"FAIL  {name}: rows={len(sdf)}")
             for e in errs:
                 print(f"      {e}")
             n_fail += 1
         else:
-            print(f"PASS  {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
+            print(f"PASS  {name}: rows={len(sdf)} {timing}")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_rows_only} rows-only, {n_fail} fail @ {sf_dir}")
     return 1 if n_fail else 0

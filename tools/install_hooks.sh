@@ -32,11 +32,16 @@ if echo "$staged" | grep -qE \
     # The marker hashes the WORKING TREE (what pytest ran against) but the
     # commit records the INDEX.  If unstaged edits touch gated paths, the
     # staged tree is NOT the tree the suite validated - block that too.
+    # untracked files are invisible to `git diff` but pytest imported
+    # them — an untracked module under the gated paths means the COMMITTED
+    # tree was never validated (ADVICE r5)
     unstaged="$(git diff --name-only -- data_etl_scripts_showcase__spark \
-      tests __spark_entry__.py)"
+      tests __spark_entry__.py; \
+      git ls-files --others --exclude-standard -- \
+      data_etl_scripts_showcase__spark tests __spark_entry__.py)"
     if [ -n "$unstaged" ]; then
-      echo "[pre-commit] BLOCKED: unstaged source edits mean the staged tree"
-      echo "  differs from the tree the full suite ran against:"
+      echo "[pre-commit] BLOCKED: unstaged/untracked source files mean the"
+      echo "  staged tree differs from the tree the full suite ran against:"
       echo "$unstaged" | sed 's/^/    /'
       echo "  Stage everything you tested, or ALLOW_STALE_PYTEST=1 for WIP."
       exit 1

@@ -33,6 +33,16 @@ How the scale-up stays honest (pure replication would NOT be):
   the source, so queries anchored on small ids (``vec_id < 8`` IVF
   centroids/queries) keep a fixed probe set against a 10x corpus — the
   realistic "fixed workload, growing corpus" shape.
+- **Blocking keys scale in NUMBER, not size.**  ``embeddings.label`` and
+  ``documents.source`` are remapped per replica (label by domain shift,
+  source by suffix) for the same reason the text is translated: replicas
+  copy each embedding VERBATIM, so an unscaled label block hands every
+  vector R-1 exact cosine-1.0 clones and the label/source-blocked pair
+  operators (d6/d7/d12) grow O(R²) by scale-up construction, not by
+  engine behavior.  Real growth adds clusters/sources alongside members
+  (d12's docstring: label stands in for a k-means assignment, and k
+  scales with n — the SemDeDup design); replica-internal blocks model
+  that.  Replica 0 keeps the original labels/sources.
 
 Usage:
     python tools/scale_probe.py                  # build (once) + probe
@@ -99,6 +109,7 @@ DOMAINS = {
     "user": ("events", "user_id"),
     "doc": ("documents", "doc_id"),
     "vec": ("embeddings", "vec_id"),
+    "lab": ("embeddings", "label"),
 }
 
 KEYMAP = {
@@ -109,8 +120,12 @@ KEYMAP = {
     "lineitem": {"l_orderkey": "ord", "l_partkey": "part", "l_suppkey": "supp"},
     "events": {"event_id": "event", "user_id": "user"},
     "documents": {"doc_id": "doc"},
-    "embeddings": {"vec_id": "vec"},
+    "embeddings": {"vec_id": "vec", "label": "lab"},
 }
+
+# Build-layout version: bumped when the scale-up construction changes so
+# existing dirs rebuild (the marker check compares this line too).
+LAYOUT = "v2-blocked-keys"
 
 DIM_TABLES = ["region", "nation"]
 
@@ -174,6 +189,16 @@ def build_scaleup(spark: SparkSession, src: str, out: str, replicas: int) -> Non
                     )
                 elif tbl == "documents" and c == "text":
                     cols.append(_translate_text(F.col(c), r).alias(c))
+                elif tbl == "documents" and c == "source":
+                    # blocking key scales in NUMBER (see module docstring);
+                    # replica 0 keeps the original source names
+                    cols.append(
+                        (
+                            F.col(c)
+                            if r == 0
+                            else F.concat(F.col(c), F.lit(f"_r{r}"))
+                        ).alias(c)
+                    )
                 else:
                     cols.append(F.col(c))
             parts.append(base.select(*cols))
@@ -185,7 +210,7 @@ def build_scaleup(spark: SparkSession, src: str, out: str, replicas: int) -> Non
             f"{out}/{tbl}.parquet"
         )
     with open(f"{out}/.scale_probe_built", "w") as f:
-        f.write(f"src={src}\nreplicas={replicas}\n")
+        f.write(f"src={src}\nreplicas={replicas}\nlayout={LAYOUT}\n")
 
 
 def _run_once(registry, name: str, spark: SparkSession, sf_dir: str) -> float:
@@ -209,7 +234,7 @@ def main() -> None:
         sys.exit(2)
 
     marker = f"{OUT_DIR}/.scale_probe_built"
-    want = f"src={SRC_DIR}\nreplicas={REPLICAS}\n"
+    want = f"src={SRC_DIR}\nreplicas={REPLICAS}\nlayout={LAYOUT}\n"
     if not rebuild and os.path.exists(marker):
         with open(marker) as f:
             if f.read() != want:  # built for a different src/replica count
