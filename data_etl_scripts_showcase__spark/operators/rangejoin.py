@@ -116,7 +116,7 @@ def band_join(
     right: DataFrame,
     left_val: str,
     right_val: str,
-    eps: Column,
+    eps: Column | int | float,
     extra_keys: list[str] | None = None,
 ) -> DataFrame:
     """Band (theta) join: pairs with ``|left_val - right_val| <= eps``,
@@ -132,15 +132,33 @@ def band_join(
     ``extra_keys`` are additional equality keys (they ride the same
     shuffle).
 
-    Precision note: ``eps`` is a runtime Column, so the bucket quotient
-    runs in double here (no dtype branch is possible).  The ±1 band
-    fan-out absorbs one bucket of rounding slack, but callers banding
-    integral values beyond ~2^52·eps should pre-divide with an exact
-    integral expression (see :func:`_floor_div_exact`).
+    Precision: when BOTH value columns resolve to integral dtypes and
+    ``eps`` is a literal positive int, bucketing routes through
+    :func:`_floor_div_exact` — exact over the full int64 domain, same as
+    ``interval_join``'s numeric contract (a double quotient near 2^60/eps
+    can land more than one bucket off, and the ±1 fan-out then silently
+    drops matches).  Otherwise (float data, or a runtime-Column eps where
+    no dtype branch is possible) the quotient runs in double, which
+    carries the data's own precision.
     """
     keys = list(extra_keys or [])
-    lb = F.floor(F.col(left_val) / eps).cast("bigint")
-    rb = F.floor(F.col(right_val) / eps).cast("bigint")
+    l_dtype = dict(left.dtypes)[left_val]
+    r_dtype = dict(right.dtypes)[right_val]
+    if (
+        isinstance(eps, int)
+        and not isinstance(eps, bool)
+        and eps > 0
+        and l_dtype in _INTEGRAL_DTYPES
+        and r_dtype in _INTEGRAL_DTYPES
+    ):
+        lb = _floor_div_exact(F.col(left_val), eps)
+        rb = _floor_div_exact(F.col(right_val), eps)
+        eps = F.lit(eps)
+    else:
+        if not isinstance(eps, Column):
+            eps = F.lit(eps)
+        lb = F.floor(F.col(left_val) / eps).cast("bigint")
+        rb = F.floor(F.col(right_val) / eps).cast("bigint")
     l3 = left.select(
         "*", F.explode(F.array(lb - 1, lb, lb + 1)).alias("_band")
     )

@@ -64,6 +64,14 @@ def fragment(name: str):
     on batch inputs (pre-write frame, batch twin of the streamed
     transformation, pre-gate join); the audits walk ITS physical plan in
     the query's place, closing the r4 audit blind spot (VERDICT r4 #3).
+
+    Contract (ADVICE r5): a fragment must be built by calling the SAME
+    transformation functions the query/job executes (the shared builders
+    in streaming/jobs.py and the query modules), never by re-expressing
+    the tree inline — otherwise a regression in the real path passes the
+    audits unnoticed.  Where an action half (write, compaction,
+    cross-epoch state) cannot be shared, the fragment's docstring/comment
+    names the dedicated test that exercises the real path.
     """
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):

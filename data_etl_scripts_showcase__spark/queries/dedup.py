@@ -932,11 +932,16 @@ def d15_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d16_minhash_estimator_audit",
     oracle=f"""
     WITH {_SIG_CTE},
+    mcte AS (
+        SELECT greatest(20, CAST(ceil(count(*) / 500.0) AS BIGINT)) AS m
+        FROM documents
+    ),
+    sd AS (
+        SELECT doc_id FROM sig CROSS JOIN mcte WHERE doc_id % m = 0
+    ),
     cand AS (
         SELECT x.doc_id AS id_a, y.doc_id AS id_b
-        FROM (SELECT doc_id FROM sig) x
-        JOIN (SELECT doc_id FROM sig) y ON x.doc_id < y.doc_id
-        WHERE x.doc_id % 20 = 0 AND y.doc_id % 20 = 0
+        FROM sd x JOIN sd y ON x.doc_id < y.doc_id
     )
     SELECT c.id_a, c.id_b,
            CAST(({" + ".join(f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(DD.N_SEEDS))})
@@ -959,9 +964,13 @@ def d16_minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample of doc pairs, compare the MinHash Jaccard ESTIMATE (fraction
     of agreeing signature components) against the EXACT shingle Jaccard —
     the number that tells you whether 16 permutations / 4 bands is enough
-    for your corpus before you trust d3/d4 at 100 TB.  The sample is
-    id-keyed (every 20th doc), so the audit cost is (n/20 choose 2)
-    pairs of 16-int comparisons, not a corpus-wide join."""
+    for your corpus before you trust d3/d4 at 100 TB.  The sample targets
+    a CONSTANT doc budget (d22's discipline): the modulus
+    m = max(20, ceil(n/500)) is derived from the corpus count, so the
+    deliberately-quadratic audit side stays ~500 docs (~budget²/2 pairs
+    of 16-int comparisons) at ANY scale — a fixed 1/20 rate audited
+    (n/20)² pairs, which outran both engines at the 100x probe tier.
+    The 20 floor preserves the historical test-SF sample."""
     docs = load_table(spark, sf_dir, "documents")
     sig = DD.minhash_signature(
         docs, "doc_id", "text", parallelism=spark.sparkContext.defaultParallelism
@@ -969,7 +978,16 @@ def d16_minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = docs.select("doc_id", DD.tokens("text").alias("_t")).select(
         "doc_id", DD.ngrams_from_tokens(F.col("_t")).alias("grams")
     )
-    sample = sig.where(F.col("doc_id") % 20 == 0)
+    mrow = docs.agg(
+        F.greatest(
+            F.lit(20), F.ceil(F.count("*") / 500.0).cast("bigint")
+        ).alias("m")
+    )
+    sample = (
+        sig.crossJoin(F.broadcast(mrow))
+        .where(F.col("doc_id") % F.col("m") == 0)
+        .drop("m")
+    )
     a = sample.select(
         F.col("doc_id").alias("id_a"),
         *[F.col(f"mh{i}").alias(f"a{i}") for i in range(DD.N_SEEDS)],

@@ -784,10 +784,13 @@ def j15_interval_join_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same banding plan as j8: equality join on (user, bucket), exact
     containment refilter, no nested-loop.
     """
-    from ..operators.rangejoin import interval_join
+    from ..operators.rangejoin import _floor_div_exact, interval_join
 
     ev = load_table(spark, sf_dir, "events")
-    secs = F.floor(ntz_epoch_us("ts") / F.lit(1_000_000)).cast("bigint")
+    # epoch seconds via the same exact integral route the operator uses
+    # internally — floor(us/1e6) computes the quotient in double, the
+    # exact pattern _floor_div_exact exists to eliminate (ADVICE r5)
+    secs = _floor_div_exact(ntz_epoch_us("ts"), 1_000_000)
     clicks = ev.where(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"), "user_id", secs.alias("ts_s")
     )

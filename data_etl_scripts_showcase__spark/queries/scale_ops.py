@@ -581,11 +581,33 @@ _HAV = """2.0 * 6371.0088 * asin(sqrt(
 
 @register(
     "x35_geo_radius_join",
+    # The oracle is grid-blocked like the engine (3x3 neighbor cells with
+    # the modular longitude ring), NOT the naive quadratic self-join: at
+    # the 10x probe dir the quadratic form costs ~33 min of DuckDB time
+    # (22.5e9 haversine evaluations) while the engine needs 8 s, and at
+    # 100x it is infeasible — the cell cover is what makes a full-registry
+    # correctness sweep at volume possible (VERDICT r5 #1).  The cover's
+    # completeness (one 1-deg x 2-deg cell bounds 50 km in both axes at
+    # |lat| <= 60, antimeridian wrap included) is independently pinned by
+    # tests/test_operators.py's brute-force-vs-banded geo test, so the
+    # oracle still verifies values, not just the engine's own candidates.
     oracle=f"""
-    WITH pts AS ({_GEO_PT})
+    WITH pts AS ({_GEO_PT}),
+    a AS (
+        SELECT id, lat, lon,
+               CAST(floor(lat) AS BIGINT) + di.d AS latc,
+               ((CAST(floor(lon / 2) AS BIGINT) + dj.d) % 180 + 180) % 180 AS lonc
+        FROM pts, (VALUES (-1), (0), (1)) di(d), (VALUES (-1), (0), (1)) dj(d)
+    ),
+    b AS (
+        SELECT id, lat, lon,
+               CAST(floor(lat) AS BIGINT) AS latc,
+               (CAST(floor(lon / 2) AS BIGINT) % 180 + 180) % 180 AS lonc
+        FROM pts
+    )
     SELECT a.id AS id_a, b.id AS id_b,
            round({_HAV}, 3) AS dist_km
-    FROM pts a JOIN pts b ON a.id < b.id
+    FROM a JOIN b ON a.latc = b.latc AND a.lonc = b.lonc AND a.id < b.id
     WHERE round({_HAV}, 3) <= 50.0
     """,
     survey="NS-geo (radius self-join via lat/lon grid bucketing — haversine without a cartesian plan)",

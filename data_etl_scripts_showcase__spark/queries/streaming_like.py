@@ -149,13 +149,19 @@ def st6_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     form of J2): the static side is broadcast into every micro-batch, no
     stream-side shuffle and no state — the cheapest join a stream can do."""
     ev = events_stream(spark, sf_dir)
+    joined = _static_enrich(ev, spark, sf_dir)
+    return run_to_memory(joined, mode="append")
+
+
+def _static_enrich(ev: DataFrame, spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-dim enrichment of an events relation (stream or batch) —
+    shared by the st6 query and its plan-audit fragment (ADVICE r5)."""
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey"), F.col("c_name").alias("user_name")
     )
-    joined = ev.join(
+    return ev.join(
         F.broadcast(cust), ev.user_id == cust.c_custkey, "inner"
     ).select("event_id", "user_id", "user_name", "event_type", "value")
-    return run_to_memory(joined, mode="append")
 
 
 @register(
@@ -469,6 +475,55 @@ def st14_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, mode="complete")
 
 
+def _attribution_projections(ev: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Click/purchase projections of the events relation — shared by the
+    st15 query (on the STREAM) and its plan-audit fragment (on batch),
+    so the audited operator tree is the executed one (ADVICE r5)."""
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return clicks, purch
+
+
+def _attribution_cond():
+    """The 1-day interval LEFT OUTER join condition (time bound inside
+    the condition = bounded stream-stream state; see SCALE.md)."""
+    return (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 DAY"))
+    )
+
+
+def _attribution_safe_filter(out: DataFrame, batch_events: DataFrame) -> DataFrame:
+    """Restrict to the provably-evicted watermark region: clicks older
+    than min(max click ts, max purchase ts) − horizon − slack.  Shared
+    by the st15 query and fragment."""
+    safe = batch_events.where(
+        F.col("event_type").isin("click", "purchase")
+    ).groupBy("event_type").agg(F.max("ts").alias("mx")).agg(
+        (
+            F.min("mx") - F.expr("INTERVAL 1 DAY") - F.expr("INTERVAL 2 HOUR")
+        ).alias("safe_ts")
+    )
+    return (
+        out.crossJoin(F.broadcast(safe))
+        .where(F.col("click_ts") <= F.col("safe_ts"))
+        .select(
+            "click_id",
+            "purchase_id",
+            F.col("purchase_id").isNotNull().alias("converted"),
+        )
+    )
+
+
 @register(
     "st15_stream_left_outer_attribution",
     oracle="""
@@ -519,45 +574,17 @@ def st15_stream_left_outer_attribution(spark: SparkSession, sf_dir: str) -> Data
     same eviction doing the semantic work here is what caps the state
     store."""
     ev = events_stream(spark, sf_dir)
-    clicks = ev.where(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"),
-        F.col("user_id").alias("c_user"),
-        F.col("ts").alias("click_ts"),
-    ).withWatermark("click_ts", "1 hour")
-    purch = ev.where(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        F.col("user_id").alias("p_user"),
-        F.col("ts").alias("purchase_ts"),
-    ).withWatermark("purchase_ts", "1 hour")
-    cond = (
-        (F.col("c_user") == F.col("p_user"))
-        & (F.col("purchase_ts") >= F.col("click_ts"))
-        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 DAY"))
-    )
-    j = clicks.join(purch, cond, "left_outer").select(
+    clicks, purch = _attribution_projections(ev)
+    clicks = clicks.withWatermark("click_ts", "1 hour")
+    purch = purch.withWatermark("purchase_ts", "1 hour")
+    j = clicks.join(purch, _attribution_cond(), "left_outer").select(
         "click_id", "purchase_id", "click_ts"
     )
     emitted = run_to_memory(j, mode="append")
 
     from ..sources import load_table
 
-    bev = load_table(spark, sf_dir, "events")
-    safe = bev.where(F.col("event_type").isin("click", "purchase")).groupBy(
-        "event_type"
-    ).agg(F.max("ts").alias("mx")).agg(
-        (
-            F.min("mx") - F.expr("INTERVAL 1 DAY") - F.expr("INTERVAL 2 HOUR")
-        ).alias("safe_ts")
-    )
-    return (
-        emitted.crossJoin(F.broadcast(safe))
-        .where(F.col("click_ts") <= F.col("safe_ts"))
-        .select(
-            "click_id",
-            "purchase_id",
-            F.col("purchase_id").isNotNull().alias("converted"),
-        )
-    )
+    return _attribution_safe_filter(emitted, load_table(spark, sf_dir, "events"))
 
 
 @register(
@@ -909,13 +936,8 @@ def _frag_st1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @fragment("st6_stream_static_join")
 def _frag_st6(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    cust = load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey"), F.col("c_name").alias("user_name")
-    )
-    return ev.join(
-        F.broadcast(cust), ev.user_id == cust.c_custkey, "inner"
-    ).select("event_id", "user_id", "user_name", "event_type", "value")
+    # the query's own enrichment builder on batch input (ADVICE r5)
+    return _static_enrich(load_table(spark, sf_dir, "events"), spark, sf_dir)
 
 
 @fragment("st7_stream_stream_interval_join")
@@ -998,41 +1020,16 @@ def _frag_st14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @fragment("st15_stream_left_outer_attribution")
 def _frag_st15(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # batch twin of the stream-stream LEFT OUTER interval join + the
-    # watermark-region restriction (broadcast scalar bound)
+    # batch twin built from the query's OWN projection/condition/safe-
+    # region builders (_attribution_*) — only the watermark calls and the
+    # memory-sink hop differ from the streamed plan (ADVICE r5); the
+    # streamed semantics are gated by the st15 registry oracle
     ev = load_table(spark, sf_dir, "events")
-    clicks = ev.where(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"),
-        F.col("user_id").alias("c_user"),
-        F.col("ts").alias("click_ts"),
+    clicks, purch = _attribution_projections(ev)
+    j = clicks.join(purch, _attribution_cond(), "left_outer").select(
+        "click_id", "purchase_id", "click_ts"
     )
-    purch = ev.where(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        F.col("user_id").alias("p_user"),
-        F.col("ts").alias("purchase_ts"),
-    )
-    cond = (
-        (F.col("c_user") == F.col("p_user"))
-        & (F.col("purchase_ts") >= F.col("click_ts"))
-        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 DAY"))
-    )
-    safe = ev.where(F.col("event_type").isin("click", "purchase")).groupBy(
-        "event_type"
-    ).agg(F.max("ts").alias("mx")).agg(
-        (
-            F.min("mx") - F.expr("INTERVAL 1 DAY") - F.expr("INTERVAL 2 HOUR")
-        ).alias("safe_ts")
-    )
-    return (
-        clicks.join(purch, cond, "left_outer")
-        .crossJoin(F.broadcast(safe))
-        .where(F.col("click_ts") <= F.col("safe_ts"))
-        .select(
-            "click_id",
-            "purchase_id",
-            F.col("purchase_id").isNotNull().alias("converted"),
-        )
-    )
+    return _attribution_safe_filter(j, ev)
 
 
 @fragment("st16_stream_row_ids")
@@ -1049,74 +1046,47 @@ def _frag_st16(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @fragment("st17_stream_append_compact")
 def _frag_st17(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the per-batch day-partition frame + the read-back layout aggregate
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "ds", F.date_format("ts", "yyyy-MM-dd")
-    )
+    # the job's own per-batch day-partition projection (jobs.
+    # day_partitioned) + the read-back layout aggregate; the compaction
+    # half (file healing) is covered by tests/test_streaming.py::
+    # test_multibatch_fragments_heal on the real multi-batch job
+    from ..streaming.jobs import day_partitioned
+
+    ev = day_partitioned(load_table(spark, sf_dir, "events"))
     return ev.groupBy("ds").agg(F.count("*").alias("n"))
 
 
 @fragment("st18_streaming_dataset_card")
 def _frag_st18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # one micro-batch's card partial: additive stats x HLL register map
-    # (the crossJoin here is two broadcast scalar aggregates)
-    from ..operators.sketches import hll_registers
-    from ..operators.text import normalize, token_count
+    # the job's own per-batch card partial (jobs.dataset_card_partial —
+    # the crossJoin inside is two broadcast scalar aggregates); the
+    # cross-batch partial MERGE is gated by the st18 registry oracle
+    from ..streaming.jobs import dataset_card_partial
 
-    d = load_table(spark, sf_dir, "documents")
-    base = d.select(
-        F.length("text").alias("n_chr"),
-        token_count("text").alias("n_tok"),
-        F.md5(normalize("text")).alias("fp"),
-    )
-    regs = hll_registers(base, "fp").agg(
-        F.map_from_entries(F.collect_list(F.struct("idx", "reg"))).alias("regs")
-    )
-    return base.agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.coalesce(F.sum("n_chr"), F.lit(0)).cast("bigint").alias("total_chars"),
-        F.coalesce(F.sum("n_tok"), F.lit(0)).cast("bigint").alias("total_tokens"),
-    ).crossJoin(regs)
+    return dataset_card_partial(load_table(spark, sf_dir, "documents"))
 
 
 @fragment("st19_stream_exact_dedup")
 def _frag_st19(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # one micro-batch's within-batch dedup (the cross-epoch anti-join
-    # rides the same fingerprint key)
-    from ..operators.text import normalize
+    # the job's own within-batch dedup step (jobs.batch_dedup_keep; the
+    # cross-epoch anti-join rides the same fingerprint key); the
+    # cross-batch rule is covered by tests/test_streaming.py::
+    # test_cross_batch_first_wins on the real multi-batch job
+    from ..streaming.jobs import batch_dedup_keep
 
-    d = load_table(spark, sf_dir, "documents")
-    return (
-        d.select(F.md5(normalize("text")).alias("fingerprint"), "doc_id")
-        .groupBy("fingerprint")
-        .agg(F.min("doc_id").alias("doc_id"))
-    )
+    return batch_dedup_keep(load_table(spark, sf_dir, "documents"))
 
 
 @fragment("st20_stream_neardup_gate")
 def _frag_st20(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # one micro-batch's gate: signature -> bands -> smaller-id bucket
-    # collision -> anti-join (the committed-bucket semi-join is the same
-    # (band, bucket) equality key)
-    from ..operators import dedup as _DD
+    # the job's own gate steps (jobs.neardup_buckets +
+    # neardup_within_batch_hits; the committed-bucket semi-join rides
+    # the same (band, bucket) equality key); the cross-batch rule is
+    # covered by tests/test_streaming.py::test_multibatch_equals_batch_rule
+    from ..streaming.jobs import neardup_buckets, neardup_within_batch_hits
 
     d = load_table(spark, sf_dir, "documents")
-    bk = _DD.lsh_buckets(_DD.minhash_signature(d, "doc_id", "text"), "doc_id")
-    smaller = bk.select(
-        F.col("band").alias("b2"),
-        F.col("bucket").alias("k2"),
-        F.col("doc_id").alias("id2"),
-    )
-    hit = (
-        bk.join(
-            smaller,
-            (F.col("band") == F.col("b2"))
-            & (F.col("bucket") == F.col("k2"))
-            & (F.col("id2") < F.col("doc_id")),
-        )
-        .select("doc_id")
-        .distinct()
-    )
+    hit = neardup_within_batch_hits(neardup_buckets(d))
     return d.select("doc_id").join(hit, "doc_id", "left_anti")
 
 

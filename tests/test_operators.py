@@ -1406,3 +1406,147 @@ class TestSeededEpochShuffle:
                 diff_any = True
         # with ~60 docs/shard the chance two seeded orders coincide is ~1/60!
         assert diff_any, "epoch seeds produced identical shard orders"
+
+
+class TestGeoGridCover:
+    """x35's 1°×2° grid cover must be COMPLETE for the 50 km radius at
+    |lat| ≤ 60 (antimeridian wrap included): every in-radius pair meets in
+    the a-side's 3×3 neighbor cells.  This is the independence argument
+    for x35's grid-blocked DuckDB oracle (VERDICT r5 #1): the oracle
+    shares only the cell COVER with the engine, and this test pins the
+    cover against brute-force haversine with no grid at all."""
+
+    @staticmethod
+    def _hav_km(lat1, lon1, lat2, lon2):
+        import math
+
+        rl1, rl2 = math.radians(lat1), math.radians(lat2)
+        dlat = math.radians(lat2 - lat1)
+        dlon = math.radians(lon2 - lon1)
+        a = (
+            math.sin(dlat / 2) ** 2
+            + math.cos(rl1) * math.cos(rl2) * math.sin(dlon / 2) ** 2
+        )
+        return 2 * 6371.0088 * math.asin(math.sqrt(a))
+
+    @staticmethod
+    def _cell(lat, lon):
+        import math
+
+        return math.floor(lat), math.floor(lon / 2) % 180
+
+    def test_cover_complete_for_50km(self):
+        """Adversarial point pairs within 50 km: random, cell-boundary-
+        straddling, antimeridian-adjacent, at the ±60° latitude cap.
+        For each, b's exact cell must be one of a's 9 neighbor cells."""
+        import math
+        import random
+
+        rng = random.Random(42)
+        pairs = []
+        # random in-radius pairs across the domain
+        for _ in range(3000):
+            lat = rng.uniform(-60, 60)
+            lon = rng.uniform(-180, 180)
+            # displace by < 50 km in a random direction
+            d_km = rng.uniform(0, 49.9)
+            brg = rng.uniform(0, 2 * math.pi)
+            dlat = (d_km / 111.19) * math.cos(brg)
+            dlon = (d_km / (111.19 * max(math.cos(math.radians(lat)), 0.4))) * math.sin(brg)
+            lat2 = max(-60.0, min(60.0, lat + dlat))
+            lon2 = ((lon + dlon) + 180.0) % 360.0 - 180.0
+            pairs.append((lat, lon, lat2, lon2))
+        # antimeridian neighbors and boundary-tangent cases
+        for lat in (-60.0, -59.999, 0.0, 33.3333, 59.999, 60.0):
+            pairs.append((lat, 179.95, lat, -179.95))
+            pairs.append((lat, -179.999, lat, 179.999))
+            pairs.append((lat, 1.9999, lat, 2.0001))
+        missed = []
+        for lat1, lon1, lat2, lon2 in pairs:
+            if self._hav_km(lat1, lon1, lat2, lon2) > 50.0:
+                continue
+            la, lo = self._cell(lat1, lon1)
+            lb, lob = self._cell(lat2, lon2)
+            if not (
+                lb in (la - 1, la, la + 1)
+                and lob in ((lo - 1) % 180, lo, (lo + 1) % 180)
+            ):
+                missed.append((lat1, lon1, lat2, lon2))
+        assert not missed, missed[:5]
+
+    def test_blocked_join_equals_naive_quadratic(self, spark):
+        """x35's engine output equals the NAIVE all-pairs haversine join
+        (run in DuckDB at sf0.001, 1500 points ≈ 1.1M pairs) — value-level
+        proof that grid blocking drops nothing, independent of the
+        grid-blocked production oracle."""
+        import duckdb
+
+        from data_etl_scripts_showcase__spark.queries import load_all
+        from data_etl_scripts_showcase__spark.queries.scale_ops import (
+            _GEO_PT,
+            _HAV,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW customer AS SELECT * FROM '{sf}/customer.parquet'"
+        )
+        naive = con.execute(
+            f"""
+            WITH pts AS ({_GEO_PT})
+            SELECT a.id AS id_a, b.id AS id_b, round({_HAV}, 3) AS dist_km
+            FROM pts a JOIN pts b ON a.id < b.id
+            WHERE round({_HAV}, 3) <= 50.0
+            ORDER BY id_a, id_b
+            """
+        ).fetchall()
+        got = sorted(
+            (r.id_a, r.id_b, r.dist_km)
+            for r in load_all()["x35_geo_radius_join"].fn(spark, sf).collect()
+        )
+        assert len(got) == len(naive)
+        for g, n in zip(got, naive):
+            assert g[0] == n[0] and g[1] == n[1], (g, n)
+            assert abs(g[2] - n[2]) < 1e-6, (g, n)
+
+
+class TestBandJoinIntegralExact:
+    """band_join's exact integral path (ADVICE r5): with bigint values and
+    a literal int eps, bucketing routes through _floor_div_exact — exact
+    over the full int64 domain, where the double quotient near 2^62 can
+    land more than one bucket off and silently drop in-band matches."""
+
+    def test_matches_brute_force_at_int64_edge(self, spark):
+        from data_etl_scripts_showcase__spark.operators.rangejoin import band_join
+
+        eps = 1000
+        base = 2**62
+        lvals = [base, base + eps, base + eps + 1, base + 3 * eps,
+                 -base, -base - eps, 0, 2**63 - 2 * eps]
+        rvals = [base + eps, base + 2 * eps + 1, -base + eps - 1,
+                 -base - 2 * eps, eps, 2**63 - eps - 1]
+        l = spark.createDataFrame([(i, v) for i, v in enumerate(lvals)], "lid int, lv long")
+        r = spark.createDataFrame([(i, v) for i, v in enumerate(rvals)], "rid int, rv long")
+        got = sorted(
+            (x.lid, x.rid)
+            for x in band_join(l, r, "lv", "rv", eps).collect()
+        )
+        want = sorted(
+            (i, j)
+            for i, lv in enumerate(lvals)
+            for j, rv in enumerate(rvals)
+            if abs(lv - rv) <= eps
+        )
+        assert got == want
+
+    def test_float_eps_column_path_still_works(self, spark):
+        from data_etl_scripts_showcase__spark.operators.rangejoin import band_join
+
+        l = spark.createDataFrame([(1, 10.0), (2, 25.5)], "lid int, lv double")
+        r = spark.createDataFrame([(1, 12.0), (2, 31.0)], "rid int, rv double")
+        got = sorted(
+            (x.lid, x.rid)
+            for x in band_join(l, r, "lv", "rv", F.lit(5.5)).collect()
+        )
+        assert got == [(1, 1), (2, 2)]

@@ -635,3 +635,137 @@ class TestStreamingShardManifest:
         assert got == want
         # a shard straddles at least one batch boundary in this setup
         assert len(set(got.values())) >= 1
+
+
+class TestStreamingPhysicalPlans:
+    """Walk the EXECUTED streaming physical plans (VERDICT r5 #3).
+
+    The engine-wide batch plan audits (tests/test_plans.py) walk batch-twin
+    fragments for the streaming queries, but no streaming query's OWN
+    executed plan was ever shape-asserted — a regression that only
+    manifests in the streamed plan (an accidental cartesian in the
+    stream-stream join, a stateful operator keyed on the wrong columns)
+    passed unnoticed.  Here each stateful-operator family runs one
+    availableNow micro-batch cycle and the terminated query's
+    ``explainInternal`` output is asserted for the same invariants the
+    batch audits enforce: no CartesianProduct / BroadcastNestedLoopJoin,
+    and every stateful operator present AND keyed on the intended columns.
+    One assertion per st family; st4/st5/st11's batch-audit SKIPs stay,
+    but they are no longer a blind spot.
+    """
+
+    @staticmethod
+    def _physical(sdf, mode):
+        from data_etl_scripts_showcase__spark.streaming import start_to_memory
+
+        q, _ = start_to_memory(sdf, mode=mode)
+        plan = q._jsq.explainInternal(True)
+        assert "== Physical Plan ==" in plan
+        phys = plan.split("== Physical Plan ==")[-1]
+        # engine-wide invariants, same bar as the batch cartesian audit
+        assert "CartesianProduct" not in phys
+        assert "BroadcastNestedLoopJoin" not in phys
+        return phys
+
+    def test_windowed_agg_state_keyed(self, spark):
+        # st1/st2 family: windowed aggregate state keyed on (window, type)
+        phys = self._physical(
+            tumbling_counts(events_stream(spark, SF)), "complete"
+        )
+        assert "StateStoreSave [window" in phys
+        assert "event_type" in phys.split("StateStoreSave", 1)[1].split("]", 1)[0]
+
+    def test_dedup_state_keyed(self, spark):
+        # st4: dropDuplicatesWithinWatermark keyed on the dedup columns
+        from data_etl_scripts_showcase__spark.streaming import stream_dedup_keys
+
+        phys = self._physical(
+            stream_dedup_keys(events_stream(spark, SF)), "append"
+        )
+        assert "StreamingDeduplicateWithinWatermark [user_id" in phys
+        assert "event_type" in phys.split(
+            "StreamingDeduplicateWithinWatermark", 1
+        )[1].split("]", 1)[0]
+
+    def test_apply_in_pandas_with_state_present(self, spark):
+        # st5: the custom state machine runs as the grouped-state operator
+        phys = self._physical(
+            stateful_user_activity(events_stream(spark, SF)), "append"
+        )
+        assert "FlatMapGroupsInPandasWithState" in phys
+
+    def test_stream_static_join_is_broadcast(self, spark):
+        # st6: static dim broadcast into every micro-batch, no shuffle join
+        from data_etl_scripts_showcase__spark.queries.streaming_like import (
+            _static_enrich,
+        )
+
+        phys = self._physical(
+            _static_enrich(events_stream(spark, SF), spark, SF), "append"
+        )
+        assert "BroadcastHashJoin" in phys
+
+    def test_stream_stream_join_is_symmetric_hash(self, spark):
+        # st7: interval join runs as the keyed symmetric hash join
+        from data_etl_scripts_showcase__spark.streaming import (
+            click_purchase_attribution,
+        )
+
+        phys = self._physical(
+            click_purchase_attribution(
+                events_stream(spark, SF).where(F.col("event_type") == "click"),
+                events_stream(spark, SF).where(
+                    F.col("event_type") == "purchase"
+                ),
+            ),
+            "append",
+        )
+        assert "StreamingSymmetricHashJoin" in phys
+        head = phys.split("StreamingSymmetricHashJoin", 1)[1][:120]
+        assert "user" in head and "Inner" in head
+
+    def test_stream_stream_left_outer_join(self, spark):
+        # st15: LEFT OUTER interval join — same operator, outer side kept
+        from data_etl_scripts_showcase__spark.queries.streaming_like import (
+            _attribution_cond,
+            _attribution_projections,
+        )
+
+        clicks, purch = _attribution_projections(events_stream(spark, SF))
+        j = clicks.withWatermark("click_ts", "1 hour").join(
+            purch.withWatermark("purchase_ts", "1 hour"),
+            _attribution_cond(),
+            "left_outer",
+        )
+        phys = self._physical(
+            j.select("click_id", "purchase_id", "click_ts"), "append"
+        )
+        assert "StreamingSymmetricHashJoin" in phys
+        assert "LeftOuter" in phys.split("StreamingSymmetricHashJoin", 1)[1][:160]
+
+    def test_session_window_state_keyed(self, spark):
+        # st8: session_window aggregate holds per-user session state
+        from data_etl_scripts_showcase__spark.streaming import sessionize_batch
+
+        phys = self._physical(
+            sessionize_batch(events_stream(spark, SF)), "complete"
+        )
+        assert "session_window" in phys
+        assert "StateStoreSave" in phys
+        assert "user_id" in phys.split("StateStoreSave", 1)[1].split("]", 1)[0]
+
+    def test_transform_with_state_present(self, spark):
+        # st11: Spark 4 typed-state operator (capability-gated like the query)
+        from data_etl_scripts_showcase__spark.streaming import (
+            has_transform_with_state_runtime,
+            transform_with_state_totals,
+        )
+
+        if not has_transform_with_state_runtime():
+            import pytest
+
+            pytest.skip("transformWithStateInPandas runtime not available")
+        phys = self._physical(
+            transform_with_state_totals(events_stream(spark, SF)), "append"
+        )
+        assert "TransformWithStateInPandas" in phys

@@ -95,6 +95,13 @@ PROBE_QUERIES = [
     "x44_distributed_deciles",  # exact ntile without global sort
     "x55_shard_manifest",  # token-budget prefix-sum packing
     "x57_seeded_epoch_shuffle",  # seeded per-epoch training order
+    # VERDICT r5 #4: families with non-batch scaling risks — per-partition
+    # Python workers (enrichment mapInPandas) and streaming state stores
+    # (state rows vs input rows) — need measured curves too.
+    "e1_enrichment_flagship",  # mapInPandas keyed-fetch fan-out
+    "e4_enrichment_response_cache",  # cross-run cache anti-join
+    "st3_session_windows",  # session-window aggregate (batch plan)
+    "st7_stream_stream_interval_join",  # REAL stream-stream join + state
 ]
 
 # Per-table key remap: every listed column is shifted by
