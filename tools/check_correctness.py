@@ -231,6 +231,19 @@ def main() -> int:
             print(f"FAIL  {name}: spark raised {type(e).__name__}: {e}")
             n_fail += 1
             continue
+        finally:
+            # Memory-sink tables from streaming queries (run_to_memory's
+            # mem_* names) hold their ROWS in the JVM heap for the life of
+            # the session; over a full sweep at 100x volume they accumulate
+            # gigabytes and OOM the driver (found by the round-6 100x
+            # sweep).  The pandas copy above is the only consumer — drop
+            # them as each query finishes.
+            try:
+                for t in spark.catalog.listTables():
+                    if t.name.startswith("mem_"):
+                        spark.catalog.dropTempView(t.name)
+            except Exception:  # noqa: BLE001
+                pass
         t_spark = time.time() - t0
         if q.oracle is None:
             status = "ROWS" if len(sdf) >= 0 else "??"
