@@ -50,6 +50,16 @@ def get_session(app_name: str = "data_etl_scripts_showcase__spark") -> SparkSess
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # The local oracle gate collects FULL query outputs to compare
+        # them (tools/check_correctness.py); at the 100x probe tier the
+        # full-output queries (f_ansi 60 M rows, j4 55 M) serialize past
+        # Spark's 1g default and the collect aborts — a harness limit,
+        # not a plan problem (at 100 TB these outputs go to sinks, never
+        # the driver).  Sized with the driver heap, env-overridable.
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", "8g"),
+        )
     )
     if not SparkSession.getActiveSession():
         builder = builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))

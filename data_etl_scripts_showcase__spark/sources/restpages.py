@@ -10,18 +10,24 @@ across executors, failed pages retry independently via normal task retry,
 and downstream operators see an ordinary DataFrame — the U1 union of
 pages is implicit in the scan.
 
-The fetcher here is a deterministic synthetic endpoint (the same
+The default fetcher is a deterministic synthetic endpoint (the same
 network-free seam as the enrichment stage, `enrichment/stage.py`): page p
 yields `page_size` items with arithmetic ids and templated payloads, so
 the DuckDB oracle regenerates the exact rows and the source is value-hash
-verifiable end-to-end.  Swapping `_fetch_page` for a real
-``requests.get(url, params={"pageToken": ...})`` is the production path;
-everything Spark-side (schema declaration, partition planning, per-task
-iteration, Arrow transfer) stays identical.
+verifiable end-to-end.  The REAL fetcher is wired behind the ``endpoint``
+option (or the ``SPARK_GRAFT_REST_ENDPOINT`` env var, read DRIVER-side at
+plan time and shipped to executors inside the pickled reader): when set,
+each page is one ``GET {endpoint}?page=N&page_size=M`` returning
+``{"items": [{"page", "item_id", "payload"}, ...]}`` — everything
+Spark-side (schema declaration, partition planning, per-task iteration,
+Arrow transfer, offset checkpointing) is identical on both paths, which is
+what the recorded-fixture test pins (tests/test_file_io.py serves the
+synthetic rows over localhost HTTP and asserts byte-identical output).
 """
 
 from __future__ import annotations
 
+import os as _os
 from collections.abc import Iterator
 
 from pyspark.sql.datasource import (
@@ -40,8 +46,30 @@ class PagePartition(InputPartition):
         self.page_size = page_size
 
 
-def _fetch_page(page: int, page_size: int) -> Iterator[tuple]:
-    """The mock endpoint: deterministic rows for (page, i)."""
+def _resolve_endpoint(options) -> str | None:
+    """Real-endpoint URL: explicit option wins, else the env var — read on
+    the DRIVER (executor Python workers inherit the JVM's env, not the
+    test's; baking the value into the pickled reader avoids that trap)."""
+    return options.get("endpoint") or _os.environ.get(
+        "SPARK_GRAFT_REST_ENDPOINT"
+    )
+
+
+def _fetch_page(
+    page: int, page_size: int, endpoint: str | None = None
+) -> Iterator[tuple]:
+    """One page of items: HTTP GET when an endpoint is wired, else the
+    deterministic mock rows (page, page*1000+i, templated payload)."""
+    if endpoint:
+        import json
+        import urllib.request
+
+        url = f"{endpoint}?page={page}&page_size={page_size}"
+        with urllib.request.urlopen(url, timeout=30) as resp:
+            items = json.load(resp)["items"]
+        for it in items:
+            yield (int(it["page"]), int(it["item_id"]), str(it["payload"]))
+        return
     for i in range(page_size):
         yield (page, page * 1000 + i, f"item-{page}-{i}")
 
@@ -67,13 +95,14 @@ class RestPagesReader(DataSourceReader):
     def __init__(self, options):
         self.n_pages = int(options.get("pages", 4))
         self.page_size = int(options.get("page_size", 25))
+        self.endpoint = _resolve_endpoint(options)
 
     def partitions(self):
         # one Spark task per page — pagination parallelised by the scheduler
         return [PagePartition(p, self.page_size) for p in range(self.n_pages)]
 
     def read(self, partition: PagePartition) -> Iterator[tuple]:
-        return _fetch_page(partition.page, partition.page_size)
+        return _fetch_page(partition.page, partition.page_size, self.endpoint)
 
 
 class RestPagesStreamReader(SimpleDataSourceStreamReader):
@@ -91,6 +120,7 @@ class RestPagesStreamReader(SimpleDataSourceStreamReader):
         self.n_pages = int(options.get("pages", 6))
         self.page_size = int(options.get("page_size", 25))
         self.batch_pages = int(options.get("batch_pages", 2))
+        self.endpoint = _resolve_endpoint(options)
 
     def initialOffset(self) -> dict:
         return {"page": 0}
@@ -98,7 +128,11 @@ class RestPagesStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         p0 = int(start["page"])
         p1 = min(p0 + self.batch_pages, self.n_pages)
-        rows = [r for p in range(p0, p1) for r in _fetch_page(p, self.page_size)]
+        rows = [
+            r
+            for p in range(p0, p1)
+            for r in _fetch_page(p, self.page_size, self.endpoint)
+        ]
         return iter(rows), {"page": p1}
 
     def readBetweenOffsets(self, start: dict, end: dict):
@@ -106,7 +140,7 @@ class RestPagesStreamReader(SimpleDataSourceStreamReader):
             [
                 r
                 for p in range(int(start["page"]), int(end["page"]))
-                for r in _fetch_page(p, self.page_size)
+                for r in _fetch_page(p, self.page_size, self.endpoint)
             ]
         )
 

