@@ -99,7 +99,7 @@ PROBE_QUERIES = [
     # Python workers (enrichment mapInPandas) and streaming state stores
     # (state rows vs input rows) — need measured curves too.
     "e1_enrichment_flagship",  # mapInPandas keyed-fetch fan-out
-    "e4_enrichment_response_cache",  # cross-run cache anti-join
+    "e4_enrichment_cross_run_cache",  # cross-run cache anti-join
     "st3_session_windows",  # session-window aggregate (batch plan)
     "st7_stream_stream_interval_join",  # REAL stream-stream join + state
 ]
