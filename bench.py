@@ -136,6 +136,8 @@ HEADLINE = [
     # round-5 additions:
     "j15_interval_join_numeric",  # interval join's numeric-ts contract
     "x57_seeded_epoch_shuffle",  # deterministic per-epoch training order
+    # round-7 additions:
+    "d25_chunk_contamination_capped",  # d23 evidence with bounded output
 ]
 
 
@@ -145,7 +147,16 @@ def main() -> None:
     spark = get_session("bench")
 
     registry = load_all()
-    names = [n for n in HEADLINE if n in registry]
+    # --full (VERDICT r6 #5): time EVERY registry query (best-of-2) so
+    # non-headline families carry tracked wall-times round-over-round.
+    # Results land in BENCH_FULL.json; the driver's plain invocation and
+    # its BENCH_DETAIL.json stay the unchanged 109-query series.
+    full = "--full" in sys.argv
+    names = (
+        sorted(registry)
+        if full
+        else [n for n in HEADLINE if n in registry]
+    )
 
     # Warm the JVM + parquet footers once so timings measure the plans.
     registry[names[0]].fn(spark, sf_dir).count()
@@ -180,7 +191,7 @@ def main() -> None:
     # mid-object, so BENCH_r02.json recorded `parsed: null`).
     best = {n: min(run1[n], timings[n]) for n in timings}
     detail = {
-        "metric": "headline_queries_total",
+        "metric": "full_registry_total" if full else "headline_queries_total",
         "value": total,
         "unit": "sec",
         "n_queries": len(timings),
@@ -198,19 +209,20 @@ def main() -> None:
             "spark_graft_cpus": os.environ.get("SPARK_GRAFT_CPUS"),
         },
     }
-    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as fh:
+    out_name = "BENCH_FULL.json" if full else "BENCH_DETAIL.json"
+    with open(os.path.join(REPO, out_name), "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
 
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total",
+                "metric": detail["metric"],
                 "value": total,
                 "unit": "sec",
                 "n_queries": len(timings),
                 "queries": slowest,
-                "detail": "BENCH_DETAIL.json",
+                "detail": out_name,
                 "sf": sf_val,
             }
         )

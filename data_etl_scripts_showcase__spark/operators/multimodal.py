@@ -124,6 +124,13 @@ def decode_real(payload: bytes, media_type: str) -> tuple[int, int, int]:
             return int(info.channels), int(info.samplerate), int(info.frames)
         except ImportError:
             pass
+        except Exception:
+            # ADVICE r6: a corrupt/non-WAV payload must reach the SAME
+            # wave-parser → NotImplementedError contract whether or not
+            # soundfile happens to be importable in this runtime —
+            # soundfile's own decode error would otherwise make the
+            # exception type environment-dependent.
+            pass
         import wave
 
         try:

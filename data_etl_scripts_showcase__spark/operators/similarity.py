@@ -110,30 +110,59 @@ def assign_cells(
 ) -> DataFrame:
     """Assign each vector to its ``n_assign`` nearest centroids by cosine.
 
-    Returns (id, vec, cell, cell_rank).  Centroids are broadcast (they are
-    tiny by construction); assignment is one corpus pass — the IVF build
-    step.  Deterministic tie-break: sim desc (rounded), centroid id asc.
+    Returns (id, vec, cell, cell_rank).  Deterministic tie-break: sim desc
+    (rounded), centroid id asc.
+
+    Fully MAP-SIDE (round 7): the centroid table collapses to a single
+    array-of-structs row (tiny by construction — nlist entries), that one
+    row broadcasts, and each vector ranks its cells with higher-order
+    functions: transform → (−sim, id) structs, array_sort (field order =
+    the tie-break), slice(n_assign), posexplode.  The previous form
+    crossJoined every vector with every centroid and ranked with a
+    per-vector window — |corpus|×nlist rows each carrying the embedding
+    through a hash shuffle, an nlist× payload amplification of the whole
+    corpus.  This form touches each vector exactly once in its scan task:
+    assignment costs zero Exchange at any corpus size.
     """
-    c = centroids.select(
-        F.col("centroid_id"), F.col("cent_vec")
+    carr = centroids.agg(
+        F.sort_array(F.collect_list(F.struct("centroid_id", "cent_vec"))).alias(
+            "_cents"
+        )
     )
     scored = (
         vectors.select(F.col(id_col), F.col(vec_col))
-        .crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(carr))
         .select(
             id_col,
             vec_col,
-            F.col("centroid_id"),
-            F.round(cosine(vec_col, "cent_vec"), round_to).alias("csim"),
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        "_cents",
+                        lambda c: F.struct(
+                            (
+                                -F.round(
+                                    cosine(F.col(vec_col), c["cent_vec"]),
+                                    round_to,
+                                )
+                            ).alias("negsim"),
+                            c["centroid_id"].alias("centroid_id"),
+                        ),
+                    )
+                ),
+                1,
+                n_assign,
+            ).alias("_top"),
         )
     )
-    w = W.partitionBy(id_col).orderBy(
-        F.col("csim").desc(), F.col("centroid_id").asc()
+    e = scored.select(
+        id_col, vec_col, F.posexplode("_top").alias("_pos", "_cs")
     )
-    return (
-        scored.withColumn("cell_rank", F.row_number().over(w))
-        .where(F.col("cell_rank") <= n_assign)
-        .select(id_col, vec_col, F.col("centroid_id").alias("cell"), "cell_rank")
+    return e.select(
+        id_col,
+        vec_col,
+        F.col("_cs.centroid_id").alias("cell"),
+        (F.col("_pos") + 1).cast("int").alias("cell_rank"),
     )
 
 

@@ -526,17 +526,28 @@ def t12_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus term distribution — natural text fits slope ≈ -1, and large
     deviations flag synthetic/spammy/templated corpora slices (exactly
     what this wordlist corpus shows).  One term-count aggregate, a
-    global rank with pinned tie-break (|vocab| rows, tiny), and a
-    single-row regression aggregate — the regr_* family merges as
-    constant-size co-moment state, the same single-shuffle shape as
-    corr (a16)."""
+    distributed exact rank, and a single-row regression aggregate — the
+    regr_* family merges as constant-size co-moment state, the same
+    single-shuffle shape as corr (a16).
+
+    Scale shape (round 7 — the de-vacuumed window audit caught the old
+    ``row_number() OVER (ORDER BY freq DESC)`` moving the WHOLE VOCABULARY
+    onto one task; |vocab| grows with the corpus): ranks now come from
+    the bucketed row-id operator over ``-floor(log2(freq))`` range
+    buckets (monotone in -freq, ≤ ~64 buckets at any corpus size since
+    freq ≤ 2^63), so the only unpartitioned window runs over the bucket
+    offsets list and rank assembly shuffles on the bucket key only."""
+    from .scale_ops2 import global_row_ids
+
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(F.explode(TX.tokens("text")).alias("term"))
     tf = tok.groupBy("term").agg(F.count("*").alias("freq"))
-    r = tf.withColumn(
-        "rank",
-        F.row_number().over(W.orderBy(F.col("freq").desc(), F.col("term").asc())),
-    )
+    tfn = tf.withColumn("_negf", -F.col("freq"))
+    r = global_row_ids(
+        tfn,
+        -F.floor(F.log2("freq")).cast("int"),
+        ["_negf", "term"],
+    ).withColumn("rank", F.col("row_id") + 1)
     ln_f, ln_r = F.log(F.col("freq")), F.log(F.col("rank"))
     return r.agg(
         F.count("*").alias("n_terms"),
@@ -881,16 +892,29 @@ def t18_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ordering is on the ROUNDED score with doc_id tie-break, so both engines
     compute identical tile boundaries.
 
-    Scale note: ntile over a global window is the exact form used here;
-    at 100 TB the same tiers come from approx_percentile cutpoints (a21's
-    operator) + one codegen comparison per row — no global sort."""
+    Scale shape (round 7 — the de-vacuumed window audit caught the old
+    ``ntile(4) OVER (ORDER BY ...)`` moving every per-doc score onto one
+    task): exact global ranks now come from the bucketed row-id operator
+    (scale_ops2.global_row_ids — value-derived range buckets, |buckets|-row
+    offsets aggregate, intra-bucket windows only) and ntile's front-loaded
+    remainder rule is closed-form arithmetic on the rank
+    (ntile_from_rank), identical output at any n.  The only unpartitioned
+    window left runs over the ~120-row bucket-offsets list."""
+    from .scale_ops2 import global_row_ids, ntile_from_rank
+
     scored = t14_bigram_lm_score(spark, sf_dir).select("doc_id", "avg_logprob")
-    b = scored.select(
-        "doc_id",
+    # bucket key: monotone in the leading order column (scores land in
+    # roughly [-12, 0], so floor(score*10) yields ~120 range buckets —
+    # bounded by the score's range, not by corpus size)
+    with_ids = global_row_ids(
+        scored,
+        F.floor(F.col("avg_logprob") * 10).cast("int"),
+        ["avg_logprob", "doc_id"],
+    )
+    n = scored.agg(F.count("*").alias("_n"))
+    b = with_ids.crossJoin(F.broadcast(n)).select(
         "avg_logprob",
-        F.ntile(4)
-        .over(W.orderBy(F.col("avg_logprob").asc(), F.col("doc_id").asc()))
-        .alias("bucket"),
+        (ntile_from_rank("row_id", "_n", 4) + 1).cast("int").alias("bucket"),
     )
     return b.groupBy("bucket").agg(
         F.count("*").alias("n_docs"),
@@ -1253,6 +1277,62 @@ def x47_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return card.crossJoin(F.broadcast(ent))
 
 
+def _cdc_chunk_relation(d: DataFrame, keep: list[str]) -> DataFrame:
+    """Shared CDC chunk stream: (keep..., chunk_idx, start_pos, chunk_len,
+    chunk_md5) — one row per content-defined chunk of ``text``.
+
+    Map-side by construction (VERDICT r6 #1): boundaries are computed as an
+    ARRAY column with higher-order functions (the t14-bigram / phash-gram
+    idiom), chunk (start, len) pairs come from zipping the boundary array
+    with its own tail via transform's index lambda, and the only fan-out is
+    an explode of the ~n/32 per-chunk structs with the md5 computed in the
+    SAME narrow projection — so ``text`` is dropped before any Exchange.
+    The previous form exploded one row PER CHARACTER POSITION, each row
+    carrying the full text, then ran a per-doc window over the boundary
+    rows: shuffle payload quadratic in document length (~3 TB of Exchange
+    for one 10 MB doc).  This form shuffles nothing at all: cost is O(n)
+    CPU per doc and O(n/32) output rows, embarrassingly parallel at 100 TB.
+
+    ``explode_outer`` (not ``explode``) is deliberate: plain explode lets
+    InferFiltersFromGenerate push a ``size(chunks) > 0`` predicate below
+    the projection, re-evaluating the whole rolling-hash scan a second
+    time per document.  The boundary array is never empty (i=1 always
+    qualifies), so the outer variant is row-for-row identical and keeps
+    the boundary scan single-pass.
+    """
+    bounds = F.expr(
+        """
+        filter(
+            sequence(1, greatest(length(text) - 7, 1)),
+            i -> i = 1
+              OR cast(conv(substring(md5(concat('cdc:', substring(text, i, 8))), 1, 8), 16, 10) as bigint) % 32 = 0
+        )
+        """
+    )
+    chunks = F.expr(
+        """
+        transform(bounds, (s, k) -> struct(
+            cast(k + 1 as int) as chunk_idx,
+            cast(s as bigint) as start_pos,
+            cast(coalesce(try_element_at(bounds, cast(k + 2 as int)), n + 1) - s as bigint) as chunk_len
+        ))
+        """
+    )
+    b = d.select(*keep, "text", F.length("text").alias("n"), bounds.alias("bounds"))
+    e = b.select(*keep, "text", chunks.alias("chunks")).select(
+        *keep, "text", F.explode_outer("chunks").alias("ch")
+    )
+    return e.select(
+        *keep,
+        F.col("ch.chunk_idx").alias("chunk_idx"),
+        F.col("ch.start_pos").alias("start_pos"),
+        F.col("ch.chunk_len").alias("chunk_len"),
+        F.md5(F.expr("substring(text, ch.start_pos, ch.chunk_len)")).alias(
+            "chunk_md5"
+        ),
+    )
+
+
 @register(
     "t25_content_defined_chunks",
     oracle="""
@@ -1287,44 +1367,13 @@ def t25_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     CONTENT, not offsets — insert a byte and only the neighboring chunks
     change, unlike t23's fixed windows, where every downstream chunk
     shifts.  Emitted content-addressed (md5 per chunk) for the chunk
-    store.  Plan: one position explode (the only fan-out, |chars| rows),
-    boundary filter in codegen, then per-doc windows over just the
-    boundary rows (~1/32nd).  At 100 TB the explode is embarrassingly
-    parallel and chunk state never leaves its document's partition."""
+    store.  Plan (see :func:`_cdc_chunk_relation`): boundaries as an
+    array column, chunk structs by zipping the array with its tail, one
+    per-chunk explode with the md5 in the same projection — ZERO
+    Exchange, zero Window; cost linear in doc length and text never
+    leaves its scan task."""
     d = load_table(spark, sf_dir, "documents").where(F.length("text") >= 8)
-    pos = d.select(
-        "doc_id",
-        "text",
-        F.length("text").alias("n"),
-        F.explode(
-            F.expr("sequence(1, greatest(length(text) - 7, 1))")
-        ).alias("i"),
-    )
-    wexpr = F.expr("substring(text, i, 8)")
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit("cdc:"), wexpr)), 1, 8), 16, 10
-    ).cast("bigint")
-    b = pos.where((F.col("i") == 1) | (h % 32 == 0))
-    wdoc = W.partitionBy("doc_id").orderBy("i")
-    c = b.select(
-        "doc_id",
-        "text",
-        "n",
-        F.col("i").alias("start_pos"),
-        F.row_number().over(wdoc).cast("int").alias("chunk_idx"),
-        (
-            F.coalesce(F.lead("i").over(wdoc), F.col("n") + 1) - F.col("i")
-        ).alias("chunk_len"),
-    )
-    return c.select(
-        "doc_id",
-        "chunk_idx",
-        F.col("start_pos").cast("bigint").alias("start_pos"),
-        F.col("chunk_len").cast("bigint").alias("chunk_len"),
-        F.md5(F.expr("substring(text, start_pos, chunk_len)")).alias(
-            "chunk_md5"
-        ),
-    )
+    return _cdc_chunk_relation(d, ["doc_id"])
 
 
 @register(
@@ -1366,42 +1415,13 @@ def x48_chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     realizes (duplicated passages across documents collapse to one
     stored chunk even when no two documents are globally identical,
     which is exactly where document-level d1 sees nothing).  Same chunk
-    pipeline as t25, one extra distinct aggregate on the digest."""
+    pipeline as t25 (:func:`_cdc_chunk_relation` — fully map-side, no
+    Exchange carries text), one extra distinct aggregate on the digest:
+    the only shuffle in the plan is the final per-source aggregate over
+    (source, chunk_len, chunk_md5) rows."""
     d = load_table(spark, sf_dir, "documents").where(F.length("text") >= 8)
-    pos = d.select(
-        "doc_id",
-        "source",
-        "text",
-        F.length("text").alias("n"),
-        F.explode(
-            F.expr("sequence(1, greatest(length(text) - 7, 1))")
-        ).alias("i"),
-    )
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("cdc:"), F.expr("substring(text, i, 8)"))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    b = pos.where((F.col("i") == 1) | (h % 32 == 0))
-    wdoc = W.partitionBy("doc_id").orderBy("i")
-    c = b.select(
-        "source",
-        "text",
-        F.col("i").alias("start_pos"),
-        (
-            F.coalesce(F.lead("i").over(wdoc), F.col("n") + 1) - F.col("i")
-        ).alias("chunk_len"),
-    )
-    hashes = c.select(
-        "source",
-        "chunk_len",
-        F.md5(F.expr("substring(text, start_pos, chunk_len)")).alias(
-            "chunk_md5"
-        ),
+    hashes = _cdc_chunk_relation(d, ["source"]).select(
+        "source", "chunk_len", "chunk_md5"
     )
     return hashes.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_chunks"),
@@ -1627,35 +1647,16 @@ def d23_chunk_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to d10 — the benchmark side is tiny, its
     chunk table broadcasts, the corpus chunk stream never shuffles for
     the join; per-doc DISTINCT chunks make shared_chars a true matched
-    character count (same md5 ⇒ same content ⇒ same length)."""
+    character count (same md5 ⇒ same content ⇒ same length).  Chunking
+    itself is :func:`_cdc_chunk_relation` — fully map-side, so the first
+    Exchange anywhere in the plan is the (doc_id, md5, len) DISTINCT,
+    which never carries document text."""
     d = load_table(spark, sf_dir, "documents").where(F.length("text") >= 8)
-    pos = d.select(
-        "doc_id",
-        "text",
-        F.length("text").alias("n"),
-        F.explode(
-            F.expr("sequence(1, greatest(length(text) - 7, 1))")
-        ).alias("i"),
+    h = (
+        _cdc_chunk_relation(d, ["doc_id"])
+        .select("doc_id", "chunk_md5", "chunk_len")
+        .distinct()
     )
-    wexpr = F.expr("substring(text, i, 8)")
-    h8 = F.conv(
-        F.substring(F.md5(F.concat(F.lit("cdc:"), wexpr)), 1, 8), 16, 10
-    ).cast("bigint")
-    b = pos.where((F.col("i") == 1) | (h8 % 32 == 0))
-    wdoc = W.partitionBy("doc_id").orderBy("i")
-    c = b.select(
-        "doc_id",
-        "text",
-        F.col("i").alias("start_pos"),
-        (
-            F.coalesce(F.lead("i").over(wdoc), F.col("n") + 1) - F.col("i")
-        ).alias("chunk_len"),
-    )
-    h = c.select(
-        "doc_id",
-        F.md5(F.expr("substring(text, start_pos, chunk_len)")).alias("chunk_md5"),
-        "chunk_len",
-    ).distinct()
     bench = h.where(F.col("doc_id") % 20 == 0).select(
         F.col("doc_id").alias("bench_doc_id"), "chunk_md5", "chunk_len"
     )
@@ -1682,6 +1683,99 @@ def d23_chunk_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("shared_chars").cast("double") / F.col("bench_chars"), 6
         ).alias("contamination"),
     )
+
+
+@register(
+    "d25_chunk_contamination_capped",
+    oracle="""
+    WITH pos AS (
+        SELECT doc_id, text, length(text) AS n,
+               unnest(range(1, greatest(length(text) - 7, 0) + 1)) AS i
+        FROM documents WHERE length(text) >= 8
+    ),
+    b AS (
+        SELECT doc_id, text, n, i
+        FROM pos
+        WHERE i = 1
+           OR ('0x' || substr(md5(concat('cdc:', substr(text, i, 8))), 1, 8))::BIGINT % 32 = 0
+    ),
+    c AS (
+        SELECT doc_id, text, i AS start_pos,
+               coalesce(lead(i) OVER (PARTITION BY doc_id ORDER BY i), n + 1) - i AS chunk_len
+        FROM b
+    ),
+    h AS (
+        SELECT DISTINCT doc_id,
+               md5(substr(text, start_pos, chunk_len)) AS chunk_md5,
+               chunk_len
+        FROM c
+    ),
+    bench AS (SELECT doc_id AS bench_doc_id, chunk_md5, chunk_len FROM h WHERE doc_id % 20 = 0),
+    corpus AS (SELECT doc_id AS corpus_doc_id, chunk_md5 FROM h WHERE doc_id % 20 <> 0),
+    bt AS (SELECT bench_doc_id, sum(chunk_len) AS bench_chars FROM bench GROUP BY bench_doc_id),
+    ov AS (
+        SELECT corpus_doc_id, bench_doc_id,
+               CAST(count(*) AS BIGINT) AS n_shared_chunks,
+               CAST(sum(chunk_len) AS BIGINT) AS shared_chars
+        FROM corpus JOIN bench USING (chunk_md5)
+        GROUP BY corpus_doc_id, bench_doc_id
+    ),
+    pairs AS (
+        SELECT o.bench_doc_id, o.corpus_doc_id, o.n_shared_chunks, o.shared_chars,
+               round(CAST(o.shared_chars AS DOUBLE) / bt.bench_chars, 6) AS contamination
+        FROM ov o JOIN bt USING (bench_doc_id)
+    ),
+    r AS (
+        SELECT *,
+               CAST(row_number() OVER (
+                   PARTITION BY bench_doc_id
+                   ORDER BY contamination DESC, corpus_doc_id ASC) AS INTEGER) AS rank_k,
+               CAST(count(*) OVER (PARTITION BY bench_doc_id) AS BIGINT) AS n_offending_docs,
+               CAST(sum(shared_chars) OVER (PARTITION BY bench_doc_id) AS BIGINT) AS total_shared_chars
+        FROM pairs
+    )
+    SELECT bench_doc_id, rank_k, corpus_doc_id, n_shared_chunks, shared_chars,
+           contamination, n_offending_docs, total_shared_chars
+    FROM r WHERE rank_k <= 5
+    """,
+    survey="NS-dedup extended (d23's contamination evidence with a per-benchmark-doc top-k cap + exact totals — the d14 output-bound discipline)",
+)
+def d25_chunk_contamination_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d23 with a bounded OUTPUT (VERDICT r6 #3): at the 100x probe tier
+    the uncapped pair report emitted 81 M rows — a contamination report
+    that can exceed its input is a sink hazard.  This variant keeps the
+    d14 discipline: per benchmark doc, the top-k (k=5) most-contaminating
+    corpus docs, PLUS exact totals (how many corpus docs share ≥1 chunk,
+    and the total shared characters) so the cap loses no accounting —
+    output rows ≤ k·|bench| by construction.
+
+    Plan: d23's pair relation (map-side chunking, broadcast benchmark
+    side), then ONE window partitioned by bench_doc_id computes the rank
+    and both exact totals on the same shuffle — no second aggregate, no
+    self-join, and the window partitions are per-benchmark-doc (bounded
+    by the corpus-doc fan-in, never global)."""
+    pairs = d23_chunk_contamination(spark, sf_dir)
+    wb = W.partitionBy("bench_doc_id")
+    ranked = pairs.select(
+        "bench_doc_id",
+        F.row_number()
+        .over(
+            wb.orderBy(
+                F.col("contamination").desc(), F.col("corpus_doc_id").asc()
+            )
+        )
+        .cast("int")
+        .alias("rank_k"),
+        "corpus_doc_id",
+        "n_shared_chunks",
+        "shared_chars",
+        "contamination",
+        F.count("*").over(wb).cast("bigint").alias("n_offending_docs"),
+        F.sum("shared_chars").over(wb).cast("bigint").alias(
+            "total_shared_chars"
+        ),
+    )
+    return ranked.where(F.col("rank_k") <= 5)
 
 
 @register(

@@ -23,6 +23,14 @@ def default_parallelism() -> int:
     return os.cpu_count() or 8
 
 
+def _half_mem(mem: str) -> str:
+    """Half of a JVM memory string like '8g' / '512m' (floor, min 1 unit)."""
+    mem = mem.strip().lower()
+    if mem[-1] in "gmk":
+        return f"{max(1, int(mem[:-1]) // 2)}{mem[-1]}"
+    return str(max(1, int(mem) // 2))
+
+
 def get_session(app_name: str = "data_etl_scripts_showcase__spark") -> SparkSession:
     """Build (or reuse) the engine's SparkSession.
 
@@ -31,6 +39,7 @@ def get_session(app_name: str = "data_etl_scripts_showcase__spark") -> SparkSess
     static ``spark.sql.shuffle.partitions`` is just the upper bound.
     """
     cpus = default_parallelism()
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cpus))
@@ -49,16 +58,18 @@ def get_session(app_name: str = "data_etl_scripts_showcase__spark") -> SparkSess
         # repeated key last-wins (buisness_profile_etl/main.py:479-493).
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", driver_mem)
         # The local oracle gate collects FULL query outputs to compare
         # them (tools/check_correctness.py); at the 100x probe tier the
         # full-output queries (f_ansi 60 M rows, j4 55 M) serialize past
         # Spark's 1g default and the collect aborts — a harness limit,
         # not a plan problem (at 100 TB these outputs go to sinks, never
-        # the driver).  Sized with the driver heap, env-overridable.
+        # the driver).  Default = HALF the driver heap (ADVICE r6: a cap
+        # equal to the heap trades a fast clear error for a slow driver
+        # OOM near the limit), env-overridable for the big sweeps.
         .config(
             "spark.driver.maxResultSize",
-            os.environ.get("SPARK_GRAFT_MAX_RESULT", "8g"),
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", _half_mem(driver_mem)),
         )
     )
     if not SparkSession.getActiveSession():

@@ -425,10 +425,11 @@ class TestCodecSeam:
         stub = MM.extract_features(assets).collect()
         assert stub[0].checksum == real[0].checksum
         assert stub[0].byte_len == real[0].byte_len
-        # non-WAV bytes without soundfile stay a documented raise
-        if not MM.soundfile_available():
-            with pytest.raises(NotImplementedError, match="soundfile"):
-                MM.decode_real(b"\x00\x01garbage", "audio")
+        # non-WAV bytes reach the SAME documented raise whether or not
+        # soundfile is importable (ADVICE r6: soundfile decode errors now
+        # fall through to the wave parser / NotImplementedError path)
+        with pytest.raises(NotImplementedError, match="soundfile"):
+            MM.decode_real(b"\x00\x01garbage", "audio")
         # video remains the ffmpeg seam either way
         with pytest.raises(NotImplementedError, match="ffmpeg"):
             MM.decode_real(wav, "video")
@@ -1601,3 +1602,43 @@ class TestBandJoinIntegralExact:
             for x in band_join(l, r, "lv", "rv", F.lit(5.5)).collect()
         )
         assert got == [(1, 1), (2, 2)]
+
+
+class TestCappedContamination:
+    """d25 (VERDICT r6 #3): the capped contamination report's output is
+    bounded by k·|bench| and its exact totals lose nothing vs uncapped
+    d23 — the cap trims EVIDENCE rows, never accounting."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_output_bounded_and_totals_exact(self, spark):
+        from data_etl_scripts_showcase__spark.queries import load_all
+
+        registry = load_all()
+        capped = registry["d25_chunk_contamination_capped"].fn(
+            spark, self.SF
+        ).toPandas()
+        full = registry["d23_chunk_contamination"].fn(spark, self.SF).toPandas()
+
+        k = 5
+        assert len(capped) <= k * capped["bench_doc_id"].nunique()
+        assert (capped["rank_k"] <= k).all()
+        # the retained rows are each bench doc's worst offenders
+        worst = (
+            full.sort_values(
+                ["bench_doc_id", "contamination", "corpus_doc_id"],
+                ascending=[True, False, True],
+            )
+            .groupby("bench_doc_id")
+            .head(k)
+        )
+        got = set(zip(capped["bench_doc_id"], capped["corpus_doc_id"]))
+        want = set(zip(worst["bench_doc_id"], worst["corpus_doc_id"]))
+        assert got == want
+        # exact totals survive the cap
+        tot = full.groupby("bench_doc_id").agg(
+            n=("corpus_doc_id", "count"), s=("shared_chars", "sum")
+        )
+        for b, grp in capped.groupby("bench_doc_id"):
+            assert set(grp["n_offending_docs"]) == {tot.loc[b, "n"]}
+            assert set(grp["total_shared_chars"]) == {tot.loc[b, "s"]}

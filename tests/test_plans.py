@@ -531,24 +531,25 @@ class TestRound3Plans:
         assert "CartesianProduct" not in plan
         assert "HashAggregate" in plan
 
-    def test_t25_cdc_windows_stay_per_document(self, spark):
-        """CDC's only fan-out is the position explode (Generate); chunk
-        assembly is a window partitioned by doc_id — the exchange is
-        hashpartitioning on the document key, never a single-partition
-        global sort."""
+    def test_t25_cdc_is_fully_map_side(self, spark):
+        """CDC chunking (VERDICT r6 #1): boundaries are an array column and
+        chunks explode with their md5 computed in the SAME narrow
+        projection — the plan has ZERO Exchange and ZERO Window (the old
+        per-character explode + per-doc window shuffled full document text
+        once per boundary row, quadratic in doc length)."""
         plan = plan_of(spark, "t25_content_defined_chunks")
-        assert "Generate" in plan
-        assert "hashpartitioning(doc_id" in plan
-        assert "SinglePartition" not in plan
-        assert "CartesianProduct" not in plan
+        assert "Exchange" not in plan, plan
+        assert "Window" not in plan, plan
+        assert "Generate" in plan  # the one per-chunk explode
 
-    def test_x48_chunk_dedup_groups_after_per_doc_windows(self, spark):
-        """x48 = t25's chunk stream + a per-source distinct-count: the
-        window exchange keys on doc_id and the final aggregate on source;
-        no global sort, no cartesian."""
+    def test_x48_chunk_dedup_single_small_shuffle(self, spark):
+        """x48 = t25's map-side chunk stream + a per-source distinct-count:
+        the ONLY exchanges key on source (partial agg, then distinct-agg
+        replan under AQE), and none of them carries the text column."""
         plan = plan_of(spark, "x48_chunk_dedup_ratio")
-        assert "hashpartitioning(doc_id" in plan
+        assert "Window" not in plan, plan
         assert "hashpartitioning(source" in plan
+        assert "hashpartitioning(doc_id" not in plan
         assert "CartesianProduct" not in plan
 
     def test_st18_card_reader_merges_partials_not_corpus(self, spark):
@@ -750,11 +751,43 @@ class TestEngineWideWindowAudit:
 
     # Same build-time-action skips as the cartesian audit.
     SKIP = TestEngineWidePlanAudit.SKIP
-    WHITELIST: set[str] = set()
+    # Reviewed global windows over inputs that are bounded by construction
+    # but not recognizable from plan structure alone (round 7: the walker
+    # fix below de-vacuumed this audit for AQE plans and these surfaced;
+    # t12/t18 from the same haul were REAL offenders and were rewritten
+    # onto global_row_ids instead of being listed here):
+    WHITELIST: set[str] = {
+        # deliberate single-reducer ntile baseline, documented as such;
+        # its distributed exact twin is x44 (same oracle semantics)
+        "w9_ntile_deciles",
+        # window input = per-histogram-bin aggregate; |bins| is the fixed
+        # design constant of the sketch (64), independent of data volume
+        "a28_histogram_quantile_audit",
+        # window input = per-shuffle-partition aggregate; |partitions| is
+        # the fixed partition count the report diagnoses (32)
+        "x30_partition_skew_report",
+        # window input = per-source weight table; |sources| is the corpus
+        # registry (~20), the same bounded dim the mixture designs over
+        "x43_temperature_mixture",
+    }
 
     @staticmethod
     def _walk(node):
+        """Every node of the physical plan, INCLUDING inside AQE.
+
+        ``queryExecution().executedPlan()`` on an adaptive query returns
+        an ``AdaptiveSparkPlanExec``, which is a LEAF node (children() is
+        empty) wrapping the real tree — a naive child walk sees exactly
+        one node and audits nothing (round-7 finding: both engine-wide
+        executed-plan audits were vacuous for every AQE-wrapped plan,
+        i.e. every plan containing an exchange).  Recurse through its
+        ``initialPlan()`` — the EnsureRequirements-applied physical plan,
+        where ShuffleExchangeExec / WindowExec nodes are visible before
+        runtime re-optimization."""
         yield node
+        if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            yield from TestEngineWideWindowAudit._walk(node.initialPlan())
+            return
         ch = node.children()
         for i in range(ch.size()):
             yield from TestEngineWideWindowAudit._walk(ch.apply(i))
@@ -777,7 +810,17 @@ class TestEngineWideWindowAudit:
             return True
         if "Aggregate" in name:
             try:
-                if node.groupingExpressions().isEmpty():
+                grouping = node.groupingExpressions()
+                if grouping.isEmpty():
+                    return True
+                # engine convention: `_bkt*` columns are derived
+                # constant-domain range buckets (pmod/floor over a bounded
+                # value range — operators/prefix.py, global_row_ids), so a
+                # per-bucket aggregate has |buckets| rows at any volume.
+                names = [
+                    grouping.apply(i).toString() for i in range(grouping.size())
+                ]
+                if names and all(n.lstrip("'").startswith("_bkt") for n in names):
                     return True
             except Exception:
                 pass
@@ -813,3 +856,122 @@ class TestEngineWideWindowAudit:
             if self._has_unbounded_global_window(jplan):
                 offenders.append(name)
         assert not offenders, offenders
+
+
+class TestEngineWideShufflePayloadAudit:
+    """No query may ship a SHUFFLE Exchange whose rows carry a source
+    payload column (document text / binary content / raw embedding).
+
+    VERDICT r6 #6: the CDC chunk defect passed every existing audit because
+    audits assert operator SHAPES (no cartesian, windows partitioned, joins
+    keyed) but never what an Exchange CARRIES.  A shuffle is priced by its
+    payload: hashpartitioning on doc_id is fine when rows are (id, md5),
+    and a scale-killer when every row drags the full document through the
+    wire — at 100 TB the payload IS the cost.  The engine's discipline is
+    to digest/project payloads map-side BEFORE any Exchange; this audit
+    makes that discipline load-bearing.
+
+    BroadcastExchange is exempt on purpose: broadcasting a bounded side
+    that happens to include text (e.g. d23's benchmark chunk table) is the
+    pattern we WANT — the corpus-sized side is the one that must not
+    shuffle wide.
+    """
+
+    SKIP = TestEngineWidePlanAudit.SKIP
+    # Source payload columns (testdata schema): documents.text,
+    # the multimodal binary column, embeddings.embedding.
+    WIDE = {"text", "content", "embedding"}
+    # Justified wide shuffles (VERDICT r6 #6 allows ≤5, each needing a
+    # documented reason).  EMPTY: after the round-7 rewrites (CDC chunking
+    # map-side; IVF cell assignment map-side over a broadcast centroid
+    # array), every payload column in the engine is digested, ranked, or
+    # projected away before its first hash shuffle.
+    ALLOW: set[str] = set()
+
+    # Scan-stage node classes: a RoundRobinPartitioning exchange whose
+    # subtree is only these is the documented `parallelism` knob — an
+    # explicit repartition of RAW source rows that exists because local
+    # testdata parquet is single-row-group and unsplittable (SCALE.md
+    # "Known local-vs-cluster deltas").  It moves each payload ONCE,
+    # linearly, before any fan-out; at cluster scale the knob is None and
+    # the exchange disappears.  Structurally exempt (not per-query — any
+    # NEW query using the same knob is equally justified).
+    _SCAN_STAGE = {
+        "ProjectExec",
+        "FilterExec",
+        "FileSourceScanExec",
+        "ColumnarToRowExec",
+        "InputAdapter",
+        "WholeStageCodegenExec",
+        "BatchScanExec",
+    }
+
+    @classmethod
+    def _is_scan_repartition(cls, node) -> bool:
+        if "RoundRobinPartitioning" not in node.outputPartitioning().toString():
+            return False
+        for sub in TestEngineWideWindowAudit._walk(node.children().apply(0)):
+            if sub.getClass().getSimpleName() not in cls._SCAN_STAGE:
+                return False
+        return True
+
+    @classmethod
+    def _offending_exchanges(cls, jplan, wide: set[str]) -> list[str]:
+        hits = []
+        for node in TestEngineWideWindowAudit._walk(jplan):
+            if node.getClass().getSimpleName() != "ShuffleExchangeExec":
+                continue
+            if cls._is_scan_repartition(node):
+                continue
+            out = node.output()
+            names = {out.apply(i).name() for i in range(out.size())}
+            carried = sorted(names & wide)
+            if carried:
+                hits.append(f"shuffle carries {carried}")
+        return hits
+
+    def test_audit_flags_the_pre_rewrite_chunk_shape(self, spark):
+        """Negative control: the audit must be RED on the exact shape the
+        r6 verdict flagged — per-position explode carrying text into a
+        per-doc window (the pre-rewrite t25).  A vacuous audit would pass
+        both shapes."""
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
+        from data_etl_scripts_showcase__spark.sources import load_table
+
+        d = load_table(spark, SF, "documents").where(F.length("text") >= 8)
+        pos = d.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.expr("sequence(1, greatest(length(text) - 7, 1))")
+            ).alias("i"),
+        )
+        # the defect: the chunk digest depends on the WINDOW output
+        # (lead(i)), so text cannot be projected away before the exchange
+        w = W.partitionBy("doc_id").orderBy("i")
+        bad = pos.withColumn(
+            "chunk_len",
+            F.coalesce(F.lead("i").over(w), F.length("text") + 1) - F.col("i"),
+        ).select(
+            "doc_id", F.md5(F.expr("substring(text, i, chunk_len)")).alias("h")
+        )
+        jplan = bad._jdf.queryExecution().executedPlan()
+        assert self._offending_exchanges(jplan, self.WIDE)
+
+    def test_no_wide_payload_through_any_shuffle(self, spark):
+        registry = load_all()
+        offenders = []
+        for name in sorted(registry):
+            if name in self.SKIP or name in self.ALLOW:
+                continue
+            try:
+                jplan = audit_df(spark, name)._jdf.queryExecution().executedPlan()
+            except Exception as e:  # pragma: no cover - surface build errors
+                offenders.append(f"{name}: plan build failed: {e}")
+                continue
+            hits = self._offending_exchanges(jplan, self.WIDE)
+            if hits:
+                offenders.append(f"{name}: {hits}")
+        assert not offenders, "\n".join(offenders)

@@ -47,7 +47,22 @@ How the scale-up stays honest (pure replication would NOT be):
 Usage:
     python tools/scale_probe.py                  # build (once) + probe
     python tools/scale_probe.py --rebuild        # force rebuild
+    python tools/scale_probe.py --build-only     # ensure dir + layout, no probe
+    python tools/scale_probe.py --longdocs       # doc-LENGTH tier (see below)
     python tools/scale_probe.py q1_pricing_summary d3_lsh_candidate_pairs
+
+Doc-length tier (``--longdocs``, VERDICT r6 #2): every row-count tier
+replicates DOCUMENTS, so operators whose cost is super-linear in
+``length(text)`` (the round-6 CDC chunk defect) pass every volume gate
+while hiding a quadratic.  This mode builds a dir with the SAME document
+COUNT but text ×SPARK_GRAFT_LONGDOC_MULT longer — each repetition runs
+through a distinct rotating-alphabet translation (the same honesty trick
+as replicas: lengths preserved per repeat, shingle/chunk content unique
+per repeat, so chunk-dedup mass doesn't explode by construction; at
+mult > 108 the translation wraps and intra-doc duplicate chunks appear —
+fine for timing, noted for interpretation) — then times the text/dedup/
+chunk families at both lengths.  The bar: ratio ≈ mult (linear per byte);
+the pre-rewrite chunk family would show ratio ≈ mult² here.
 
 Output: one human-readable table on stderr + one JSON line on stdout
 (per-query base/scaled seconds, ratio, and the replication factor).
@@ -133,6 +148,29 @@ KEYMAP = {
 # Build-layout version: bumped when the scale-up construction changes so
 # existing dirs rebuild (the marker check compares this line too).
 LAYOUT = "v2-blocked-keys"
+
+# --- doc-length tier (VERDICT r6 #2) ---
+LONGDOC_MULT = int(os.environ.get("SPARK_GRAFT_LONGDOC_MULT", "32"))
+LONGDOC_DIR = os.environ.get(
+    "SPARK_GRAFT_LONGDOC_DIR",
+    f"/tmp/spark_graft_scale/longdocs_L{LONGDOC_MULT}",
+)
+LONGDOC_LAYOUT = "v1-translated-repeats"
+# The families whose cost is a function of document LENGTH, one probe per
+# shape: chunking (t25/x48/d23/d25), shingling+broadcast join (d10),
+# token-window dedup (d17), tf-idf explode+join (t8), per-doc expression
+# scoring (t2), bigram LM (t14).
+LONGDOC_QUERIES = [
+    "t25_content_defined_chunks",
+    "x48_chunk_dedup_ratio",
+    "d23_chunk_contamination",
+    "d25_chunk_contamination_capped",
+    "t8_tfidf_top_terms",
+    "d10_ngram_contamination",
+    "d17_duplicate_spans",
+    "t2_quality_score",
+    "t14_bigram_lm_score",
+]
 
 DIM_TABLES = ["region", "nation"]
 
@@ -220,12 +258,110 @@ def build_scaleup(spark: SparkSession, src: str, out: str, replicas: int) -> Non
         f.write(f"src={src}\nreplicas={replicas}\nlayout={LAYOUT}\n")
 
 
+def build_longdocs(spark: SparkSession, src: str, out: str, mult: int) -> None:
+    """Same tables, same document COUNT, text ×mult longer (per-repeat
+    rotating-alphabet translation keeps repeated content unique)."""
+    os.makedirs(out, exist_ok=True)
+    n_trans = len(_ALPHA_A) * len(_ALPHA_B)
+    for tbl in list(KEYMAP) + DIM_TABLES:
+        if tbl == "documents":
+            continue
+        spark.read.parquet(f"{src}/{tbl}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out}/{tbl}.parquet")
+    d = spark.read.parquet(f"{src}/documents.parquet")
+    dtypes = dict(d.dtypes)
+    long_text = F.concat_ws(
+        " ", *[_translate_text(F.col("text"), r % n_trans) for r in range(mult)]
+    )
+    cols = []
+    for c in d.columns:
+        if c == "text":
+            cols.append(long_text.alias("text"))
+        elif c == "n_chars":
+            cols.append(F.length(long_text).cast(dtypes[c]).alias(c))
+        else:
+            cols.append(F.col(c))
+    # long rows are ~mult× wider: spread them so one task's batch fits
+    d.select(*cols).repartition(32).write.mode("overwrite").parquet(
+        f"{out}/documents.parquet"
+    )
+    with open(f"{out}/.longdocs_built", "w") as f:
+        f.write(f"src={src}\nmult={mult}\nlayout={LONGDOC_LAYOUT}\n")
+
+
 def _run_once(registry, name: str, spark: SparkSession, sf_dir: str) -> float:
     t0 = time.time()
     registry[name].fn(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
     return time.time() - t0
+
+
+def main_longdocs() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    rebuild = "--rebuild" in sys.argv
+    names = args or LONGDOC_QUERIES
+
+    spark = get_session("scale_probe_longdocs")
+    registry = load_all()
+    missing = [n for n in names if n not in registry]
+    if missing:
+        print(f"unknown queries: {missing}", file=sys.stderr)
+        sys.exit(2)
+
+    marker = f"{LONGDOC_DIR}/.longdocs_built"
+    want = f"src={SRC_DIR}\nmult={LONGDOC_MULT}\nlayout={LONGDOC_LAYOUT}\n"
+    if not rebuild and os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() != want:
+                rebuild = True
+    if rebuild or not os.path.exists(marker):
+        print(
+            f"[scale_probe] building ×{LONGDOC_MULT} long-doc tier of "
+            f"{SRC_DIR} at {LONGDOC_DIR} ...",
+            file=sys.stderr,
+        )
+        t0 = time.time()
+        build_longdocs(spark, SRC_DIR, LONGDOC_DIR, LONGDOC_MULT)
+        print(
+            f"[scale_probe] built in {time.time() - t0:.1f}s", file=sys.stderr
+        )
+    if "--build-only" in sys.argv:
+        print(f"[scale_probe] dir ready: {LONGDOC_DIR}", file=sys.stderr)
+        return
+
+    results = {}
+    for name in names:
+        _run_once(registry, name, spark, SRC_DIR)
+        base = _run_once(registry, name, spark, SRC_DIR)
+        _run_once(registry, name, spark, LONGDOC_DIR)
+        scaled = _run_once(registry, name, spark, LONGDOC_DIR)
+        ratio = scaled / base if base > 0 else float("inf")
+        per_byte = ratio / LONGDOC_MULT
+        results[name] = {
+            "base_s": round(base, 3),
+            "long_s": round(scaled, 3),
+            "ratio": round(ratio, 2),
+            "ratio_per_byte": round(per_byte, 3),
+        }
+        print(
+            f"[scale_probe] {name:34s} {base:7.2f}s -> {scaled:7.2f}s  "
+            f"x{ratio:6.2f}  per-byte x{per_byte:5.3f}",
+            file=sys.stderr,
+        )
+
+    print(
+        json.dumps(
+            {
+                "metric": "longdoc_probe",
+                "mult": LONGDOC_MULT,
+                "base_dir": SRC_DIR,
+                "long_dir": LONGDOC_DIR,
+                "queries": results,
+            }
+        )
+    )
 
 
 def main() -> None:
@@ -257,6 +393,14 @@ def main() -> None:
         print(
             f"[scale_probe] built in {time.time() - t0:.1f}s", file=sys.stderr
         )
+
+    if "--build-only" in sys.argv:
+        # ADVICE r6: callers that only need the dir (run_scale_sweeps.sh)
+        # invoke this unconditionally — the marker check above already
+        # no-ops when src/replicas/LAYOUT match, and rebuilds when a
+        # LAYOUT bump would otherwise leave a stale-layout dir in place.
+        print(f"[scale_probe] dir ready: {OUT_DIR}", file=sys.stderr)
+        return
 
     results = {}
     for name in names:
@@ -292,4 +436,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--longdocs" in sys.argv:
+        main_longdocs()
+    else:
+        main()
