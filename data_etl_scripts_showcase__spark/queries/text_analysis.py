@@ -19,6 +19,12 @@ from . import register
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _TOKS = f"string_split({_NORM}, ' ')"
 
+# CDC boundary window hash (polynomial Horner chain) — byte-exact with the
+# engine's numpy scan on ASCII input; see operators/chunking.py.
+from ..operators.chunking import cdc_boundary_sql as _cdc_boundary_sql
+
+_CDC_B = _cdc_boundary_sql("text", "i")
+
 
 @register(
     "t1_token_stats",
@@ -1281,61 +1287,22 @@ def _cdc_chunk_relation(d: DataFrame, keep: list[str]) -> DataFrame:
     """Shared CDC chunk stream: (keep..., chunk_idx, start_pos, chunk_len,
     chunk_md5) — one row per content-defined chunk of ``text``.
 
-    Map-side by construction (VERDICT r6 #1): boundaries are computed as an
-    ARRAY column with higher-order functions (the t14-bigram / phash-gram
-    idiom), chunk (start, len) pairs come from zipping the boundary array
-    with its own tail via transform's index lambda, and the only fan-out is
-    an explode of the ~n/32 per-chunk structs with the md5 computed in the
-    SAME narrow projection — so ``text`` is dropped before any Exchange.
-    The previous form exploded one row PER CHARACTER POSITION, each row
-    carrying the full text, then ran a per-doc window over the boundary
-    rows: shuffle payload quadratic in document length (~3 TB of Exchange
-    for one 10 MB doc).  This form shuffles nothing at all: cost is O(n)
-    CPU per doc and O(n/32) output rows, embarrassingly parallel at 100 TB.
+    One vectorized Arrow pass (:func:`..operators.chunking.cdc_chunks`):
+    numpy Horner boundary scan + per-chunk md5 inside ``mapInPandas`` —
+    ZERO Exchange, zero Window, zero Generate, O(bytes) CPU.  Round 6's
+    higher-order-function form was still quadratic in document length
+    (a lambda referencing the row's text column re-evaluates the column
+    access per element — ×293 wall at the ×128 doc-length tier); the
+    full execution-form history and microbenchmarks live in the operator
+    module docstring and SCALE.md round 7."""
+    from ..operators import chunking as CH
 
-    ``explode_outer`` (not ``explode``) is deliberate: plain explode lets
-    InferFiltersFromGenerate push a ``size(chunks) > 0`` predicate below
-    the projection, re-evaluating the whole rolling-hash scan a second
-    time per document.  The boundary array is never empty (i=1 always
-    qualifies), so the outer variant is row-for-row identical and keeps
-    the boundary scan single-pass.
-    """
-    bounds = F.expr(
-        """
-        filter(
-            sequence(1, greatest(length(text) - 7, 1)),
-            i -> i = 1
-              OR cast(conv(substring(md5(concat('cdc:', substring(text, i, 8))), 1, 8), 16, 10) as bigint) % 32 = 0
-        )
-        """
-    )
-    chunks = F.expr(
-        """
-        transform(bounds, (s, k) -> struct(
-            cast(k + 1 as int) as chunk_idx,
-            cast(s as bigint) as start_pos,
-            cast(coalesce(try_element_at(bounds, cast(k + 2 as int)), n + 1) - s as bigint) as chunk_len
-        ))
-        """
-    )
-    b = d.select(*keep, "text", F.length("text").alias("n"), bounds.alias("bounds"))
-    e = b.select(*keep, "text", chunks.alias("chunks")).select(
-        *keep, "text", F.explode_outer("chunks").alias("ch")
-    )
-    return e.select(
-        *keep,
-        F.col("ch.chunk_idx").alias("chunk_idx"),
-        F.col("ch.start_pos").alias("start_pos"),
-        F.col("ch.chunk_len").alias("chunk_len"),
-        F.md5(F.expr("substring(text, ch.start_pos, ch.chunk_len)")).alias(
-            "chunk_md5"
-        ),
-    )
+    return CH.cdc_chunks(d, keep)
 
 
 @register(
     "t25_content_defined_chunks",
-    oracle="""
+    oracle=f"""
     WITH pos AS (
         SELECT doc_id, text, length(text) AS n,
                unnest(range(1, greatest(length(text) - 7, 0) + 1)) AS i
@@ -1345,7 +1312,7 @@ def _cdc_chunk_relation(d: DataFrame, keep: list[str]) -> DataFrame:
         SELECT doc_id, text, n, i
         FROM pos
         WHERE i = 1
-           OR ('0x' || substr(md5(concat('cdc:', substr(text, i, 8))), 1, 8))::BIGINT % 32 = 0
+           OR ({_CDC_B}) % 32 = 0
     ),
     c AS (
         SELECT doc_id, text, n, i AS start_pos,
@@ -1367,18 +1334,17 @@ def t25_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     CONTENT, not offsets — insert a byte and only the neighboring chunks
     change, unlike t23's fixed windows, where every downstream chunk
     shifts.  Emitted content-addressed (md5 per chunk) for the chunk
-    store.  Plan (see :func:`_cdc_chunk_relation`): boundaries as an
-    array column, chunk structs by zipping the array with its tail, one
-    per-chunk explode with the md5 in the same projection — ZERO
-    Exchange, zero Window; cost linear in doc length and text never
-    leaves its scan task."""
+    store.  Plan (see :func:`_cdc_chunk_relation`): one narrow
+    vectorized Arrow pass (MapInPandas, numpy Horner boundary scan) —
+    ZERO Exchange, zero Window, zero Generate; cost linear in doc
+    length and text never leaves its scan task."""
     d = load_table(spark, sf_dir, "documents").where(F.length("text") >= 8)
     return _cdc_chunk_relation(d, ["doc_id"])
 
 
 @register(
     "x48_chunk_dedup_ratio",
-    oracle="""
+    oracle=f"""
     WITH pos AS (
         SELECT doc_id, source, text, length(text) AS n,
                unnest(range(1, greatest(length(text) - 7, 0) + 1)) AS i
@@ -1388,7 +1354,7 @@ def t25_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, source, text, n, i
         FROM pos
         WHERE i = 1
-           OR ('0x' || substr(md5(concat('cdc:', substr(text, i, 8))), 1, 8))::BIGINT % 32 = 0
+           OR ({_CDC_B}) % 32 = 0
     ),
     c AS (
         SELECT doc_id, source, text, i AS start_pos,
@@ -1415,8 +1381,8 @@ def x48_chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     realizes (duplicated passages across documents collapse to one
     stored chunk even when no two documents are globally identical,
     which is exactly where document-level d1 sees nothing).  Same chunk
-    pipeline as t25 (:func:`_cdc_chunk_relation` — fully map-side, no
-    Exchange carries text), one extra distinct aggregate on the digest:
+    pipeline as t25 (:func:`_cdc_chunk_relation` — one narrow Arrow
+    pass, no Exchange carries text), one extra distinct aggregate:
     the only shuffle in the plan is the final per-source aggregate over
     (source, chunk_len, chunk_md5) rows."""
     d = load_table(spark, sf_dir, "documents").where(F.length("text") >= 8)
@@ -1595,7 +1561,7 @@ def t27_hashed_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d23_chunk_contamination",
-    oracle="""
+    oracle=f"""
     WITH pos AS (
         SELECT doc_id, text, length(text) AS n,
                unnest(range(1, greatest(length(text) - 7, 0) + 1)) AS i
@@ -1605,7 +1571,7 @@ def t27_hashed_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, text, n, i
         FROM pos
         WHERE i = 1
-           OR ('0x' || substr(md5(concat('cdc:', substr(text, i, 8))), 1, 8))::BIGINT % 32 = 0
+           OR ({_CDC_B}) % 32 = 0
     ),
     c AS (
         SELECT doc_id, text, i AS start_pos,
@@ -1648,9 +1614,9 @@ def d23_chunk_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk table broadcasts, the corpus chunk stream never shuffles for
     the join; per-doc DISTINCT chunks make shared_chars a true matched
     character count (same md5 ⇒ same content ⇒ same length).  Chunking
-    itself is :func:`_cdc_chunk_relation` — fully map-side, so the first
-    Exchange anywhere in the plan is the (doc_id, md5, len) DISTINCT,
-    which never carries document text."""
+    itself is :func:`_cdc_chunk_relation` — one narrow Arrow pass, so
+    the first Exchange anywhere in the plan is the (doc_id, md5, len)
+    DISTINCT, which never carries document text."""
     d = load_table(spark, sf_dir, "documents").where(F.length("text") >= 8)
     h = (
         _cdc_chunk_relation(d, ["doc_id"])
@@ -1687,7 +1653,7 @@ def d23_chunk_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d25_chunk_contamination_capped",
-    oracle="""
+    oracle=f"""
     WITH pos AS (
         SELECT doc_id, text, length(text) AS n,
                unnest(range(1, greatest(length(text) - 7, 0) + 1)) AS i
@@ -1697,7 +1663,7 @@ def d23_chunk_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, text, n, i
         FROM pos
         WHERE i = 1
-           OR ('0x' || substr(md5(concat('cdc:', substr(text, i, 8))), 1, 8))::BIGINT % 32 = 0
+           OR ({_CDC_B}) % 32 = 0
     ),
     c AS (
         SELECT doc_id, text, i AS start_pos,

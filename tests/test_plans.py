@@ -532,15 +532,18 @@ class TestRound3Plans:
         assert "HashAggregate" in plan
 
     def test_t25_cdc_is_fully_map_side(self, spark):
-        """CDC chunking (VERDICT r6 #1): boundaries are an array column and
-        chunks explode with their md5 computed in the SAME narrow
-        projection — the plan has ZERO Exchange and ZERO Window (the old
-        per-character explode + per-doc window shuffled full document text
-        once per boundary row, quadratic in doc length)."""
+        """CDC chunking (VERDICT r6 #1, re-fixed round 7): one narrow
+        vectorized Arrow pass — the plan has ZERO Exchange, ZERO Window
+        and ZERO Generate.  (v1 shuffled full text once per boundary row;
+        v2's higher-order-function form was shuffle-free but still
+        quadratic CPU — a lambda referencing the row's text column
+        re-evaluates the column access per element.  See
+        operators/chunking.py for the microbenchmarks.)"""
         plan = plan_of(spark, "t25_content_defined_chunks")
         assert "Exchange" not in plan, plan
         assert "Window" not in plan, plan
-        assert "Generate" in plan  # the one per-chunk explode
+        assert "Generate" not in plan, plan
+        assert "MapInPandas" in plan  # the single vectorized Arrow pass
 
     def test_x48_chunk_dedup_single_small_shuffle(self, spark):
         """x48 = t25's map-side chunk stream + a per-source distinct-count:

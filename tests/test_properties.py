@@ -993,3 +993,58 @@ def test_attribution_conserves_purchase_value(spark, crows, prows):
         for r in rows_:
             want = base_share + (rem if r.event_id == earliest else 0)
             assert r.credit_mc == want, (p_id, r.event_id, r.credit_mc, want)
+
+
+@settings(max_examples=200, deadline=None)
+@given(data=st.binary(min_size=0, max_size=600))
+def test_cdc_vectorized_bounds_equal_sequential(data):
+    """The numpy Horner scan (the distributed path's kernel) must produce
+    exactly the sequential pure-Python chunking for ANY byte string —
+    including n < window, n == window, and boundary-dense inputs."""
+    import numpy as np
+
+    from data_etl_scripts_showcase__spark.operators import chunking as CH
+
+    ref = CH.cdc_chunks_py(data)
+    bounds = CH._bounds_np(data, np)
+    ends = np.append(bounds[1:], len(data) + 1)
+    got = list(zip(bounds.tolist(), (ends - bounds).tolist()))
+    assert got == ref
+    # chunks tile the input exactly
+    assert got[0][0] == 1
+    assert sum(l for _, l in got) == max(len(data), 0) or len(data) == 0
+
+
+def test_cdc_operator_end_to_end_matches_reference(spark):
+    """cdc_chunks (mapInPandas) row-for-row equals the pure-Python
+    reference on a mixed corpus: short docs (< window), exact-window
+    docs, long repetitive docs (boundary-dense), and multi-chunk text —
+    with keep-column values, indices, lengths and md5s intact."""
+    import hashlib
+
+    from data_etl_scripts_showcase__spark.operators import chunking as CH
+
+    texts = [
+        "",  # callers filter length>=8, but the operator must not crash
+        "1234567",  # n < window
+        "12345678",  # n == window
+        "the quick brown fox jumps over the lazy dog " * 30,
+        "aaaaaaaaaaaaaaaa" * 64,
+        "".join(f"w{(i * 37) % 97} " for i in range(300)),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = CH.cdc_chunks(df, ["doc_id"]).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_idx, r.start_pos, r.chunk_len, r.chunk_md5)
+        )
+    for i, t in enumerate(texts):
+        data = t.encode()
+        want = [
+            (j + 1, s, l, hashlib.md5(data[s - 1 : s - 1 + l]).hexdigest())
+            for j, (s, l) in enumerate(CH.cdc_chunks_py(data))
+        ]
+        assert sorted(got.get(i, [])) == want, i

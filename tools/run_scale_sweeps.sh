@@ -4,6 +4,7 @@
 #
 #   bash tools/run_scale_sweeps.sh          # 10x (~20 min) + 100x
 #   bash tools/run_scale_sweeps.sh 10x      # just the 10x tier
+#   bash tools/run_scale_sweeps.sh longdocs # doc-LENGTH axis (x32 + x128)
 #
 # Dirs are ensured by tools/scale_probe.py --build-only, invoked
 # UNCONDITIONALLY (ADVICE r6: a bare dir-exists guard skipped the LAYOUT
@@ -33,6 +34,18 @@ if [ "$TIER" = "100x" ] || [ "$TIER" = "both" ]; then
   SPARK_GRAFT_SCALE_REPLICAS=100 SPARK_GRAFT_SCALE_DIR="$HUNDRED" \
     python tools/scale_probe.py --build-only >/dev/null
   echo "[scale-sweeps] 100x tier: $HUNDRED"
-  SPARK_GRAFT_GATE_VIA_PARQUET=1 SPARK_GRAFT_DRIVER_MEM=16g \
+  SPARK_GRAFT_GATE_VIA_PARQUET=1 \
     python tools/check_correctness.py "$HUNDRED"
+fi
+
+# Doc-LENGTH axis (VERDICT r6 #2): every row-count tier replicates
+# documents; this one lengthens them, so super-linear-in-length costs
+# (the round-7 CDC lesson) can never hide behind row-count scaling.
+# Timing probe at x32 and x128 over the length-sensitive families, plus
+# the value-exact oracle gate for the chunk family at the x32 tier.
+if [ "$TIER" = "longdocs" ]; then
+  SPARK_GRAFT_LONGDOC_MULT=32 python tools/scale_probe.py --longdocs
+  SPARK_GRAFT_LONGDOC_MULT=128 python tools/scale_probe.py --longdocs
+  python tools/check_correctness.py /tmp/spark_graft_scale/longdocs_L32 \
+    t25_content_defined_chunks x48_chunk_dedup_ratio
 fi

@@ -8,6 +8,12 @@ cd "$(dirname "$0")/.."
 # sha256sum exit non-zero and silently kill the pre-commit hook with no
 # BLOCKED message (the deletion also wasn't there when pytest ran, so
 # excluding it keeps the hash consistent with what the suite saw).
-git ls-files -- data_etl_scripts_showcase__spark tests __spark_entry__.py \
-  | sort | while IFS= read -r f; do [ -f "$f" ] && printf '%s\n' "$f"; done \
+# --others --exclude-standard: UNTRACKED source files count too — pytest
+# imports them all the same, and hashing only tracked files made a
+# brand-new module falsely STALE the moment it was git-added (and,
+# worse, would keep the marker falsely FRESH if an untracked test the
+# suite ran against were deleted before committing).
+git ls-files --cached --others --exclude-standard \
+    -- data_etl_scripts_showcase__spark tests __spark_entry__.py \
+  | sort -u | while IFS= read -r f; do [ -f "$f" ] && printf '%s\n' "$f"; done \
   | xargs -r sha256sum | sha256sum | cut -d' ' -f1
