@@ -5,6 +5,7 @@
 #   bash tools/run_scale_sweeps.sh          # 10x (~20 min) + 100x
 #   bash tools/run_scale_sweeps.sh 10x      # just the 10x tier
 #   bash tools/run_scale_sweeps.sh longdocs # doc-LENGTH axis (x32 + x128)
+#   bash tools/run_scale_sweeps.sh skew     # hot-key SKEW axis (30% hot)
 #
 # Dirs are ensured by tools/scale_probe.py --build-only, invoked
 # UNCONDITIONALLY (ADVICE r6: a bare dir-exists guard skipped the LAYOUT
@@ -13,9 +14,13 @@
 #
 # Both tiers run with SPARK_GRAFT_GATE_VIA_PARQUET=1 (VERDICT r6 #4):
 # query outputs go to parquet sinks and DuckDB does the comparison, so
-# the gate needs no driver collects — no maxResultSize override, and the
-# default driver heap suffices at 100x (outputs past the pandas
-# threshold never materialize on the driver at all).
+# the gate needs no driver COLLECTS and no maxResultSize override.  The
+# 100x tier still takes a 16g heap: collects are gone but streaming
+# state stores + memory-sink rows live in the single local-mode JVM,
+# and st6's stream-static join at 60 M facts OOMs an 8g heap (measured
+# round 7 — the first 185 queries pass at 8g; the st tail does not).
+# On a real cluster that state is spread over executors; the override
+# compensates for local[32] putting every executor in one JVM.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -34,7 +39,7 @@ if [ "$TIER" = "100x" ] || [ "$TIER" = "both" ]; then
   SPARK_GRAFT_SCALE_REPLICAS=100 SPARK_GRAFT_SCALE_DIR="$HUNDRED" \
     python tools/scale_probe.py --build-only >/dev/null
   echo "[scale-sweeps] 100x tier: $HUNDRED"
-  SPARK_GRAFT_GATE_VIA_PARQUET=1 \
+  SPARK_GRAFT_GATE_VIA_PARQUET=1 SPARK_GRAFT_DRIVER_MEM=16g \
     python tools/check_correctness.py "$HUNDRED"
 fi
 
@@ -48,4 +53,19 @@ if [ "$TIER" = "longdocs" ]; then
   SPARK_GRAFT_LONGDOC_MULT=128 python tools/scale_probe.py --longdocs
   python tools/check_correctness.py /tmp/spark_graft_scale/longdocs_L32 \
     t25_content_defined_chunks x48_chunk_dedup_ratio
+fi
+
+# Hot-key SKEW axis (round 7): the volume tiers are uniform; this tier
+# replays the 10x volume with one hot user/customer/source owning ~30%
+# of the keyed fact rows, times the keyed join/agg/window/session
+# families uniform-vs-skew at EQUAL volume, then value-checks the same
+# families against their DuckDB oracles on the skewed dir.
+if [ "$TIER" = "skew" ]; then
+  python tools/scale_probe.py --skew
+  SPARK_GRAFT_GATE_VIA_PARQUET=1 \
+    python tools/check_correctness.py /tmp/spark_graft_scale/skew10x_p30 \
+      q3_shipping_priority j2_multiway_left_enrichment j7_asof_join \
+      w1_topk_per_group w14_cohort_retention w16_activity_streaks \
+      t26_chat_turns_audit a7_argmax_latest_per_key x1_salted_agg_hot_keys \
+      x6_salted_join x48_chunk_dedup_ratio x16_source_mixture_resample
 fi

@@ -49,6 +49,7 @@ Usage:
     python tools/scale_probe.py --rebuild        # force rebuild
     python tools/scale_probe.py --build-only     # ensure dir + layout, no probe
     python tools/scale_probe.py --longdocs       # doc-LENGTH tier (see below)
+    python tools/scale_probe.py --skew           # hot-key SKEW tier (see SKEW_PCT)
     python tools/scale_probe.py q1_pricing_summary d3_lsh_candidate_pairs
 
 Doc-length tier (``--longdocs``, VERDICT r6 #2): every row-count tier
@@ -174,6 +175,46 @@ LONGDOC_QUERIES = [
 
 DIM_TABLES = ["region", "nation"]
 
+# ---------------------------------------------------------------------------
+# Skew tier (round 7): every volume tier is UNIFORM — replicas spread keys
+# evenly — but real corpora are Zipfian: one power user, one bot source, one
+# mega-customer.  This tier rebuilds the 10x dir at the SAME total volume
+# with a hot entity owning ~SPARK_GRAFT_SKEW_PCT% of the keyed fact rows:
+#   events.user_id    — pmod(user_id, 100) < pct collapses to one hot user
+#   orders.o_custkey  — same collapse onto one hot customer
+#   documents.source  — pct% of docs move to one hot source
+# Only FK/grouping columns are remapped (row identities, payloads, and the
+# pairwise-blocked columns — embeddings.label — stay untouched: label-blocked
+# pair operators are quadratic WITHIN a block by design, so skewing the
+# block key would manufacture O((pct·n)²) pairs by construction, the same
+# artifact the v2 blocked-key layout exists to prevent).
+# The probe then times each keyed join/agg/window/session family at the
+# UNIFORM 10x dir vs the SKEWED dir — same rows, different distribution —
+# so ratio ≈ 1 means skew-resilient and the gap is attributable to skew
+# alone.  Per-entity sequential logic (sessions, streaks, dialogue audits)
+# is irreducibly bounded below by the hot entity's share; the bar is "no
+# blowup beyond that share, no spill-death", not ratio = 1.
+SKEW_PCT = int(os.environ.get("SPARK_GRAFT_SKEW_PCT", "30"))
+SKEW_DIR = os.environ.get(
+    "SPARK_GRAFT_SKEW_DIR", f"/tmp/spark_graft_scale/skew10x_p{SKEW_PCT}"
+)
+SKEW_LAYOUT = "v1-hot-entity"
+
+SKEW_QUERIES = [
+    "q3_shipping_priority",  # customer⋈orders⋈lineitem through the hot custkey
+    "j2_multiway_left_enrichment",  # multi-dim enrichment joins
+    "j7_asof_join",  # per-user as-of over events (hot-user window)
+    "w1_topk_per_group",  # rank per o_custkey (hot-customer partition)
+    "w14_cohort_retention",  # per-user cohort self-join
+    "w16_activity_streaks",  # per-user consecutive-day islands
+    "t26_chat_turns_audit",  # per-user dialogue windows
+    "a7_argmax_latest_per_key",  # per-key argmax
+    "x1_salted_agg_hot_keys",  # THE salted aggregation
+    "x6_salted_join",  # THE salted join (events.user_id side is skewed)
+    "st3_session_windows",  # per-user session windows
+    "x48_chunk_dedup_ratio",  # per-source distinct-count with a hot source
+]
+
 # Rotating translate alphabets: high-frequency letters, both cases, so
 # each replica's text differs from every other replica's in most
 # characters (shingle/fingerprint families diverge across replicas).
@@ -288,6 +329,123 @@ def build_longdocs(spark: SparkSession, src: str, out: str, mult: int) -> None:
     )
     with open(f"{out}/.longdocs_built", "w") as f:
         f.write(f"src={src}\nmult={mult}\nlayout={LONGDOC_LAYOUT}\n")
+
+
+def build_skew(spark: SparkSession, src: str, out: str, pct: int) -> None:
+    """Copy the uniform 10x dir with hot-entity key collapses (see the
+    SKEW_PCT comment): same rows, same payloads, Zipf-ish distribution."""
+    os.makedirs(out, exist_ok=True)
+    for tbl in list(KEYMAP) + DIM_TABLES:
+        df = spark.read.parquet(f"{src}/{tbl}.parquet")
+        if tbl == "events":
+            hot = df.agg(F.min("user_id")).first()[0]
+            df = df.withColumn(
+                "user_id",
+                F.when(F.pmod("user_id", F.lit(100)) < pct, F.lit(hot))
+                .otherwise(F.col("user_id"))
+                .cast(dict(df.dtypes)["user_id"]),
+            )
+        elif tbl == "orders":
+            hot = df.agg(F.min("o_custkey")).first()[0]
+            df = df.withColumn(
+                "o_custkey",
+                F.when(F.pmod("o_custkey", F.lit(100)) < pct, F.lit(hot))
+                .otherwise(F.col("o_custkey"))
+                .cast(dict(df.dtypes)["o_custkey"]),
+            )
+        elif tbl == "documents":
+            df = df.withColumn(
+                "source",
+                F.when(
+                    F.pmod("doc_id", F.lit(100)) < pct, F.lit("src_hot")
+                ).otherwise(F.col("source")),
+            )
+        df.write.mode("overwrite").parquet(f"{out}/{tbl}.parquet")
+    with open(f"{out}/.skew_built", "w") as f:
+        f.write(f"src={src}\npct={pct}\nlayout={SKEW_LAYOUT}\n")
+
+
+def _ensure_scaleup(spark: SparkSession) -> None:
+    """Build (or rebuild on marker mismatch) the uniform scale-up dir."""
+    marker = f"{OUT_DIR}/.scale_probe_built"
+    want = f"src={SRC_DIR}\nreplicas={REPLICAS}\nlayout={LAYOUT}\n"
+    fresh = os.path.exists(marker) and open(marker).read() == want
+    if not fresh:
+        print(
+            f"[scale_probe] building {REPLICAS}x scale-up of {SRC_DIR} "
+            f"at {OUT_DIR} ...",
+            file=sys.stderr,
+        )
+        t0 = time.time()
+        build_scaleup(spark, SRC_DIR, OUT_DIR, REPLICAS)
+        print(
+            f"[scale_probe] built in {time.time() - t0:.1f}s", file=sys.stderr
+        )
+
+
+def main_skew() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    rebuild = "--rebuild" in sys.argv
+    names = args or SKEW_QUERIES
+
+    spark = get_session("scale_probe_skew")
+    registry = load_all()
+    missing = [n for n in names if n not in registry]
+    if missing:
+        print(f"unknown queries: {missing}", file=sys.stderr)
+        sys.exit(2)
+
+    _ensure_scaleup(spark)  # the uniform baseline AND the skew source
+    marker = f"{SKEW_DIR}/.skew_built"
+    want = f"src={OUT_DIR}\npct={SKEW_PCT}\nlayout={SKEW_LAYOUT}\n"
+    if not rebuild and os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() != want:
+                rebuild = True
+    if rebuild or not os.path.exists(marker):
+        print(
+            f"[scale_probe] building {SKEW_PCT}%-hot skew tier of "
+            f"{OUT_DIR} at {SKEW_DIR} ...",
+            file=sys.stderr,
+        )
+        t0 = time.time()
+        build_skew(spark, OUT_DIR, SKEW_DIR, SKEW_PCT)
+        print(
+            f"[scale_probe] built in {time.time() - t0:.1f}s", file=sys.stderr
+        )
+    if "--build-only" in sys.argv:
+        print(f"[scale_probe] dir ready: {SKEW_DIR}", file=sys.stderr)
+        return
+
+    results = {}
+    for name in names:
+        _run_once(registry, name, spark, OUT_DIR)
+        base = _run_once(registry, name, spark, OUT_DIR)
+        _run_once(registry, name, spark, SKEW_DIR)
+        skew = _run_once(registry, name, spark, SKEW_DIR)
+        ratio = skew / base if base > 0 else float("inf")
+        results[name] = {
+            "uniform_s": round(base, 3),
+            "skew_s": round(skew, 3),
+            "ratio_vs_uniform": round(ratio, 2),
+        }
+        print(
+            f"[scale_probe] {name:34s} {base:7.2f}s -> {skew:7.2f}s  "
+            f"x{ratio:6.2f} vs uniform (same volume)",
+            file=sys.stderr,
+        )
+
+    print(
+        json.dumps(
+            {
+                "metric": "skew_probe",
+                "hot_pct": SKEW_PCT,
+                "uniform_dir": OUT_DIR,
+                "skew_dir": SKEW_DIR,
+                "queries": results,
+            }
+        )
+    )
 
 
 def _run_once(registry, name: str, spark: SparkSession, sf_dir: str) -> float:
@@ -438,5 +596,7 @@ def main() -> None:
 if __name__ == "__main__":
     if "--longdocs" in sys.argv:
         main_longdocs()
+    elif "--skew" in sys.argv:
+        main_skew()
     else:
         main()
