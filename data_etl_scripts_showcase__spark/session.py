@@ -72,8 +72,18 @@ def get_session(app_name: str = "data_etl_scripts_showcase__spark") -> SparkSess
             os.environ.get("SPARK_GRAFT_MAX_RESULT", _half_mem(driver_mem)),
         )
     )
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if master.startswith("local-cluster"):
+        # Multi-JVM axis (tools/run_scale_sweeps.sh cluster): real executor
+        # JVMs register/heartbeat over sockets, and on a loaded single host
+        # the 120s defaults produce spurious executor loss (SIGTERM 143
+        # relaunch loops observed under a concurrent pytest run).  Production
+        # clusters set exactly these knobs for congested networks.
+        builder = builder.config("spark.network.timeout", "600s").config(
+            "spark.executor.heartbeatInterval", "60s"
+        )
     if not SparkSession.getActiveSession():
-        builder = builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
+        builder = builder.master(master)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

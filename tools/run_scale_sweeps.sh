@@ -6,6 +6,7 @@
 #   bash tools/run_scale_sweeps.sh 10x      # just the 10x tier
 #   bash tools/run_scale_sweeps.sh longdocs # doc-LENGTH axis (x32 + x128)
 #   bash tools/run_scale_sweeps.sh skew     # hot-key SKEW axis (30% hot)
+#   bash tools/run_scale_sweeps.sh cluster  # multi-JVM axis (local-cluster)
 #
 # Dirs are ensured by tools/scale_probe.py --build-only, invoked
 # UNCONDITIONALLY (ADVICE r6: a bare dir-exists guard skipped the LAYOUT
@@ -68,4 +69,19 @@ if [ "$TIER" = "skew" ]; then
       w1_topk_per_group w14_cohort_retention w16_activity_streaks \
       t26_chat_turns_audit a7_argmax_latest_per_key x1_salted_agg_hot_keys \
       x6_salted_join x48_chunk_dedup_ratio x16_source_mixture_resample
+fi
+
+# Multi-JVM axis (round 7): every other tier runs local[32] — ONE JVM,
+# where broadcast is a pointer share, shuffles never serialize across a
+# socket, and pickled-by-reference UDFs trivially import.  This tier
+# reruns the FULL oracle gate on `local-cluster[4,8,6144]`: 4 real
+# executor JVMs + separate Python workers, real closure/broadcast
+# serialization, netty shuffle — the closest a single host gets to the
+# 1000-executor layout the engine is designed for.  PYTHONPATH is
+# exported so executor Python workers can import the engine package
+# (UDFs defined in modules pickle by REFERENCE); on a real cluster the
+# same contract is met by --py-files or a shipped wheel.
+if [ "$TIER" = "cluster" ]; then
+  SPARK_GRAFT_MASTER='local-cluster[4,8,6144]' PYTHONPATH="$PWD" \
+    python tools/check_correctness.py /root/testdata/sf0.01
 fi
