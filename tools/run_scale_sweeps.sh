@@ -85,3 +85,29 @@ if [ "$TIER" = "cluster" ]; then
   SPARK_GRAFT_MASTER='local-cluster[4,8,6144]' PYTHONPATH="$PWD" \
     python tools/check_correctness.py /root/testdata/sf0.01
 fi
+
+# Memory-PRESSURE axis (round 7): every other tier gives Spark all the
+# memory it wants; this one starves it.  Heavy sort/join/agg/window
+# queries run at 100x volume (60 M facts) on TWO 2g executors (≈1 GB
+# unified memory each, ~260 MB per concurrent task) — the sort-merge
+# sorts are several GB per task and MUST spill.  The contract is
+# "slower, not wrong": the oracle gate must stay value-exact, and
+# spill_report.py walks the event log's task metrics to prove disk
+# spill actually happened (a zero-spill pass proves nothing and fails
+# the tier — at 10x the engine's pruned/partial-agg shuffle payloads
+# totalled 0.12 GiB across twelve heavy queries and NOTHING spilled
+# even on 1g executors, which is the design working, not pressure).
+if [ "$TIER" = "pressure" ]; then
+  SPARK_GRAFT_SCALE_REPLICAS=100 SPARK_GRAFT_SCALE_DIR="$HUNDRED" \
+    python tools/scale_probe.py --build-only >/dev/null
+  EVLOG=/tmp/spark_graft_pressure_evlog
+  rm -rf "$EVLOG" && mkdir -p "$EVLOG"
+  PYSPARK_SUBMIT_ARGS="--conf spark.eventLog.enabled=true --conf spark.eventLog.dir=$EVLOG --conf spark.eventLog.compress=false pyspark-shell" \
+  SPARK_GRAFT_MASTER='local-cluster[2,4,2048]' SPARK_GRAFT_CPUS=8 \
+  PYTHONPATH="$PWD" SPARK_GRAFT_GATE_VIA_PARQUET=1 \
+    python tools/check_correctness.py "$HUNDRED" \
+      q1_pricing_summary w1_topk_per_group a7_argmax_latest_per_key \
+      x44_distributed_deciles j4_inner_fact_dim j5_full_outer \
+      d1_exact_dedup t8_tfidf_top_terms
+  python tools/spill_report.py "$EVLOG" --require-spill
+fi
