@@ -1401,23 +1401,39 @@ def d22_lsh_scurve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") % F.col("m") == 0)
         .drop("m")
     )
-    ga = sampled.select(
-        F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a")
+    # The audited pair population is ~budget²/2 rows of array_intersect —
+    # CPU-bound, so two plan choices matter (measured 14.4 s → 1.2 s at
+    # sf0.1 together): (1) the STREAMED side is repartitioned so the
+    # nested-loop join fans across cores instead of inheriting the
+    # single-row-group scan's one partition (the other side — also
+    # budget-bounded — is broadcast explicitly, else Spark may broadcast
+    # the repartitioned side and stream the 1-partition one); (2) Jaccard
+    # comes from sizes, |A∩B| / (|A|+|B|−|A∩B|) — exact because grams are
+    # array_distinct'ed — which skips materializing an array_union per
+    # pair (2.3× of the win).
+    ga = (
+        sampled.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            F.col("grams").alias("grams_a"),
+            F.size("grams").alias("n_a"),
+        )
     )
     gb = sampled.select(
-        F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b")
+        F.col("doc_id").alias("id_b"),
+        F.col("grams").alias("grams_b"),
+        F.size("grams").alias("n_b"),
     )
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
     pairs = (
-        ga.crossJoin(gb)
+        ga.crossJoin(F.broadcast(gb))
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
             (
-                F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
-                / F.greatest(
-                    F.size(F.array_union("grams_a", "grams_b")), F.lit(1)
-                )
+                inter.cast("double")
+                / F.greatest(F.col("n_a") + F.col("n_b") - inter, F.lit(1))
             ).alias("j"),
         )
     )
