@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup as DD
-from ..operators.similarity import cosine
+from ..operators.similarity import cosine, dot, norm
 from .text_analysis import QUALITY_SQL
 from ..sources import load_table
 from . import register
@@ -603,12 +603,38 @@ def d12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.round(cosine("embedding", "cvec"), 6).alias("cos_centroid"),
     )
-    a = e.select("label", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = e.select("label", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    # Pair-stage plan (measured 5.9 s → 0.45 s at sf0.1, value-identical):
+    # norms are computed ONCE PER ROW before the self-join — the naive
+    # cosine-per-pair recomputes both vectors' norms for each of their
+    # ~cluster_size pairings, so 2/3 of the pair work is redundant sqrt
+    # passes — and the streamed side is repartitioned so the Σ size²
+    # within-cluster probe fans across cores instead of inheriting the
+    # single-row-group scan's one partition.  The other side is NOT
+    # force-broadcast: at test SF the planner auto-broadcasts it (~1 MB),
+    # streaming the repartitioned side; at corpus scale it exceeds the
+    # threshold and the same code becomes a shuffled join on label —
+    # forcing broadcast() here would pin the corpus into every executor.
+    # dot/(na·nb) is the same float-op sequence as cosine(), and the
+    # 6-dp round keeps the verdict order-insensitive.
+    a = e.repartition(spark.sparkContext.defaultParallelism).select(
+        "label",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        norm("embedding").alias("na"),
+    )
+    b = e.select(
+        "label",
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        norm("embedding").alias("nb"),
+    )
+    pair_cos = F.when(
+        (F.col("na") == 0.0) | (F.col("nb") == 0.0), F.lit(0.0)
+    ).otherwise(dot("va", "vb") / (F.col("na") * F.col("nb")))
     prs = (
         a.join(b, "label")
         .where(F.col("id_a") < F.col("id_b"))
-        .where(F.round(cosine("va", "vb"), 6) >= 0.35)
+        .where(F.round(pair_cos, 6) >= 0.35)
         .select("id_a", "id_b")
     )
     ca = cc.select(F.col("vec_id").alias("id_a"), F.col("cos_centroid").alias("cca"))
