@@ -246,19 +246,34 @@ def d6_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="NS-dedup (embedding-cosine near-dup, label-blocked)",
 )
 def d7_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs within a label block, cosine ≥ 0.35."""
+    """Embedding near-dup pairs within a label block, cosine ≥ 0.35.
+
+    This is the deliberately-quadratic VERIFIABLE baseline (v2/v4 are the
+    corpus-scale paths) — quadratic in cluster size by design, but the
+    constant factor follows the d12 pair-stage discipline: norms are
+    projected once per row (the naive cosine-per-pair redoes both sqrt
+    passes for every pairing), and the streamed side is repartitioned so
+    the probe fans across cores instead of inheriting the scan's single
+    partition.  No forced broadcast: the planner auto-broadcasts the
+    small side at test SF and shifts to a shuffled label join past the
+    threshold."""
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(
+    a = e.repartition(spark.sparkContext.defaultParallelism).select(
         F.col("label"),
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("vec_a"),
+        norm("embedding").alias("n_a"),
     )
     b = e.select(
         F.col("label"),
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("vec_b"),
+        norm("embedding").alias("n_b"),
     )
-    sim = F.round(cosine("vec_a", "vec_b"), 6)
+    pair_cos = F.when(
+        (F.col("n_a") == 0.0) | (F.col("n_b") == 0.0), F.lit(0.0)
+    ).otherwise(dot("vec_a", "vec_b") / (F.col("n_a") * F.col("n_b")))
+    sim = F.round(pair_cos, 6)
     return (
         a.join(b, "label")
         .where(F.col("id_a") < F.col("id_b"))
