@@ -170,6 +170,19 @@ def main() -> None:
     # without a second bench invocation.  The headline stays run2 so the
     # round-over-round series keeps its meaning.
     load_before = os.getloadavg()
+    # VERDICT r7 #1: the bench protocol must carry enough host context that
+    # a reviewer can attribute a >1.3x per-query delta to a commit or to
+    # recorded load.  n_procs counts runnable processes other than us (a
+    # concurrent driver/pytest JVM shows up here even before loadavg ramps).
+    try:
+        n_procs = sum(
+            1
+            for p in os.listdir("/proc")
+            if p.isdigit()
+            and open(f"/proc/{p}/stat").read().split(") ")[-1][0] in "RD"
+        )
+    except OSError:  # pragma: no cover - /proc always present on linux
+        n_procs = -1
     timings: dict[str, float] = {}
     run1: dict[str, float] = {}
     for name in names:
@@ -205,10 +218,18 @@ def main() -> None:
         "load_context": {
             "loadavg_before": list(load_before),
             "loadavg_after": list(os.getloadavg()),
+            "runnable_procs_before": n_procs,
             "cpu_count": os.cpu_count(),
             "spark_graft_cpus": os.environ.get("SPARK_GRAFT_CPUS"),
         },
     }
+    # A host already running >= 1/4 of a core-count's worth of load before
+    # we start is NOT a clean bench host: annotate the record (never refuse
+    # — the driver's run must still produce a number) so bench_diff.py and
+    # the judge can discount the run mechanically.
+    detail["load_context"]["host_busy"] = bool(
+        load_before[0] > (os.cpu_count() or 32) / 4 or n_procs > 4
+    )
     out_name = "BENCH_FULL.json" if full else "BENCH_DETAIL.json"
     with open(os.path.join(REPO, out_name), "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
@@ -224,6 +245,11 @@ def main() -> None:
                 "queries": slowest,
                 "detail": out_name,
                 "sf": sf_val,
+                # compact host-load fingerprint in the headline record too
+                # (VERDICT r7 #1): BENCH_r{N}.json must be self-attributing.
+                "load1_before": round(load_before[0], 2),
+                "runnable_procs_before": n_procs,
+                "host_busy": detail["load_context"]["host_busy"],
             }
         )
     )

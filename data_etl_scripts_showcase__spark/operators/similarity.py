@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _c(col: Column | str) -> Column:
@@ -113,57 +114,93 @@ def assign_cells(
     Returns (id, vec, cell, cell_rank).  Deterministic tie-break: sim desc
     (rounded), centroid id asc.
 
-    Fully MAP-SIDE (round 7): the centroid table collapses to a single
-    array-of-structs row (tiny by construction — nlist entries), that one
-    row broadcasts, and each vector ranks its cells with higher-order
-    functions: transform → (−sim, id) structs, array_sort (field order =
-    the tie-break), slice(n_assign), posexplode.  The previous form
-    crossJoined every vector with every centroid and ranked with a
-    per-vector window — |corpus|×nlist rows each carrying the embedding
-    through a hash shuffle, an nlist× payload amplification of the whole
-    corpus.  This form touches each vector exactly once in its scan task:
-    assignment costs zero Exchange at any corpus size.
+    Fully MAP-SIDE and VECTORIZED (round 8): the centroid table is tiny by
+    construction (nlist rows), so it is collected once, packed into a numpy
+    ``(nlist, dim)`` float64 matrix, and shipped as a Spark broadcast
+    variable — exactly how MLlib's k-means distributes its centers.  Each
+    Arrow batch of corpus vectors then ranks its cells in ONE numpy matmul
+    (``V @ C.T``), normalized and rounded in bulk, with a stable argsort on
+    (−sim) whose tie order is the ascending centroid id.  The plan is a
+    single narrow ``MapInPandas``: zero Exchange at any corpus size, and —
+    unlike the round-7 higher-order-function form — zero interpreted
+    per-element lambda work.  (The r7 form was shuffle-free but paid the
+    same BoundReference-per-element CPU tax the CDC v2 chunker did: a
+    lambda referencing the enclosing row's array column re-evaluates that
+    column access per centroid, ~1.7× wall on the headline bench.  See
+    operators/chunking.py for the microbenchmark family.)
+
+    Determinism: products widen float32→float64 exactly; the matmul is a
+    fixed-order per-batch reduction and sims are rounded to ``round_to``
+    before ranking, so rank flips would need a true cosine within ~1e-12
+    of a rounding boundary — the DuckDB oracle gate verifies the ranks at
+    every SF/volume tier.
     """
-    carr = centroids.agg(
-        F.sort_array(F.collect_list(F.struct("centroid_id", "cent_vec"))).alias(
-            "_cents"
-        )
+    import numpy as np
+
+    cent_rows = sorted(
+        centroids.select("centroid_id", "cent_vec").collect(),
+        key=lambda r: r["centroid_id"],
     )
-    scored = (
-        vectors.select(F.col(id_col), F.col(vec_col))
-        .crossJoin(F.broadcast(carr))
-        .select(
-            id_col,
-            vec_col,
-            F.slice(
-                F.array_sort(
-                    F.transform(
-                        "_cents",
-                        lambda c: F.struct(
-                            (
-                                -F.round(
-                                    cosine(F.col(vec_col), c["cent_vec"]),
-                                    round_to,
-                                )
-                            ).alias("negsim"),
-                            c["centroid_id"].alias("centroid_id"),
-                        ),
-                    )
-                ),
-                1,
-                n_assign,
-            ).alias("_top"),
-        )
+    if not cent_rows:
+        raise ValueError("assign_cells: empty centroid table")
+    cids = [r["centroid_id"] for r in cent_rows]
+    cmat = np.array([list(r["cent_vec"]) for r in cent_rows], dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    k = min(int(n_assign), len(cids))
+    bc = vectors.sparkSession.sparkContext.broadcast((cids, cmat, cnorm))
+
+    in_fields = {f.name: f for f in vectors.schema.fields}
+    cell_type = {f.name: f for f in centroids.schema.fields}[
+        "centroid_id"
+    ].dataType
+    out_schema = T.StructType(
+        [
+            in_fields[id_col],
+            in_fields[vec_col],
+            T.StructField("cell", cell_type),
+            T.StructField("cell_rank", T.IntegerType()),
+        ]
     )
-    e = scored.select(
-        id_col, vec_col, F.posexplode("_top").alias("_pos", "_cs")
-    )
-    return e.select(
-        id_col,
-        vec_col,
-        F.col("_cs.centroid_id").alias("cell"),
-        (F.col("_pos") + 1).cast("int").alias("cell_rank"),
-    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        cids_, C, cn = bc.value
+        cid_arr = np.asarray(cids_)
+        dim = C.shape[1]
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            cells = pdf[vec_col].to_numpy()
+            V = np.stack(
+                [
+                    np.asarray(v, dtype=np.float64)
+                    if v is not None and len(v) == dim
+                    else np.zeros(dim)
+                    for v in cells
+                ]
+            )
+            dots = V @ C.T  # (n, nlist) — the whole batch at once
+            vn = np.sqrt((V * V).sum(axis=1))
+            denom = vn[:, None] * cn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(denom == 0.0, 0.0, dots / denom)
+            simr = np.round(sims, round_to)
+            # stable sort on −sim: equal rounded sims keep the original
+            # (ascending centroid id) order — the deterministic tie-break
+            order = np.argsort(-simr, axis=1, kind="stable")[:, :k]
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), k),
+                    vec_col: cells.repeat(k),
+                    "cell": cid_arr[order].ravel(),
+                    "cell_rank": np.tile(np.arange(1, k + 1, dtype=np.int32), n),
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(gen, schema=out_schema)
 
 
 def knn_ivf(

@@ -1466,6 +1466,11 @@ def d22_lsh_scurve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("grams").alias("n_b"),
     )
     inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    # gb is budget-bounded in DOC COUNT (~1000 sampled docs) but its gram
+    # arrays grow with document LENGTH, so the broadcast is O(sample_docs x
+    # doc_len) bytes (ADVICE r7).  Fine at the probed tiers (x32 docs =
+    # ~13 MB); if d22 ever joins the longdocs gate, cap the broadcast by
+    # hashing grams to fixed-width digests first (the d12 discipline).
     pairs = (
         ga.crossJoin(F.broadcast(gb))
         .where(F.col("id_a") < F.col("id_b"))

@@ -82,7 +82,27 @@ def get_session(app_name: str = "data_etl_scripts_showcase__spark") -> SparkSess
         builder = builder.config("spark.network.timeout", "600s").config(
             "spark.executor.heartbeatInterval", "60s"
         )
-    if not SparkSession.getActiveSession():
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        # getOrCreate() silently ignores builder configs (master, the
+        # local-cluster timeouts above) when a session already exists — a
+        # test that sets SPARK_GRAFT_MASTER after another test built a
+        # local[N] session would run single-JVM without warning (ADVICE
+        # r7).  Make the mismatch loud; the subprocess-based cluster tests
+        # are the supported way to get a differently-mastered session.
+        have = active.sparkContext.master
+        if have != master:
+            import warnings
+
+            warnings.warn(
+                f"get_session: active session master {have!r} != requested "
+                f"{master!r} (SPARK_GRAFT_MASTER) — builder configs are "
+                "ignored on an active session; run in a fresh process to "
+                "honor the requested master",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+    else:
         builder = builder.master(master)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -92,7 +92,10 @@ agg = lambda df: sorted(
     df.groupBy((F.col("l_orderkey") % 16).alias("b"))
     .agg(
         F.sum("l_quantity").alias("q"),
-        F.round(F.sum("l_extendedprice"), 2).alias("p"),
+        # cents as BIGINT: double summation order is not deterministic
+        # across separately-executed jobs, and a sum near a .005 boundary
+        # could flip a 2-dp rounding (ADVICE r7) -- exact integers can't
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("p"),
         F.count("*").alias("n"),
     )
     .collect()

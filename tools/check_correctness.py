@@ -34,6 +34,62 @@ PANDAS_MAX = int(os.environ.get("SPARK_GRAFT_GATE_PANDAS_MAX", "2000000"))
 GATE_TMP = os.environ.get(
     "SPARK_GRAFT_GATE_TMP", "/tmp/spark_graft_gate"
 )
+# Oracle materialization cache (VERDICT r7 #5): at the 100x tier the gate's
+# wall-clock tail is the ORACLE side (pr5's recursive CTE ~10 min — and the
+# duckdb compare path re-executes the oracle CTE for the count AND the
+# paired compare).  When this env names a directory, each oracle's result
+# is COPY'd to parquet ONCE, keyed by (sha256 of the oracle SQL, a
+# size+mtime fingerprint of the data dir), and every later use — including
+# warm re-runs of run_scale_sweeps.sh — reads the parquet.  The key makes
+# staleness impossible: touching either the oracle text or any input file
+# misses the cache.  The ENGINE side re-executes every run, always; unset
+# (the default, and what the round driver runs) nothing is cached.
+ORACLE_CACHE = os.environ.get("SPARK_GRAFT_ORACLE_CACHE", "")
+
+
+def data_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of every parquet file under ``sf_dir`` (path,
+    size, mtime).  scale_probe.py rewrites files when it rebuilds a tier,
+    so any data change rolls the fingerprint and misses the cache."""
+    import hashlib
+
+    h = hashlib.sha256(os.path.abspath(sf_dir).encode())
+    for root, dirs, files in os.walk(sf_dir):
+        dirs.sort()
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            p = os.path.join(root, f)
+            st = os.stat(p)
+            rel = os.path.relpath(p, sf_dir)
+            h.update(f"{rel}:{st.st_size}:{int(st.st_mtime)}".encode())
+    return h.hexdigest()[:16]
+
+
+def cached_oracle_sql(
+    con: duckdb.DuckDBPyConnection, oracle_sql: str, fp_dir: str | None
+) -> str:
+    """Return the SQL to use as the oracle relation: the raw SQL when the
+    cache is off, else ``SELECT * FROM '<cached parquet>'`` after
+    materializing it once.  Falls back to the raw SQL on any COPY failure
+    (e.g. a parquet-unsupported output type) — cold semantics unchanged."""
+    if not fp_dir:
+        return oracle_sql
+    import hashlib
+
+    key = hashlib.sha256(oracle_sql.encode()).hexdigest()[:24]
+    path = os.path.join(fp_dir, f"{key}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(fp_dir, exist_ok=True)
+        tmp = f"{path}.tmp{os.getpid()}"
+        try:
+            con.execute(f"COPY ({oracle_sql}) TO '{tmp}' (FORMAT PARQUET)")
+            os.replace(tmp, path)
+        except Exception:  # noqa: BLE001 - cache miss, run uncached
+            if os.path.exists(tmp):
+                os.remove(tmp)
+            return oracle_sql
+    return f"SELECT * FROM '{path}'"
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -321,6 +377,13 @@ def main() -> int:
     registry = load_all()
     spark = get_session("check_correctness")
     con = duck_connection(sf_dir)
+    fp_dir = (
+        os.path.join(ORACLE_CACHE, data_fingerprint(sf_dir))
+        if ORACLE_CACHE
+        else None
+    )
+    if fp_dir:
+        print(f"[oracle-cache] {fp_dir}")
 
     n_pass = n_fail = n_rows_only = 0
     for name, q in sorted(registry.items()):
@@ -364,7 +427,9 @@ def main() -> int:
             continue
         t1 = time.time()
         nrows = None
+        oracle_sql = q.oracle
         try:
+            oracle_sql = cached_oracle_sql(con, q.oracle, fp_dir)
             if glob_path is not None:
                 try:
                     nrows = con.execute(
@@ -379,7 +444,7 @@ def main() -> int:
                     con.execute(f"SELECT * FROM '{glob_path}'").df()
                 )
             if sdf is not None:
-                odf = _strip_tz(con.execute(q.oracle).df())
+                odf = _strip_tz(con.execute(oracle_sql).df())
                 nrows = len(sdf)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: oracle raised {type(e).__name__}: {e}")
@@ -391,7 +456,7 @@ def main() -> int:
             if sdf is not None:
                 errs = compare(name, sdf, odf)
             else:
-                errs = compare_in_duckdb(con, glob_path, q.oracle)
+                errs = compare_in_duckdb(con, glob_path, oracle_sql)
         except NonScalarOutputError as e:
             errs = [f"driver-unhashable output: {e}"]
         except Exception as e:  # noqa: BLE001

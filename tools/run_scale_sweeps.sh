@@ -7,6 +7,9 @@
 #   bash tools/run_scale_sweeps.sh longdocs # doc-LENGTH axis (x32 + x128)
 #   bash tools/run_scale_sweeps.sh skew     # hot-key SKEW axis (30% hot)
 #   bash tools/run_scale_sweeps.sh cluster  # multi-JVM axis (local-cluster)
+#   bash tools/run_scale_sweeps.sh cluster10x # multi-JVM x 10x VOLUME axis
+#   bash tools/run_scale_sweeps.sh skew-pairs # hot LSH bucket / graph node axis
+#   bash tools/run_scale_sweeps.sh pressure  # memory-starvation axis (spill proof)
 #
 # Dirs are ensured by tools/scale_probe.py --build-only, invoked
 # UNCONDITIONALLY (ADVICE r6: a bare dir-exists guard skipped the LAYOUT
@@ -28,11 +31,16 @@ cd "$(dirname "$0")/.."
 TIER="${1:-both}"
 TEN=/tmp/spark_graft_scale/sf1_synth
 HUNDRED=/tmp/spark_graft_scale/sf10_synth
+# Oracle materialization cache (VERDICT r7 #5): the volume tiers' wall
+# tail is the DuckDB oracle side (pr5's recursive CTE ~10 min at 100x);
+# cache keyed by (oracle SQL hash, data fingerprint) makes warm re-runs
+# skip it while the ENGINE side re-executes every time.
+OCACHE=/tmp/spark_graft_oracle_cache
 
 if [ "$TIER" = "10x" ] || [ "$TIER" = "both" ]; then
   python tools/scale_probe.py --build-only >/dev/null
   echo "[scale-sweeps] 10x tier: $TEN"
-  SPARK_GRAFT_GATE_VIA_PARQUET=1 \
+  SPARK_GRAFT_GATE_VIA_PARQUET=1 SPARK_GRAFT_ORACLE_CACHE="$OCACHE" \
     python tools/check_correctness.py "$TEN"
 fi
 
@@ -41,6 +49,7 @@ if [ "$TIER" = "100x" ] || [ "$TIER" = "both" ]; then
     python tools/scale_probe.py --build-only >/dev/null
   echo "[scale-sweeps] 100x tier: $HUNDRED"
   SPARK_GRAFT_GATE_VIA_PARQUET=1 SPARK_GRAFT_DRIVER_MEM=16g \
+    SPARK_GRAFT_ORACLE_CACHE="$OCACHE" \
     python tools/check_correctness.py "$HUNDRED"
 fi
 
@@ -71,6 +80,26 @@ if [ "$TIER" = "skew" ]; then
       x6_salted_join x48_chunk_dedup_ratio x16_source_mixture_resample
 fi
 
+# Pairwise-SKEW axis (VERDICT r7 #4): the hot-key tier keeps blocked
+# columns uniform by design, so d14's bucket cap and the graph family's
+# dense-component behavior were unprobed under the Zipfian shape they
+# exist for.  This tier builds a pct%-of-corpus near-dup cluster (one hot
+# LSH bucket family, one dense graph component, one hot embedding label
+# block), times the pairwise families uniform-vs-skew with result-row
+# counts (output grows combinatorially BY CONSTRUCTION — the bar is
+# runtime tracking that output, d14 near-flat under its cap), then
+# value-checks the same queries against their DuckDB oracles on the
+# skewed dir.
+if [ "$TIER" = "skew-pairs" ]; then
+  python tools/scale_probe.py --skew-pairs
+  SPARK_GRAFT_GATE_VIA_PARQUET=1 SPARK_GRAFT_ORACLE_CACHE="$OCACHE" \
+    python tools/check_correctness.py /tmp/spark_graft_scale/skewpairs_p10 \
+      d3_lsh_candidate_pairs d4_jaccard_verified_pairs d14_lsh_capped_pairs \
+      d9_neardup_components d12_semantic_dedup pr1_pagerank_neardup \
+      pr2_triangle_count pr4_cc_alternating pr5_bfs_hops \
+      pr7_partition_modularity
+fi
+
 # Multi-JVM axis (round 7): every other tier runs local[32] — ONE JVM,
 # where broadcast is a pointer share, shuffles never serialize across a
 # socket, and pickled-by-reference UDFs trivially import.  This tier
@@ -82,8 +111,23 @@ fi
 # (UDFs defined in modules pickle by REFERENCE); on a real cluster the
 # same contract is met by --py-files or a shipped wheel.
 if [ "$TIER" = "cluster" ]; then
-  SPARK_GRAFT_MASTER='local-cluster[4,8,6144]' PYTHONPATH="$PWD" \
+  SPARK_GRAFT_MASTER='local-cluster[4,8,6144]' \
+    PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}" \
     python tools/check_correctness.py /root/testdata/sf0.01
+fi
+
+# Multi-JVM x VOLUME axis (VERDICT r7 #3): the cluster tier above tops out
+# at sf0.01 while the volume tiers run single-JVM — so before round 8 no
+# BIG shuffle had ever crossed a real socket.  This tier reruns the FULL
+# oracle gate at 10x volume (6 M facts) on 4 real executor JVMs: netty
+# shuffle, real broadcast/closure serialization, separate Python workers.
+if [ "$TIER" = "cluster10x" ]; then
+  python tools/scale_probe.py --build-only >/dev/null
+  echo "[scale-sweeps] cluster10x tier: $TEN on local-cluster[4,8,6144]"
+  SPARK_GRAFT_MASTER='local-cluster[4,8,6144]' \
+    PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}" \
+    SPARK_GRAFT_GATE_VIA_PARQUET=1 SPARK_GRAFT_ORACLE_CACHE="$OCACHE" \
+    python tools/check_correctness.py "$TEN"
 fi
 
 # Memory-PRESSURE axis (round 7): every other tier gives Spark all the
@@ -104,7 +148,7 @@ if [ "$TIER" = "pressure" ]; then
   rm -rf "$EVLOG" && mkdir -p "$EVLOG"
   PYSPARK_SUBMIT_ARGS="--conf spark.eventLog.enabled=true --conf spark.eventLog.dir=$EVLOG --conf spark.eventLog.compress=false pyspark-shell" \
   SPARK_GRAFT_MASTER='local-cluster[2,4,2048]' SPARK_GRAFT_CPUS=8 \
-  PYTHONPATH="$PWD" SPARK_GRAFT_GATE_VIA_PARQUET=1 \
+  PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}" SPARK_GRAFT_GATE_VIA_PARQUET=1 \
     python tools/check_correctness.py "$HUNDRED" \
       q1_pricing_summary w1_topk_per_group a7_argmax_latest_per_key \
       x44_distributed_deciles j4_inner_fact_dim j5_full_outer \

@@ -50,6 +50,7 @@ Usage:
     python tools/scale_probe.py --build-only     # ensure dir + layout, no probe
     python tools/scale_probe.py --longdocs       # doc-LENGTH tier (see below)
     python tools/scale_probe.py --skew           # hot-key SKEW tier (see SKEW_PCT)
+    python tools/scale_probe.py --skew-pairs     # hot LSH bucket / graph node tier
     python tools/scale_probe.py q1_pricing_summary d3_lsh_candidate_pairs
 
 Doc-length tier (``--longdocs``, VERDICT r6 #2): every row-count tier
@@ -214,6 +215,171 @@ SKEW_QUERIES = [
     "st3_session_windows",  # per-user session windows
     "x48_chunk_dedup_ratio",  # per-source distinct-count with a hot source
 ]
+
+# ---------------------------------------------------------------------------
+# Pairwise-skew tier (VERDICT r7 #4): the hot-KEY tier above deliberately
+# keeps the pairwise-blocked columns uniform (skewing a block key
+# manufactures O((pct·n)²) pairs by construction), which means the very
+# defenses built for Zipfian corpora — d14's LSH bucket cap, the graph
+# family's behavior on a dense near-dup component — were never probed
+# under the shape they exist for.  This tier builds that shape ON PURPOSE
+# and holds the engine to a different bar:
+#   documents  — pct% of docs (doc_id >= 32, anchors protected) become
+#                near-duplicates of ONE template (shared text + a unique
+#                per-doc tail token), so one LSH bucket family owns pct%
+#                of the corpus and the verified near-dup graph gains one
+#                dense component of pct%·n nodes;
+#   embeddings — pct% of vectors (vec_id >= 8, IVF anchors protected)
+#                collapse onto one direction (cos(i) + per-vec jitter)
+#                under ONE fresh label (777), so the label-blocked
+#                semantic pair stage faces a pct%-of-corpus block.
+# The bar is NOT ratio ≈ 1: candidate pairs / triangles / component sizes
+# grow combinatorially in the hot share BY CONSTRUCTION (C(500,2) pairs,
+# C(500,3) triangles at pct=10 of 5000 docs).  The bar is (a) runtime
+# bounded by that combinatorial output — d14's cap bounds ITS output, so
+# d14 specifically must stay near-flat; (b) value-exact vs the DuckDB
+# oracle on the skewed dir (run_scale_sweeps.sh skew-pairs runs the gate).
+SKEWPAIR_PCT = int(os.environ.get("SPARK_GRAFT_SKEWPAIR_PCT", "10"))
+SKEWPAIR_DIR = os.environ.get(
+    "SPARK_GRAFT_SKEWPAIR_DIR",
+    f"/tmp/spark_graft_scale/skewpairs_p{SKEWPAIR_PCT}",
+)
+SKEWPAIR_LAYOUT = "v1-hot-cluster"
+
+SKEWPAIR_QUERIES = [
+    "d3_lsh_candidate_pairs",  # uncapped LSH: cost tracks the hot bucket
+    "d4_jaccard_verified_pairs",  # verify stage over the hot candidates
+    "d14_lsh_capped_pairs",  # THE bucket cap — must bound the hot bucket
+    "d9_neardup_components",  # min-label CC over the dense component
+    "d12_semantic_dedup",  # label-blocked pair stage, hot label block
+    "pr1_pagerank_neardup",  # pagerank with one dense component
+    "pr2_triangle_count",  # triangle census: C(hot,3) by construction
+    "pr4_cc_alternating",  # alternating CC on the dense component
+    "pr5_bfs_hops",  # multi-source BFS through the hot node
+    "pr7_partition_modularity",  # modularity with one giant cluster
+]
+
+# ~300 ASCII chars of template text; every hot doc = template + " h<doc_id>"
+# (high shingle overlap -> same minhash bands -> one hot bucket; pairwise
+# Jaccard >> 0.5 -> the verified near-dup graph gains a pct%-clique).
+_SKEWPAIR_TEMPLATE = (
+    "the quick brown fox jumps over the lazy dog while the rain in spain "
+    "falls mainly on the plain and every good boy deserves fudge because "
+    "pack my box with five dozen liquor jugs so how vexingly quick daft "
+    "zebras jump when the five boxing wizards jump quickly over them all"
+)
+
+
+def build_skew_pairs(spark: SparkSession, src: str, out: str, pct: int) -> None:
+    """Copy ``src`` with a pct% near-duplicate cluster in documents and a
+    pct% one-label embedding cluster (see the SKEWPAIR_PCT comment)."""
+    os.makedirs(out, exist_ok=True)
+    for tbl in list(KEYMAP) + DIM_TABLES:
+        df = spark.read.parquet(f"{src}/{tbl}.parquet")
+        if tbl == "documents":
+            hot = (F.pmod("doc_id", F.lit(100)) < pct) & (F.col("doc_id") >= 32)
+            text = F.when(
+                hot,
+                F.concat(
+                    F.lit(_SKEWPAIR_TEMPLATE), F.lit(" h"), F.col("doc_id")
+                ),
+            ).otherwise(F.col("text"))
+            df = df.withColumn("text", text).withColumn(
+                "n_chars",
+                F.length("text").cast(dict(df.dtypes)["n_chars"]),
+            )
+        elif tbl == "embeddings":
+            hot = (F.pmod("vec_id", F.lit(100)) < pct) & (F.col("vec_id") >= 8)
+            hot_vec = F.expr(
+                "transform(sequence(1, 64), i -> "
+                "cast(cos(cast(i as double)) "
+                "+ cast(pmod(vec_id, 997) as double) * 1e-5 as float))"
+            )
+            df = df.withColumn(
+                "embedding", F.when(hot, hot_vec).otherwise(F.col("embedding"))
+            ).withColumn(
+                "label",
+                F.when(hot, F.lit(777))
+                .otherwise(F.col("label"))
+                .cast(dict(df.dtypes)["label"]),
+            )
+        # coalesce(1): match the single-file source layout so the probe's
+        # uniform-vs-skew ratio is distribution-only, not file-layout
+        df.coalesce(1).write.mode("overwrite").parquet(f"{out}/{tbl}.parquet")
+    with open(f"{out}/.skewpairs_built", "w") as f:
+        f.write(f"src={src}\npct={pct}\nlayout={SKEWPAIR_LAYOUT}\n")
+
+
+def main_skew_pairs() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    rebuild = "--rebuild" in sys.argv
+    names = args or SKEWPAIR_QUERIES
+
+    spark = get_session("scale_probe_skewpairs")
+    registry = load_all()
+    missing = [n for n in names if n not in registry]
+    if missing:
+        print(f"unknown queries: {missing}", file=sys.stderr)
+        sys.exit(2)
+
+    marker = f"{SKEWPAIR_DIR}/.skewpairs_built"
+    want = f"src={SRC_DIR}\npct={SKEWPAIR_PCT}\nlayout={SKEWPAIR_LAYOUT}\n"
+    if not rebuild and os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() != want:
+                rebuild = True
+    if rebuild or not os.path.exists(marker):
+        print(
+            f"[scale_probe] building {SKEWPAIR_PCT}%-hot-cluster pairwise-"
+            f"skew tier of {SRC_DIR} at {SKEWPAIR_DIR} ...",
+            file=sys.stderr,
+        )
+        t0 = time.time()
+        build_skew_pairs(spark, SRC_DIR, SKEWPAIR_DIR, SKEWPAIR_PCT)
+        print(
+            f"[scale_probe] built in {time.time() - t0:.1f}s", file=sys.stderr
+        )
+    if "--build-only" in sys.argv:
+        print(f"[scale_probe] dir ready: {SKEWPAIR_DIR}", file=sys.stderr)
+        return
+
+    def run_count(name: str, sf_dir: str) -> tuple[float, int]:
+        t0 = time.time()
+        n = registry[name].fn(spark, sf_dir).count()
+        return time.time() - t0, n
+
+    results = {}
+    for name in names:
+        run_count(name, SRC_DIR)
+        base, n_base = run_count(name, SRC_DIR)
+        run_count(name, SKEWPAIR_DIR)
+        skew, n_skew = run_count(name, SKEWPAIR_DIR)
+        ratio = skew / base if base > 0 else float("inf")
+        results[name] = {
+            "uniform_s": round(base, 3),
+            "skew_s": round(skew, 3),
+            "ratio_vs_uniform": round(ratio, 2),
+            "rows_uniform": n_base,
+            "rows_skew": n_skew,
+        }
+        print(
+            f"[scale_probe] {name:34s} {base:7.2f}s ({n_base} rows) -> "
+            f"{skew:7.2f}s ({n_skew} rows)  x{ratio:6.2f} vs uniform",
+            file=sys.stderr,
+        )
+
+    print(
+        json.dumps(
+            {
+                "metric": "skewpair_probe",
+                "hot_pct": SKEWPAIR_PCT,
+                "uniform_dir": SRC_DIR,
+                "skew_dir": SKEWPAIR_DIR,
+                "queries": results,
+            }
+        )
+    )
+
 
 # Rotating translate alphabets: high-frequency letters, both cases, so
 # each replica's text differs from every other replica's in most
@@ -596,6 +762,8 @@ def main() -> None:
 if __name__ == "__main__":
     if "--longdocs" in sys.argv:
         main_longdocs()
+    elif "--skew-pairs" in sys.argv:
+        main_skew_pairs()
     elif "--skew" in sys.argv:
         main_skew()
     else:

@@ -1,8 +1,8 @@
 """Summarize spill behavior from a Spark event-log directory.
 
 The memory-PRESSURE tier (tools/run_scale_sweeps.sh pressure) runs heavy
-sort/join/agg queries at 10x volume on deliberately small executors
-(local-cluster, 1.5g heap each).  The design contract at that point is
+sort/join/agg queries at 100x volume (60 M facts) on deliberately small
+executors (local-cluster[2,4,2048] — two 2g-heap executor JVMs).  The design contract at that point is
 "slower, not wrong": operators must degrade by spilling sorts/aggregates
 to disk, never by OOM or by changing results.  Correctness is the gate's
 job; THIS script proves the pressure was real — it walks the event log's
