@@ -46,8 +46,14 @@ def stream_source_path(sf_dir: str, table: str) -> tuple[str, str]:
     return sf_dir, f"{table}.parquet"
 
 
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """readStream over the events parquet (schema declared, never inferred).
+
+    ``max_files_per_trigger`` splits an availableNow drain into real
+    micro-batches (one per N source files) — how tools/stream_state_report.py
+    measures per-batch state curves; queries leave it None (one batch).
 
     The parquet footer is authoritative (same rule as the batch loader,
     sources/tables.py): resolve the file's actual schema with a batch footer
@@ -77,12 +83,14 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     path, glob = stream_source_path(sf_dir, "events")
-    raw = (
+    reader = (
         spark.readStream.schema(stream_schema)
         .format("parquet")
         .option("pathGlobFilter", glob)
-        .load(path)
     )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    raw = reader.load(path)
     if ts_is_long:
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return raw
@@ -239,7 +247,7 @@ def incremental_rollup(
     out_path: str,
     window: str = "1 hour",
     watermark: str = "10 minutes",
-) -> None:
+):
     """Hypertable-style continuous aggregate: maintain a date-partitioned
     hourly rollup table incrementally from the event stream.
 
@@ -271,6 +279,7 @@ def incremental_rollup(
         .start()
     )
     q.awaitTermination()
+    return q
 
 
 def read_rollup(spark: SparkSession, path: str) -> DataFrame:
