@@ -205,6 +205,55 @@ class TestIVF:
         assert cells.count() == e.count()
         assert cells.select("vec_id").distinct().count() == e.count()
 
+    def test_assign_cells_matches_scalar_reference(self, spark):
+        """The vectorized (numpy-matmul mapInPandas) assignment must rank
+        cells exactly like the scalar definition: cosine in doubles,
+        rounded to 6 dp, ties broken by ascending centroid id.  Pure-python
+        reference over the real sf0.001 corpus, n_assign=2 so tie-break
+        order inside the top-k is exercised too."""
+        import math
+
+        from data_etl_scripts_showcase__spark.operators.similarity import (
+            assign_cells,
+        )
+        from data_etl_scripts_showcase__spark.sources import load_table
+        from pyspark.sql import functions as F
+
+        e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        cents = e.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("cent_vec"),
+        )
+        cent_rows = sorted(
+            (r.centroid_id, [float(x) for x in r.cent_vec])
+            for r in cents.collect()
+        )
+
+        def cos(a, b):
+            dot = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return 0.0 if na == 0.0 or nb == 0.0 else dot / (na * nb)
+
+        expected = {}
+        for r in e.collect():
+            v = [float(x) for x in r.embedding]
+            ranked = sorted(
+                ((-round(cos(v, cv), 6), cid) for cid, cv in cent_rows)
+            )
+            expected[r.vec_id] = [cid for _, cid in ranked[:2]]
+
+        got = {}
+        for row in assign_cells(e, cents, 2).collect():
+            got.setdefault(row.vec_id, {})[row.cell_rank] = row.cell
+        assert set(got) == set(expected)
+        mismatches = [
+            (vid, [g[1], g[2]], expected[vid])
+            for vid, g in got.items()
+            if [g[1], g[2]] != expected[vid]
+        ]
+        assert not mismatches, mismatches[:5]
+
     def test_ivf_neighbors_subset_of_bruteforce_pool(self, spark):
         """IVF returns real corpus neighbors with valid sims (recall vs the
         exact baseline is the standard ANN trade — structure is what we pin)."""

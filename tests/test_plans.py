@@ -596,6 +596,20 @@ class TestRound3NewOpPlans:
         for m in re.finditer(r"BroadcastNestedLoopJoin (\w+)", plan):
             assert m.group(1) == "Cross"
 
+    def test_v12_assignment_is_vectorized_and_shuffles_cells_only(self, spark):
+        """The round-8 IVF assignment rewrite: cell assignment runs as a
+        vectorized Arrow pass (MapInPandas over a broadcast centroid
+        matrix) with ZERO Exchange of its own — the only shuffle in v12
+        keys on the tiny (cell, flags) projection for the occupancy agg,
+        and nothing degenerates to a cartesian/nested-loop."""
+        plan = plan_of(spark, "v12_ivf_incremental")
+        assert "MapInPandas" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # no shuffle may carry the embedding payload (the r6 amplification
+        # shape): the payload audit checks engine-wide, pin it locally too
+        assert "hashpartitioning(embedding" not in plan
+
     def test_x50_l_diversity_broadcasts_dim(self, spark):
         """Orders is the big side; the customer quasi-identifier dim is
         broadcast, and the readout is a two-phase aggregate."""
