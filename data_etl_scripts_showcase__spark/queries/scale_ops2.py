@@ -1032,20 +1032,19 @@ _MIX_BUDGET = 10000
     oracle=f"""
     WITH s AS (
         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-               round(sqrt(CAST(count(*) AS DOUBLE)), 6) AS w
+               CAST(round(sqrt(CAST(count(*) AS DOUBLE)) * 1e6, 0) AS BIGINT) AS wu
         FROM documents GROUP BY source
     ),
-    t AS (SELECT sum(w) AS wsum, CAST(sum(n_docs) AS BIGINT) AS n_total FROM s),
+    t AS (SELECT CAST(sum(wu) AS BIGINT) AS wsum_u FROM s),
     q AS (
-        SELECT s.source, s.n_docs, s.w,
-               CAST(floor(s.w * {_MIX_BUDGET} / t.wsum) AS BIGINT) AS base_quota,
-               s.w * {_MIX_BUDGET} / t.wsum
-                 - floor(s.w * {_MIX_BUDGET} / t.wsum) AS remainder
+        SELECT s.source, s.n_docs,
+               (s.wu * {_MIX_BUDGET}) // t.wsum_u AS base_quota,
+               (s.wu * {_MIX_BUDGET}) % t.wsum_u AS remainder_u
         FROM s, t
     ),
     leftover AS (SELECT CAST({_MIX_BUDGET} - sum(base_quota) AS BIGINT) AS extra FROM q),
     r AS (
-        SELECT q.*, row_number() OVER (ORDER BY remainder DESC, source ASC) AS rr
+        SELECT q.*, row_number() OVER (ORDER BY remainder_u DESC, source ASC) AS rr
         FROM q
     )
     SELECT source, n_docs,
@@ -1065,25 +1064,36 @@ def x43_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     allocation sums to the budget EXACTLY and deterministically — no
     float drift deciding who gets the last example.  All the algebra
     runs on the |sources|-row aggregate; x16's resampler consumes these
-    quotas."""
+    quotas.
+
+    Exact-integer allocation (round 8): the weights are scaled to BIGINT
+    micro-units (round(sqrt(n)·1e6) — sqrt is IEEE-correctly-rounded, so
+    both engines compute the identical integer) and the floor/remainder
+    arithmetic runs as integer DIV/MOD against the exact integer weight
+    sum.  The previous double form floored w·B / sum(w) — and when every
+    source has equal mass (the uniform 10x tier) that ratio is EXACTLY
+    integral, so the last ulp of the double sum(w), which depends on
+    partial-aggregation ORDER, decided 51.0 vs 50.999…: the engine and
+    the oracle disagreed by one on every row under local-cluster at 10x
+    (caught by the round-8 cluster10x gate on its first run).  Integer
+    units make the allocation bit-identical under any partitioning,
+    topology, or engine — which is what the micro-unit discipline
+    (v9/x4/w29) is for."""
     d = load_table(spark, sf_dir, "documents")
     s = d.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
     s = s.select(
         "source",
         "n_docs",
-        F.round(F.sqrt(F.col("n_docs").cast("double")), 6).alias("w"),
+        F.round(F.sqrt(F.col("n_docs").cast("double")) * 1e6, 0)
+        .cast("bigint")
+        .alias("wu"),
     )
-    t = s.agg(F.sum("w").alias("wsum"))
+    t = s.agg(F.sum("wu").cast("bigint").alias("wsum_u"))
     q = s.crossJoin(F.broadcast(t)).select(
         "source",
         "n_docs",
-        F.floor(F.col("w") * _MIX_BUDGET / F.col("wsum"))
-        .cast("bigint")
-        .alias("base_quota"),
-        (
-            F.col("w") * _MIX_BUDGET / F.col("wsum")
-            - F.floor(F.col("w") * _MIX_BUDGET / F.col("wsum"))
-        ).alias("remainder"),
+        F.expr(f"(wu * {_MIX_BUDGET}) DIV wsum_u").alias("base_quota"),
+        F.expr(f"(wu * {_MIX_BUDGET}) % wsum_u").alias("remainder_u"),
     )
     leftover = q.agg(
         (F.lit(_MIX_BUDGET) - F.sum("base_quota")).cast("bigint").alias("extra")
@@ -1091,7 +1101,7 @@ def x43_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = q.withColumn(
         "rr",
         F.row_number().over(
-            Window.orderBy(F.col("remainder").desc(), F.col("source").asc())
+            Window.orderBy(F.col("remainder_u").desc(), F.col("source").asc())
         ),
     )
     return r.crossJoin(F.broadcast(leftover)).select(
