@@ -137,18 +137,6 @@ def assign_cells(
     """
     import numpy as np
 
-    cent_rows = sorted(
-        centroids.select("centroid_id", "cent_vec").collect(),
-        key=lambda r: r["centroid_id"],
-    )
-    if not cent_rows:
-        raise ValueError("assign_cells: empty centroid table")
-    cids = [r["centroid_id"] for r in cent_rows]
-    cmat = np.array([list(r["cent_vec"]) for r in cent_rows], dtype=np.float64)
-    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
-    k = min(int(n_assign), len(cids))
-    bc = vectors.sparkSession.sparkContext.broadcast((cids, cmat, cnorm))
-
     in_fields = {f.name: f for f in vectors.schema.fields}
     cell_type = {f.name: f for f in centroids.schema.fields}[
         "centroid_id"
@@ -161,6 +149,21 @@ def assign_cells(
             T.StructField("cell_rank", T.IntegerType()),
         ]
     )
+
+    cent_rows = sorted(
+        centroids.select("centroid_id", "cent_vec").collect(),
+        key=lambda r: r["centroid_id"],
+    )
+    if not cent_rows:
+        # no centroids -> no assignments (the pre-r8 higher-order form's
+        # behavior: an empty struct array sliced/exploded to zero rows) —
+        # empty-table inputs must degrade to empty outputs, never raise
+        return vectors.sparkSession.createDataFrame([], out_schema)
+    cids = [r["centroid_id"] for r in cent_rows]
+    cmat = np.array([list(r["cent_vec"]) for r in cent_rows], dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    k = min(int(n_assign), len(cids))
+    bc = vectors.sparkSession.sparkContext.broadcast((cids, cmat, cnorm))
 
     def gen(batches):
         import numpy as np
