@@ -30,6 +30,14 @@ Usage:
 
 Exit code 1 iff any REGRESSION survives (NOISY and IMPROVED don't fail),
 so the gate can be scripted.
+
+A flag that survives --confirm still has one escape: HOST-epoch drift
+(thermal/cache state changing between the old and new recordings).  The
+adjudication for a survivor is mechanical: `git worktree add` the OLD
+tree and re-measure the flagged query there today — if the old tree now
+reproduces the new time, the delta is the host, not the commit (round 8:
+x15 survived --confirm at 1.29->2.10 s, and the r7 tree measured 1.88 s
+the same hour — drift, case closed).
 """
 
 from __future__ import annotations
