@@ -213,3 +213,69 @@ class TestStreamSourcesSeeDirectoryTables:
     def test_documents_stream_sees_rows(self, spark, dir_layout_dir, name, check):
         out = load_all()[name].fn(spark, dir_layout_dir)
         assert check(out)
+
+
+@pytest.fixture(scope="module")
+def uniform_sources_dir(tmp_path_factory) -> str:
+    """Documents with 16 sources x 40 docs each: every source's true
+    quota share is EXACTLY 10000/16 = 625 — the integral boundary where
+    the pre-r8 double-floor allocation let the last ulp of sum(w)
+    (partial-aggregation order, i.e. topology) decide floor(625.0) vs
+    floor(624.999...).  Caught live by the cluster10x gate (SCALE.md
+    round 8)."""
+    dst = tmp_path_factory.mktemp("sf_uniform_sources")
+    for t in TABLES:
+        shutil.copy(f"{SRC}/{t}.parquet", str(dst / f"{t}.parquet"))
+    n_src, per = 16, 40
+    doc_ids = list(range(n_src * per))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "text": pa.array(["uniform text"] * len(doc_ids), pa.string()),
+            "lang": pa.array(["en"] * len(doc_ids), pa.string()),
+            "source": pa.array(
+                [f"src{d % n_src:02d}" for d in doc_ids], pa.string()
+            ),
+            "n_chars": pa.array([12] * len(doc_ids), pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(dst / "documents.parquet"))
+    return str(dst)
+
+
+class TestExactIntegerAllocation:
+    """x43's largest-remainder allocation must be bit-identical under any
+    partitioning: integer micro-unit weights, integer DIV/MOD — never a
+    float floor at an exactly-integral boundary."""
+
+    def test_uniform_sources_get_exactly_equal_quotas(
+        self, spark, uniform_sources_dir
+    ):
+        rows = (
+            load_all()["x43_temperature_mixture"]
+            .fn(spark, uniform_sources_dir)
+            .collect()
+        )
+        quotas = {r.source: r.quota for r in rows}
+        assert len(quotas) == 16
+        assert set(quotas.values()) == {625}, quotas
+        assert sum(quotas.values()) == 10000
+
+    def test_allocation_stable_across_shuffle_partitioning(
+        self, spark, uniform_sources_dir
+    ):
+        fn = load_all()["x43_temperature_mixture"].fn
+        before = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            results = []
+            for parts in ("1", "7", "32"):
+                spark.conf.set("spark.sql.shuffle.partitions", parts)
+                results.append(
+                    sorted(
+                        (r.source, r.quota)
+                        for r in fn(spark, uniform_sources_dir).collect()
+                    )
+                )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", before)
+        assert results[0] == results[1] == results[2]
