@@ -1433,49 +1433,67 @@ def t26_chat_turns_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     contracts chat templates assume — no consecutive same-role turns,
     opens with 'user', closes with 'assistant'.  Per-dialogue violation
     counts, not a filter: the curation layer decides repair vs drop.
-    One window pass keyed by dialogue; the audit columns are exact
-    integers/booleans."""
+
+    Window-with-carry (round 8, VERDICT r7 #7): the audit used one
+    window partitioned by user — a hot dialogue (one user owning 30% of
+    the stream, the skew tier's shape) serialized in a single task.  All
+    four audit columns decompose over TIME BUCKETS: per-(user, day)
+    stats run in the bucketed window (hot user parallelizes across its
+    days), and adjacency across bucket boundaries is reconstructed on
+    the tiny per-(user, day) relation — each bucket's first/last role,
+    lag over buckets (the carry), repeats = within-bucket repeats +
+    boundary matches.  The per-user sequential floor drops from the hot
+    user's EVENT count to its per-day event count; the stitch window
+    handles |days| rows per user, not |events|."""
     ev = load_table(spark, sf_dir, "events")
     t = ev.select(
         "user_id",
         "ts",
         "event_id",
+        F.to_date("ts").alias("_bkt"),
         F.when(
             F.col("event_type").isin("purchase", "signup"), "assistant"
         )
         .otherwise("user")
         .alias("role"),
     )
-    wseq = W.partitionBy("user_id").orderBy("ts", "event_id")
-    o = t.select(
-        "user_id",
-        "role",
-        F.row_number().over(wseq).alias("turn"),
-        F.lag("role").over(wseq).alias("prev_role"),
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    wb = W.partitionBy("user_id", "_bkt").orderBy("ts", "event_id")
+    x = t.withColumn("_prev_in", F.lag("role").over(wb))
+    per_bkt = x.groupBy("user_id", "_bkt").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(
+                F.col("_prev_in").isNotNull()
+                & (F.col("_prev_in") == F.col("role")),
+                1,
+            ).otherwise(0)
+        ).alias("rep_in"),
+        F.min_by("role", ordk).alias("first_role"),
+        F.max_by("role", ordk).alias("last_role"),
     )
-    mx = o.groupBy("user_id").agg(F.max("turn").alias("mx"))
-    return (
-        o.join(mx, "user_id")
-        .groupBy("user_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_turns"),
-            F.sum(
+    wu = W.partitionBy("user_id").orderBy("_bkt")
+    st = per_bkt.withColumn("_carry", F.lag("last_role").over(wu))
+    return st.groupBy("user_id").agg(
+        F.sum("n").cast("bigint").alias("n_turns"),
+        (
+            F.sum("rep_in")
+            + F.sum(
                 F.when(
-                    F.col("prev_role").isNotNull()
-                    & (F.col("prev_role") == F.col("role")),
+                    F.col("_carry").isNotNull()
+                    & (F.col("_carry") == F.col("first_role")),
                     1,
                 ).otherwise(0)
             )
-            .cast("bigint")
-            .alias("n_role_repeats"),
-            (
-                F.min(F.when(F.col("turn") == 1, F.col("role"))) == "user"
-            ).alias("starts_with_user"),
-            (
-                F.max(F.when(F.col("turn") == F.col("mx"), F.col("role")))
-                == "assistant"
-            ).alias("ends_with_assistant"),
         )
+        .cast("bigint")
+        .alias("n_role_repeats"),
+        (F.min_by("first_role", F.col("_bkt")) == "user").alias(
+            "starts_with_user"
+        ),
+        (F.max_by("last_role", F.col("_bkt")) == "assistant").alias(
+            "ends_with_assistant"
+        ),
     )
 
 
