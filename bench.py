@@ -174,15 +174,22 @@ def main() -> None:
     # a reviewer can attribute a >1.3x per-query delta to a commit or to
     # recorded load.  n_procs counts runnable processes other than us (a
     # concurrent driver/pytest JVM shows up here even before loadavg ramps).
-    try:
-        n_procs = sum(
-            1
-            for p in os.listdir("/proc")
-            if p.isdigit()
-            and open(f"/proc/{p}/stat").read().split(") ")[-1][0] in "RD"
-        )
-    except OSError:  # pragma: no cover - /proc always present on linux
-        n_procs = -1
+    # ADVICE r8: (a) skip our own PID — the bench process is itself in
+    # state R, so it previously inflated every count by one; (b) the
+    # try/except sits INSIDE the per-PID loop — a process exiting between
+    # listdir and open is skipped, instead of voiding the whole
+    # measurement to -1 (which read as "not busy" on exactly the loaded
+    # hosts the flag exists to catch).
+    n_procs = 0
+    for p in os.listdir("/proc"):
+        if not p.isdigit() or p == str(os.getpid()):
+            continue
+        try:
+            with open(f"/proc/{p}/stat") as f:
+                if f.read().split(") ")[-1][0] in "RD":
+                    n_procs += 1
+        except OSError:  # PID vanished mid-scan — skip it, keep counting
+            continue
     timings: dict[str, float] = {}
     run1: dict[str, float] = {}
     for name in names:

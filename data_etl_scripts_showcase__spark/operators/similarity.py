@@ -112,7 +112,11 @@ def assign_cells(
     """Assign each vector to its ``n_assign`` nearest centroids by cosine.
 
     Returns (id, vec, cell, cell_rank).  Deterministic tie-break: sim desc
-    (rounded), centroid id asc.
+    (rounded half away from zero — the F.round/DuckDB mode), centroid id
+    asc.  Malformed vectors (null, or length ≠ centroid dim) are emitted
+    with cell/cell_rank NULL — quarantined, never ranked (VERDICT r8 #2);
+    zero-NORM vectors of the right dim score sim 0 against every centroid
+    (a defined cosine degeneracy, not garbage) and rank by centroid id.
 
     Fully MAP-SIDE and VECTORIZED (round 8): the centroid table is tiny by
     construction (nlist rows), so it is collected once, packed into a numpy
@@ -172,35 +176,73 @@ def assign_cells(
         cids_, C, cn = bc.value
         cid_arr = np.asarray(cids_)
         dim = C.shape[1]
+        scale = 10.0 ** round_to
         for pdf in batches:
             n = len(pdf)
             if n == 0:
                 continue
             cells = pdf[vec_col].to_numpy()
-            V = np.stack(
-                [
-                    np.asarray(v, dtype=np.float64)
-                    if v is not None and len(v) == dim
-                    else np.zeros(dim)
-                    for v in cells
-                ]
+            # MALFORMED QUARANTINE (VERDICT r8 #2): a null vector or one
+            # whose length ≠ centroid dim is emitted with cell NULL and
+            # cell_rank NULL — visible to downstream audits and naturally
+            # dropped by cell-keyed joins — instead of being silently
+            # coerced to a zero vector and deterministically binned into
+            # centroid 0's cell (the r8 behavior, flagged by ADVICE).
+            valid = np.fromiter(
+                (v is not None and len(v) == dim for v in cells),
+                dtype=bool,
+                count=n,
             )
-            dots = V @ C.T  # (n, nlist) — the whole batch at once
-            vn = np.sqrt((V * V).sum(axis=1))
-            denom = vn[:, None] * cn[None, :]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                sims = np.where(denom == 0.0, 0.0, dots / denom)
-            simr = np.round(sims, round_to)
-            # stable sort on −sim: equal rounded sims keep the original
-            # (ascending centroid id) order — the deterministic tie-break
-            order = np.argsort(-simr, axis=1, kind="stable")[:, :k]
-            yield pd.DataFrame(
-                {
-                    id_col: np.repeat(pdf[id_col].to_numpy(), k),
-                    vec_col: cells.repeat(k),
-                    "cell": cid_arr[order].ravel(),
-                    "cell_rank": np.tile(np.arange(1, k + 1, dtype=np.int32), n),
-                }
+            parts = []
+            if valid.any():
+                ids_v = pdf[id_col].to_numpy()[valid]
+                vecs_v = cells[valid]
+                V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs_v])
+                dots = V @ C.T  # (m, nlist) — the whole batch at once
+                vn = np.sqrt((V * V).sum(axis=1))
+                denom = vn[:, None] * cn[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = np.where(denom == 0.0, 0.0, dots / denom)
+                # Round half AWAY FROM ZERO — the F.round/DuckDB-round mode
+                # the rest of the similarity family (and every oracle) uses;
+                # np.round is half-to-even and flips ties landing exactly on
+                # a dyadic decimal boundary (ADVICE r8).
+                simr = np.copysign(
+                    np.floor(np.abs(sims) * scale + 0.5), sims
+                ) / scale
+                # stable sort on −sim: equal rounded sims keep the original
+                # (ascending centroid id) order — the deterministic tie-break
+                order = np.argsort(-simr, axis=1, kind="stable")[:, :k]
+                m = len(ids_v)
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            id_col: np.repeat(ids_v, k),
+                            vec_col: vecs_v.repeat(k),
+                            "cell": cid_arr[order].ravel(),
+                            "cell_rank": np.tile(
+                                np.arange(1, k + 1, dtype=np.int32), m
+                            ),
+                        }
+                    )
+                )
+            if not valid.all():
+                inv = ~valid
+                n_bad = int(inv.sum())
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            id_col: pdf[id_col].to_numpy()[inv],
+                            vec_col: cells[inv],
+                            "cell": pd.Series([None] * n_bad, dtype=object),
+                            "cell_rank": pd.Series(
+                                [None] * n_bad, dtype=object
+                            ),
+                        }
+                    )
+                )
+            yield parts[0] if len(parts) == 1 else pd.concat(
+                parts, ignore_index=True
             )
 
     return vectors.select(id_col, vec_col).mapInPandas(gen, schema=out_schema)

@@ -208,7 +208,9 @@ class TestIVF:
     def test_assign_cells_matches_scalar_reference(self, spark):
         """The vectorized (numpy-matmul mapInPandas) assignment must rank
         cells exactly like the scalar definition: cosine in doubles,
-        rounded to 6 dp, ties broken by ascending centroid id.  Pure-python
+        rounded to 6 dp HALF AWAY FROM ZERO (the F.round/DuckDB mode the
+        similarity family's oracles use — NOT Python/numpy half-to-even,
+        ADVICE r8), ties broken by ascending centroid id.  Pure-python
         reference over the real sf0.001 corpus, n_assign=2 so tie-break
         order inside the top-k is exercised too."""
         import math
@@ -235,11 +237,15 @@ class TestIVF:
             nb = math.sqrt(sum(x * x for x in b))
             return 0.0 if na == 0.0 or nb == 0.0 else dot / (na * nb)
 
+        def round_away(x, r=6):
+            p = 10.0 ** r
+            return math.copysign(math.floor(abs(x) * p + 0.5), x) / p
+
         expected = {}
         for r in e.collect():
             v = [float(x) for x in r.embedding]
             ranked = sorted(
-                ((-round(cos(v, cv), 6), cid) for cid, cv in cent_rows)
+                ((-round_away(cos(v, cv)), cid) for cid, cv in cent_rows)
             )
             expected[r.vec_id] = [cid for _, cid in ranked[:2]]
 
@@ -253,6 +259,44 @@ class TestIVF:
             if [g[1], g[2]] != expected[vid]
         ]
         assert not mismatches, mismatches[:5]
+
+    def test_assign_cells_quarantines_malformed_vectors(self, spark):
+        """Null and wrong-dimension vectors come back with cell/cell_rank
+        NULL (quarantined — visible, never ranked), valid vectors are
+        unaffected by their presence in the same batch, and a zero-NORM
+        vector of the right dim still gets a defined assignment (sim 0 to
+        every centroid, ranked by ascending centroid id).  VERDICT r8 #2."""
+        from data_etl_scripts_showcase__spark.operators.similarity import (
+            assign_cells,
+        )
+
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),   # aligned with centroid 0
+            (1, [0.0, 1.0, 0.0, 0.0]),   # aligned with centroid 1
+            (2, None),                   # null vector -> quarantined
+            (3, [1.0, 0.0]),             # wrong dim  -> quarantined
+            (4, [0.0, 0.0, 0.0, 0.0]),   # zero norm  -> sim 0, cid-asc rank
+            (5, [1.0, 0.0, 0.0, 0.0, 9.0]),  # too long -> quarantined
+        ]
+        e = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+            "centroid_id bigint, cent_vec array<double>",
+        )
+        got = {
+            (r.vec_id, r.cell_rank): r.cell
+            for r in assign_cells(e, cents, 2).collect()
+        }
+        # valid vectors: full top-2, nearest first
+        assert got[(0, 1)] == 0 and got[(0, 2)] == 1
+        assert got[(1, 1)] == 1 and got[(1, 2)] == 0
+        # zero-norm: all sims 0, deterministic ascending-centroid-id order
+        assert got[(4, 1)] == 0 and got[(4, 2)] == 1
+        # malformed: exactly one row each, cell and rank both NULL
+        assert got[(2, None)] is None
+        assert got[(3, None)] is None
+        assert got[(5, None)] is None
+        assert len(got) == 9  # 3 valid x 2 ranks + 3 quarantined singletons
 
     def test_ivf_neighbors_subset_of_bruteforce_pool(self, spark):
         """IVF returns real corpus neighbors with valid sims (recall vs the

@@ -7,6 +7,18 @@ exact for non-floats, 1e-9-relative for floats).  Stricter than a value
 hash: mismatches are printed with examples.
 
 Usage:  python tools/check_correctness.py [sf_dir] [query ...]
+        python tools/check_correctness.py [sf_dir] --rotation N
+
+``--rotation N`` (VERDICT r8 #6): run the round-N slice of the standing
+independent-verification rotation — ROTATION_SLICE (25) consecutive ids
+of the sorted registry starting at ((N-1)*25) mod |registry|, so the
+selection is reproducible from the round number alone and every registry
+id receives an independently-executed oracle pass within ~13 rounds.
+The driver's fixed 50-id sample and the judge's ad-hoc picks both skew
+toward the same well-trodden ids; the rotation walks the tail
+mechanically.  The slice for a given N never changes unless the registry
+itself gains/loses ids (which re-sorts the walk — acceptable: additions
+re-enter the rotation like any other id).
 """
 
 from __future__ import annotations
@@ -62,7 +74,10 @@ def data_fingerprint(sf_dir: str) -> str:
             p = os.path.join(root, f)
             st = os.stat(p)
             rel = os.path.relpath(p, sf_dir)
-            h.update(f"{rel}:{st.st_size}:{int(st.st_mtime)}".encode())
+            # st_mtime_ns, not whole seconds (ADVICE r8): a deterministic
+            # writer rebuilding a tier within one second with byte-equal
+            # sizes must still roll the key.
+            h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
     return h.hexdigest()[:16]
 
 
@@ -79,11 +94,32 @@ def cached_oracle_sql(
 
     key = hashlib.sha256(oracle_sql.encode()).hexdigest()[:24]
     path = os.path.join(fp_dir, f"{key}.parquet")
+    nocache = os.path.join(fp_dir, f"{key}.nocache")
+    if os.path.exists(nocache):
+        return oracle_sql
     if not os.path.exists(path):
         os.makedirs(fp_dir, exist_ok=True)
         tmp = f"{path}.tmp{os.getpid()}"
         try:
             con.execute(f"COPY ({oracle_sql}) TO '{tmp}' (FORMAT PARQUET)")
+            # Type-fidelity check (ADVICE r8): the parquet round-trip can
+            # silently retype columns with no exact parquet mapping
+            # (HUGEINT, ENUM, TIMESTAMPTZ...), which would shift the float
+            # classification in compare_in_duckdb — a warm run must
+            # classify columns exactly like the cold run it reproduces.
+            # DESCRIBE both; any type drift pins a .nocache marker and the
+            # oracle runs uncached forever after.
+            live = con.execute(f"DESCRIBE ({oracle_sql})").fetchall()
+            back = con.execute(f"DESCRIBE (SELECT * FROM '{tmp}')").fetchall()
+            if [(r[0], r[1]) for r in live] != [(r[0], r[1]) for r in back]:
+                os.remove(tmp)
+                with open(nocache, "w") as f:
+                    f.write(
+                        "parquet round-trip retyped columns:\n"
+                        f"live={[(r[0], r[1]) for r in live]}\n"
+                        f"back={[(r[0], r[1]) for r in back]}\n"
+                    )
+                return oracle_sql
             os.replace(tmp, path)
         except Exception:  # noqa: BLE001 - cache miss, run uncached
             if os.path.exists(tmp):
@@ -369,12 +405,32 @@ def compare_in_duckdb(
     return errs
 
 
+ROTATION_SLICE = 25
+
+
+def rotation_ids(registry: dict, round_no: int) -> list[str]:
+    """The deterministic round-``round_no`` verification slice (see module
+    docstring): 25 consecutive ids of the sorted registry, wrapping."""
+    ids = sorted(registry)
+    start = ((round_no - 1) * ROTATION_SLICE) % len(ids)
+    return [ids[(start + i) % len(ids)] for i in range(ROTATION_SLICE)]
+
+
 def main() -> int:
     args = sys.argv[1:]
+    rotation = None
+    if "--rotation" in args:
+        i = args.index("--rotation")
+        rotation = int(args[i + 1])
+        args = args[:i] + args[i + 2 :]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     only = set(args[1:] if args and os.path.isdir(args[0]) else args)
 
     registry = load_all()
+    if rotation is not None:
+        sel = rotation_ids(registry, rotation)
+        print(f"[rotation] round {rotation}: {' '.join(sel)}")
+        only |= set(sel)
     spark = get_session("check_correctness")
     con = duck_connection(sf_dir)
     fp_dir = (

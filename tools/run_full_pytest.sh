@@ -23,3 +23,12 @@ tail=$(grep -E "passed|failed" /tmp/fullpytest.log | tail -1)
   echo "result=$tail"
 } > .fullpytest_ok
 echo "[full-pytest] marker written: $tail (${dur}s)"
+
+# Keep SCALE.md's "full pytest" matrix row mechanically in sync with the
+# marker (VERDICT r8 #8: the r8 row said 655 while the marker said 657 —
+# hand-copied numbers drift; emitted numbers don't).
+counts=$(echo "$tail" | grep -oE '[0-9]+ passed(, [0-9]+ skipped)?' | head -1)
+if [ -n "$counts" ] && grep -q '^| full pytest |' SCALE.md; then
+  sed -i "s#^| full pytest |.*#| full pytest | $counts | marker fresh at HEAD (row auto-synced from \`.fullpytest_ok\` by \`tools/run_full_pytest.sh\` — ADVICE r8) |#" SCALE.md
+  echo "[full-pytest] SCALE.md row synced: $counts"
+fi

@@ -61,8 +61,10 @@ fi
 if [ "$TIER" = "longdocs" ]; then
   SPARK_GRAFT_LONGDOC_MULT=32 python tools/scale_probe.py --longdocs
   SPARK_GRAFT_LONGDOC_MULT=128 python tools/scale_probe.py --longdocs
-  python tools/check_correctness.py /tmp/spark_graft_scale/longdocs_L32 \
-    t25_content_defined_chunks x48_chunk_dedup_ratio
+  SPARK_GRAFT_GATE_VIA_PARQUET=1 SPARK_GRAFT_ORACLE_CACHE="$OCACHE" \
+    python tools/check_correctness.py /tmp/spark_graft_scale/longdocs_L32 \
+      t25_content_defined_chunks x48_chunk_dedup_ratio \
+      d18_containment_pairs d22_lsh_scurve_audit
 fi
 
 # Hot-key SKEW axis (round 7): the volume tiers are uniform; this tier

@@ -172,6 +172,12 @@ LONGDOC_QUERIES = [
     "d17_duplicate_spans",
     "t2_quality_score",
     "t14_bigram_lm_score",
+    # VERDICT r8 #1: the gram-array pair stages whose join payload grows
+    # with doc LENGTH — now hashed to 8-byte digests; this tier is the
+    # measurement that the payload cap holds (d22 additionally reports
+    # its broadcast payload estimate in SCALE.md).
+    "d18_containment_pairs",
+    "d22_lsh_scurve_audit",
 ]
 
 DIM_TABLES = ["region", "nation"]
