@@ -21,11 +21,43 @@ from __future__ import annotations
 import os as _os
 import tempfile
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import dec2, ntz_epoch_us
+
+#: State partitioning for the fresh-checkpoint drains below (VERDICT r8
+#: #5).  Stateful operators create one state-store instance PER SHUFFLE
+#: PARTITION per operator, and every micro-batch commit pays a per-store
+#: file write — so a drain inheriting the session's CPU-oriented
+#: ``spark.sql.shuffle.partitions`` (32) pays 32×(stores) commits to hold
+#: ~10⁴–10⁵ state rows (measured on st7 at sf0.1: 5.4 s → 2.0 s going
+#: 32 → 8 partitions, byte-identical output).  State partitioning should
+#: track STATE VOLUME (rate × watermark horizon), not core count; at
+#: production rates raise the env (the value binds per checkpoint
+#: lifetime, and every drain here creates a fresh checkpoint, so the
+#: knob always applies locally).  Results are partition-count-invariant —
+#: the full oracle gate re-verifies that after any change here.
+STATE_PARTITIONS = int(
+    _os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+)
+
+
+@contextmanager
+def sized_state_partitions(spark: SparkSession, n: int | None = None):
+    """Pin ``spark.sql.shuffle.partitions`` for the lifetime of ONE
+    fresh-checkpoint streaming drain (start + awaitTermination must BOTH
+    run inside — micro-batch planning reads the conf during the drain),
+    restoring the session value after."""
+    n = STATE_PARTITIONS if n is None else n
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def stream_source_path(sf_dir: str, table: str) -> tuple[str, str]:
@@ -262,23 +294,32 @@ def incremental_rollup(
     agg = tumbling_counts(events, window=window, watermark=watermark)
 
     def write_batch(df: DataFrame, epoch_id: int) -> None:
+        # One file per (batch, ds): the windowed partials are a tiny
+        # aggregate (|windows×types| rows), but without the ds clustering
+        # every shuffle partition writes a sliver into every ds dir —
+        # STATE_PARTITIONS×|ds| files per batch that the reader then has
+        # to list and open (measured: the read-back re-aggregate was the
+        # bulk of st9's bench tail).  Clustering by ds is one tiny
+        # shuffle; readers still prune by ds either way.
         (
             df.withColumn("ds", F.substring("window_start", 1, 10))
+            .repartition("ds")
             .write.mode("append")
             .partitionBy("ds")
             .parquet(out_path)
         )
 
-    q = (
-        agg.writeStream.foreachBatch(write_batch)
-        .outputMode("update")
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="ckpt_rollup_")
+    with sized_state_partitions(agg.sparkSession):
+        q = (
+            agg.writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="ckpt_rollup_")
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     return q
 
 
@@ -301,15 +342,16 @@ def start_to_memory(sdf: DataFrame, mode: str = "complete", name: str | None = N
     tests/test_streaming.py walks the EXECUTED streaming physical plans
     (the batch plan audits cannot see them; VERDICT r5 #3)."""
     qname = name or f"mem_{uuid.uuid4().hex[:8]}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode(mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{qname}_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with sized_state_partitions(sdf.sparkSession):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(mode)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{qname}_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return q, qname
 
 
@@ -433,14 +475,15 @@ def incremental_user_snapshot(
             os.path.join(base_dir, f"v{epoch_id:09d}")
         )
 
-    q = (
-        events.writeStream.foreachBatch(write_batch)
-        .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_snap_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with sized_state_partitions(events.sparkSession):
+        q = (
+            events.writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_snap_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def read_latest_snapshot(spark: SparkSession, base_dir: str) -> DataFrame:
@@ -611,13 +654,14 @@ def idempotent_epoch_sink(
     def write_batch(df: DataFrame, epoch_id: int) -> None:
         write_epoch(df, out_path, epoch_id)
 
-    q = (
-        events.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_epoch_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with sized_state_partitions(events.sparkSession):
+        q = (
+            events.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_epoch_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def write_epoch(df: DataFrame, out_path: str, epoch_id: int) -> None:
@@ -646,13 +690,14 @@ def streaming_cms(events: DataFrame, out_path: str, key_col: str = "user_id") ->
     def write_batch(df: DataFrame, epoch_id: int) -> None:
         cms_build(df, key_col).write.mode("append").parquet(out_path)
 
-    q = (
-        events.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_cms_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with sized_state_partitions(events.sparkSession):
+        q = (
+            events.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_cms_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def read_cms(spark: SparkSession, out_path: str) -> DataFrame:
@@ -677,13 +722,14 @@ def streaming_hll(
     def write_batch(df: DataFrame, epoch_id: int) -> None:
         hll_registers(df, key_col).write.mode("append").parquet(out_path)
 
-    q = (
-        events.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_hll_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with sized_state_partitions(events.sparkSession):
+        q = (
+            events.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_hll_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def read_hll(spark: SparkSession, out_path: str) -> DataFrame:
@@ -756,13 +802,14 @@ def streaming_row_ids(
             f"{out_path}/epoch={int(epoch_id)}"
         )
 
-    q = (
-        events.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint_location)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with sized_state_partitions(events.sparkSession):
+        q = (
+            events.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_location)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def day_partitioned(batch: DataFrame) -> DataFrame:
@@ -798,13 +845,14 @@ def streaming_append_with_compaction(
         if int(epoch_id) % compact_every == compact_every - 1:
             compact_partitions(batch.sparkSession, out_path, "ds", max_files=1)
 
-    q = (
-        events.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_appcomp_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with sized_state_partitions(events.sparkSession):
+        q = (
+            events.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_appcomp_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     compact_partitions(
         SparkSession.getActiveSession() or SparkSession.builder.getOrCreate(),
         out_path,
@@ -852,13 +900,14 @@ def streaming_dataset_card(docs_stream: DataFrame, out_path: str) -> None:
     def write_batch(batch: DataFrame, epoch_id: int) -> None:
         dataset_card_partial(batch).write.mode("append").parquet(out_path)
 
-    q = (
-        docs_stream.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_card_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with sized_state_partitions(docs_stream.sparkSession):
+        q = (
+            docs_stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_card_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def read_dataset_card(spark: SparkSession, out_path: str) -> DataFrame:
@@ -943,13 +992,14 @@ def streaming_exact_dedup(docs: DataFrame, out_path: str) -> None:
             "overwrite"
         ).parquet(f"{out_path}/epoch={int(epoch_id)}")
 
-    q = (
-        docs.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_dedup_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with sized_state_partitions(docs.sparkSession):
+        q = (
+            docs.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_dedup_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def neardup_buckets(batch: DataFrame) -> DataFrame:
@@ -1038,13 +1088,14 @@ def streaming_neardup_gate(docs: DataFrame, out_path: str) -> None:
             f"{out_path}/kept/epoch={int(epoch_id)}"
         )
 
-    q = (
-        docs.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_neardup_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with sized_state_partitions(docs.sparkSession):
+        q = (
+            docs.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_neardup_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def streaming_shard_manifest(docs: DataFrame, out_path: str) -> None:
@@ -1108,10 +1159,11 @@ def streaming_shard_manifest(docs: DataFrame, out_path: str) -> None:
             f"{out_path}/epoch={int(epoch_id)}"
         )
 
-    q = (
-        docs.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_shards_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with sized_state_partitions(docs.sparkSession):
+        q = (
+            docs.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_shards_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

@@ -110,7 +110,11 @@ def cached_oracle_sql(
             # DESCRIBE both; any type drift pins a .nocache marker and the
             # oracle runs uncached forever after.
             live = con.execute(f"DESCRIBE ({oracle_sql})").fetchall()
-            back = con.execute(f"DESCRIBE (SELECT * FROM '{tmp}')").fetchall()
+            # read_parquet(), not path-as-table sugar: the tmp name ends
+            # .tmp<pid>, which the sugar doesn't recognize as parquet
+            back = con.execute(
+                f"DESCRIBE (SELECT * FROM read_parquet('{tmp}'))"
+            ).fetchall()
             if [(r[0], r[1]) for r in live] != [(r[0], r[1]) for r in back]:
                 os.remove(tmp)
                 with open(nocache, "w") as f:
@@ -126,6 +130,126 @@ def cached_oracle_sql(
                 os.remove(tmp)
             return oracle_sql
     return f"SELECT * FROM '{path}'"
+
+
+def fragment_substituter(
+    con: duckdb.DuckDBPyConnection, fp_dir: str | None
+):
+    """Shared-oracle-fragment pre-materialization (VERDICT r8 #7).
+
+    The dedup/graph oracles all rebuild the SAME three relations inside
+    their CTE chains — the LSH candidate pairs, the Jaccard-verified edge
+    set, and the recursive-CTE connected components over it (pr5's ~10 min
+    tail at the 100x tier) — so a COLD tier run pays the verify join and
+    the transitive closure once per consuming oracle instead of once per
+    tier.  When the oracle cache is on, this materializes each fragment
+    ONCE (through the same fingerprint-keyed cache, so staleness is
+    impossible) and rewrites consuming oracles to read the parquet:
+
+    - ``cand AS ({_CAND_SQL})``            → parquet read (exact f-string text)
+    - the standard ``verified AS (...)``   → parquet read (whitespace-tolerant
+      regex pinned to the exact body; capped/sampled cand variants — d13,
+      d14, d16 — have different bodies and are never touched)
+    - ``reach(id, r) AS (<transitive closure>)`` → the precomputed
+      (id, component) relation.  Exact because the CTE's explicit column
+      list renames to (id, r) and EVERY consumer reads reach solely as
+      ``min(r) .. GROUP BY id`` (audited; min(component) per id =
+      component).  The enclosing WITH RECURSIVE stays — other recursive
+      CTEs (pr5's walk) still need it.
+
+    Substitution only runs when the cache is enabled (the volume tiers);
+    the driver's plain invocation executes every oracle verbatim.  A
+    fragment whose COPY fails (or was .nocache-pinned) is simply not
+    substituted — cold semantics unchanged.  A WRONG substitution cannot
+    pass silently: the gate still value-compares Spark against the
+    substituted oracle.
+    """
+    if not fp_dir:
+        return lambda sql: sql
+    import re
+
+    from data_etl_scripts_showcase__spark.queries.dedup import (  # noqa: PLC0415
+        _BANDS_CTE,
+        _CAND_SQL,
+        _VERIFIED_CTE,
+    )
+
+    sym_reach = """
+    sym AS (
+        SELECT id_a AS a, id_b AS b FROM verified
+        UNION
+        SELECT id_b AS a, id_a AS b FROM verified
+    ),
+    reach(id, r) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id
+    )
+    """
+    frags = {
+        "cand": f"WITH {_BANDS_CTE} {_CAND_SQL}",
+        "verified": (
+            f"WITH {_BANDS_CTE}, {_VERIFIED_CTE} "
+            "SELECT id_a, id_b FROM verified"
+        ),
+        "comp": (
+            f"WITH RECURSIVE {_BANDS_CTE}, {_VERIFIED_CTE}, {sym_reach} "
+            "SELECT id, min(r) AS component FROM reach GROUP BY id"
+        ),
+    }
+    reach_re = re.compile(
+        r"reach\(id, r\) AS \(\s*SELECT a, a FROM sym\s*UNION\s*"
+        r"SELECT s\.b, reach\.r FROM reach JOIN sym s "
+        r"ON s\.a = reach\.id\s*\)"
+    )
+    verified_re = re.compile(
+        r"verified AS \(\s*SELECT c\.id_a, c\.id_b\s*FROM cand c\s*"
+        r"JOIN g ga ON ga\.doc_id = c\.id_a\s*"
+        r"JOIN g gb ON gb\.doc_id = c\.id_b\s*"
+        r"WHERE CAST\(len\(list_intersect\(ga\.grams, gb\.grams\)\)"
+        r" AS DOUBLE\)\s*"
+        r"/ len\(list_distinct\(ga\.grams \|\| gb\.grams\)\)"
+        r" >= 0\.5\s*\)"
+    )
+    cand_text = f"cand AS ({_CAND_SQL})"
+
+    # Materialize lazily, on the FIRST oracle that actually consumes a
+    # fragment — a filtered gate run (e.g. the longdocs chunk-family
+    # slice) must not pay the verify join + transitive closure upfront.
+    state: dict = {}
+
+    def _rels() -> dict:
+        if "rels" not in state:
+            rels = {}
+            for key, frag in frags.items():
+                rel = cached_oracle_sql(con, frag, fp_dir)
+                if rel.startswith("SELECT * FROM '"):
+                    rels[key] = rel
+            print(f"[oracle-frags] materialized: {sorted(rels)}")
+            state["rels"] = rels
+        return state["rels"]
+
+    def sub(sql: str) -> str:
+        if not (
+            reach_re.search(sql)
+            or verified_re.search(sql)
+            or cand_text in sql
+        ):
+            return sql
+        rels = _rels()
+        if "comp" in rels:
+            sql = reach_re.sub(
+                lambda _m: f"reach(id, r) AS ({rels['comp']})", sql
+            )
+        if "verified" in rels:
+            sql = verified_re.sub(
+                lambda _m: f"verified AS ({rels['verified']})", sql
+            )
+        if "cand" in rels:
+            sql = sql.replace(cand_text, f"cand AS ({rels['cand']})")
+        return sql
+
+    return sub
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -440,6 +564,7 @@ def main() -> int:
     )
     if fp_dir:
         print(f"[oracle-cache] {fp_dir}")
+    frag_sub = fragment_substituter(con, fp_dir)
 
     n_pass = n_fail = n_rows_only = 0
     for name, q in sorted(registry.items()):
@@ -485,7 +610,7 @@ def main() -> int:
         nrows = None
         oracle_sql = q.oracle
         try:
-            oracle_sql = cached_oracle_sql(con, q.oracle, fp_dir)
+            oracle_sql = cached_oracle_sql(con, frag_sub(q.oracle), fp_dir)
             if glob_path is not None:
                 try:
                     nrows = con.execute(

@@ -65,6 +65,11 @@ if [ "$TIER" = "longdocs" ]; then
     python tools/check_correctness.py /tmp/spark_graft_scale/longdocs_L32 \
       t25_content_defined_chunks x48_chunk_dedup_ratio \
       d18_containment_pairs d22_lsh_scurve_audit
+  # VERDICT r8 #1's bar: the digest-hashed gram pair stages value-exact at
+  # x128 doc length (the payload-cap fix verified at the tier it protects).
+  SPARK_GRAFT_GATE_VIA_PARQUET=1 SPARK_GRAFT_ORACLE_CACHE="$OCACHE" \
+    python tools/check_correctness.py /tmp/spark_graft_scale/longdocs_L128 \
+      d18_containment_pairs d22_lsh_scurve_audit
 fi
 
 # Hot-key SKEW axis (round 7): the volume tiers are uniform; this tier
@@ -130,6 +135,40 @@ if [ "$TIER" = "cluster10x" ]; then
     PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}" \
     SPARK_GRAFT_GATE_VIA_PARQUET=1 SPARK_GRAFT_ORACLE_CACHE="$OCACHE" \
     python tools/check_correctness.py "$TEN"
+fi
+
+# Axis PRODUCTS (VERDICT r8 #4): the x43 lesson is that axis products
+# catch what single axes miss — x43 was green under 10x volume AND under
+# plain local-cluster, and failed only under their PRODUCT.  These two
+# tiers multiply the remaining untested pairs: the hot-key skew families
+# and the doc-length families, each re-gated on real executor JVMs
+# (netty shuffle, real broadcast/closure serialization, separate Python
+# workers).
+if [ "$TIER" = "cluster-skew" ]; then
+  python tools/scale_probe.py --skew --build-only
+  echo "[scale-sweeps] cluster-skew tier: skew10x_p30 on local-cluster[4,8,6144]"
+  SPARK_GRAFT_MASTER='local-cluster[4,8,6144]' \
+    PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}" \
+    SPARK_GRAFT_GATE_VIA_PARQUET=1 SPARK_GRAFT_ORACLE_CACHE="$OCACHE" \
+    python tools/check_correctness.py /tmp/spark_graft_scale/skew10x_p30 \
+      q3_shipping_priority j2_multiway_left_enrichment j7_asof_join \
+      w1_topk_per_group w14_cohort_retention w16_activity_streaks \
+      t26_chat_turns_audit a7_argmax_latest_per_key x1_salted_agg_hot_keys \
+      x6_salted_join x48_chunk_dedup_ratio x16_source_mixture_resample
+fi
+
+if [ "$TIER" = "cluster-longdocs" ]; then
+  SPARK_GRAFT_LONGDOC_MULT=32 python tools/scale_probe.py --longdocs --build-only
+  echo "[scale-sweeps] cluster-longdocs tier: longdocs_L32 on local-cluster[4,8,6144]"
+  SPARK_GRAFT_MASTER='local-cluster[4,8,6144]' \
+    PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}" \
+    SPARK_GRAFT_GATE_VIA_PARQUET=1 SPARK_GRAFT_ORACLE_CACHE="$OCACHE" \
+    python tools/check_correctness.py /tmp/spark_graft_scale/longdocs_L32 \
+      t25_content_defined_chunks x48_chunk_dedup_ratio \
+      d18_containment_pairs d22_lsh_scurve_audit \
+      d10_ngram_contamination d17_duplicate_spans t8_tfidf_top_terms \
+      t2_quality_score t14_bigram_lm_score d23_chunk_contamination \
+      d25_chunk_contamination_capped
 fi
 
 # Memory-PRESSURE axis (round 7): every other tier gives Spark all the
