@@ -310,8 +310,13 @@ def d8_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     that is the HIGHER id in any verified pair (J ≥ 0.5) is dropped; the
     lower id survives as canonical.  This greedy min-id rule is the
     standard one-pass approximation of connected-components dedup used in
-    training-data pipelines — no iteration, one anti-join, and at 100 TB
-    the drop list is a tiny broadcast side."""
+    training-data pipelines — no iteration, one anti-join.  The drop
+    list is NOT force-broadcast (round 9, the t14 lesson): it scales
+    with the corpus's duplicate mass — a heavily-duplicated crawl can
+    drop most of its documents, making the list corpus-sized.  AQE picks
+    broadcast from the RUNTIME size of the distinct's shuffle when the
+    list is genuinely small, and shuffles by doc_id when it isn't —
+    which a forced hint would have pinned into executor-memory risk."""
     docs = load_table(spark, sf_dir, "documents")
     grams = docs.select("doc_id", DD.tokens("text").alias("_toks")).select(
         "doc_id", DD.ngrams_from_tokens(F.col("_toks")).alias("grams")
@@ -329,7 +334,7 @@ def d8_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drops = verified.select(F.col("id_b").alias("doc_id")).distinct()
     flagged = docs.join(
-        F.broadcast(drops.withColumn("_drop", F.lit(1))), "doc_id", "left"
+        drops.withColumn("_drop", F.lit(1)), "doc_id", "left"
     )
     return flagged.groupBy("source").agg(
         F.count("*").alias("n_docs"),
@@ -666,7 +671,11 @@ def d12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("__drop", F.lit(True))
     )
-    return cc.join(F.broadcast(losers), "vec_id", "left").select(
+    # losers scales with the corpus's semantic-duplicate mass (up to n
+    # rows), so it is NOT force-broadcast (round 9, the t14 lesson):
+    # AQE broadcasts from the distinct's measured size when small and
+    # shuffles by vec_id when not.
+    return cc.join(losers, "vec_id", "left").select(
         "vec_id",
         "label",
         "cos_centroid",

@@ -313,9 +313,13 @@ def t8_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     source; document frequency per term), then idf applied as a SINGLE
     multiplication on the already-summed tf (no order-dependent float
     accumulation — the rounded value is bit-stable on any partitioning).
-    The df table and the 1-row corpus count are broadcast, so the only
-    shuffles are the two aggregates; top-k is a per-source window over the
-    small (source × vocab) result with a pinned (score, term) tie-break."""
+    The 1-row corpus count is broadcast; the df table is NOT (round 9,
+    the t14 lesson): df is keyed by corpus CONTENT — distinct terms —
+    so it scales with vocabulary, and a forced broadcast of it is the
+    same executor-memory hazard the cluster-longdocs tier killed t14
+    with.  The tf⋈df join is pinned shuffled-hash: shards by term at any
+    vocabulary size.  Top-k is a per-source window over the small
+    (source × vocab) result with a pinned (score, term) tie-break."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", "source", F.explode(TX.tokens("text")).alias("term"))
     tf = tok.groupBy("source", "term").agg(F.count("*").alias("tf_sum"))
@@ -323,7 +327,7 @@ def t8_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = d.agg(F.count("*").alias("n_docs"))
     idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq.hint("shuffle_hash"), "term")
         .crossJoin(F.broadcast(n))
         .select(
             "source",
@@ -657,7 +661,22 @@ def t14_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the count tables are orders of magnitude smaller than the corpus
     and shard by key; nothing ever collects to the driver.  The per-doc
     average is the only float accumulation, bounded by doc length and
-    rounded to 6 dp."""
+    rounded to 6 dp.
+
+    The count-table joins are PINNED to shuffled-hash (round 9): both
+    tables are keyed by corpus CONTENT (distinct bigrams / distinct
+    context words), so their true size scales with corpus vocabulary while
+    Catalyst's static estimate is a fixed ratio of the pruned text scan —
+    at the cluster-longdocs tier (x32 doc length, 6 GB executors) the
+    planner auto-broadcast a multi-hundred-MB bigram table off a <10 MB
+    estimate and executors died deserializing the hashed relation
+    ("Could not allocate memory to grow BytesToBytesMap"; AQE cannot
+    demote a statically-planned broadcast).  A content-keyed count table
+    must never ride a size-estimate-gated broadcast: the shuffle join
+    shards by key at ANY vocabulary size, and the build side per
+    partition is 1/N of the table.  Caught by the round-9
+    cluster-longdocs axis-product gate on its first run — the same way
+    cluster10x caught x43."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", TX.tokens("text").alias("t")).where(F.size("t") >= 2)
     bg = toks.select(
@@ -678,8 +697,8 @@ def t14_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     logp = F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("vsz")))
     return (
-        bg.join(c12, "bg")
-        .join(c1, "w1")
+        bg.join(c12.hint("shuffle_hash"), "bg")
+        .join(c1.hint("shuffle_hash"), "w1")
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(

@@ -992,3 +992,24 @@ class TestEngineWideShufflePayloadAudit:
             if hits:
                 offenders.append(f"{name}: {hits}")
         assert not offenders, "\n".join(offenders)
+
+
+class TestContentKeyedCountJoins:
+    """Round 9 (cluster-longdocs catch): count tables keyed by corpus
+    CONTENT — distinct bigrams, context words, vocabulary terms — must
+    never ride a size-estimate-gated broadcast.  Catalyst's static
+    estimate for them is a fixed ratio of the pruned text scan, so it
+    undershoots arbitrarily as documents grow; at x32 doc length the
+    resulting auto-broadcast killed 6 GB executors while every
+    single-JVM tier stayed green.  The joins are pinned shuffled-hash."""
+
+    def test_t14_count_tables_never_broadcast(self, spark):
+        plan = plan_of(spark, "t14_bigram_lm_score")
+        assert "ShuffledHashJoin" in plan
+        # the only broadcast allowed is the 1-row vocab-size cross join
+        assert "BroadcastHashJoin" not in plan
+
+    def test_t8_df_table_never_broadcast(self, spark):
+        plan = plan_of(spark, "t8_tfidf_top_terms")
+        assert "ShuffledHashJoin" in plan
+        assert "BroadcastHashJoin" not in plan

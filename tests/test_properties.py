@@ -1048,3 +1048,54 @@ def test_cdc_operator_end_to_end_matches_reference(spark):
             for j, (s, l) in enumerate(CH.cdc_chunks_py(data))
         ]
         assert sorted(got.get(i, [])) == want, i
+
+
+@FAST
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),  # null vector -> quarantined
+            st.lists(
+                st.floats(
+                    min_value=-10, max_value=10,
+                    allow_nan=False, allow_infinity=False,
+                ),
+                min_size=0,
+                max_size=6,
+            ),  # any dim; only dim == 3 is well-formed
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_assign_cells_quarantine_invariants(spark, vecs):
+    """VERDICT r8 #2 property: over ARBITRARY mixed-dim/null input, the
+    IVF assignment (a) emits exactly k ranked rows per well-formed vector
+    with ranks a permutation of 1..k, (b) emits exactly ONE (null cell,
+    null rank) row per malformed vector — never a ranked row — and (c)
+    total output rows = k·|valid| + |malformed| (nothing dropped,
+    nothing invented)."""
+    from data_etl_scripts_showcase__spark.operators.similarity import (
+        assign_cells,
+    )
+
+    dim, k = 3, 2
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "centroid_id bigint, cent_vec array<double>",
+    )
+    out = assign_cells(e, cents, k).collect()
+    valid = {i for i, v in enumerate(vecs) if v is not None and len(v) == dim}
+    malformed = set(range(len(vecs))) - valid
+    assert len(out) == k * len(valid) + len(malformed)
+    by_id: dict = {}
+    for r in out:
+        by_id.setdefault(r.vec_id, []).append((r.cell_rank, r.cell))
+    for i in valid:
+        got = sorted(by_id[i])
+        assert [rk for rk, _ in got] == list(range(1, k + 1))
+        assert all(c in (0, 1) for _, c in got)
+    for i in malformed:
+        assert by_id[i] == [(None, None)], f"malformed {i} was ranked"

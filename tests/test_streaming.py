@@ -769,3 +769,37 @@ class TestStreamingPhysicalPlans:
             transform_with_state_totals(events_stream(spark, SF)), "append"
         )
         assert "TransformWithStateInPandas" in phys
+
+
+class TestSizedStatePartitions:
+    """The VERDICT r8 #5 knob: streaming drains pin shuffle partitions to
+    state volume for the drain's lifetime and restore the session value —
+    on success AND on failure (a leaked low value would silently shrink
+    every later batch shuffle in the session)."""
+
+    def test_restores_conf_after_drain_scope(self, spark):
+        from data_etl_scripts_showcase__spark.streaming.jobs import (
+            STATE_PARTITIONS,
+            sized_state_partitions,
+        )
+
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        with sized_state_partitions(spark, 5):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "5"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+        with sized_state_partitions(spark):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == str(
+                STATE_PARTITIONS
+            )
+        assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+    def test_restores_conf_on_exception(self, spark):
+        from data_etl_scripts_showcase__spark.streaming.jobs import (
+            sized_state_partitions,
+        )
+
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        with __import__("pytest").raises(RuntimeError):
+            with sized_state_partitions(spark, 3):
+                raise RuntimeError("drain failed")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == prev
