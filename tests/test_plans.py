@@ -237,11 +237,14 @@ class TestPipelineOpPlans:
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
 
-    def test_tfidf_broadcasts_df_and_corpus_count(self, spark):
-        """t8: document-frequency table and the 1-row corpus count are
-        broadcast; no sort-merge join anywhere in the plan."""
+    def test_tfidf_shuffle_joins_df_table(self, spark):
+        """t8 (round-9 contract, superseding the r2 broadcast pin): the
+        document-frequency table is VOCABULARY-sized — content-keyed —
+        so it must ride a shuffled-hash join, never a broadcast (the t14
+        cluster-longdocs lesson); no sort-merge join anywhere."""
         plan = plan_of(spark, "t8_tfidf_top_terms")
-        assert "BroadcastHashJoin" in plan
+        assert "ShuffledHashJoin" in plan
+        assert "BroadcastHashJoin" not in plan
         assert "SortMergeJoin" not in plan
 
     def test_pii_scrub_is_shuffle_free(self, spark):
