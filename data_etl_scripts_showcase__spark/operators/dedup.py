@@ -227,6 +227,20 @@ def candidate_pairs(
     b = buckets.select(
         F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b")
     )
+    # Broadcast adjudication (round-9 t14-class audit): the planner may
+    # auto-broadcast one side of this self-join at small SF.  That is
+    # CORRECT here, unlike t14's count tables: the banded table is a
+    # fixed ~4 rows × ~50 B per corpus document, so Catalyst's
+    # scan-ratio estimate tracks the true size within a small per-doc
+    # constant in BOTH directions (long docs → estimate overshoots,
+    # safe; degenerate short docs → undershoot bounded ~10×, tens of MB
+    # at the 10 MB threshold) — there is no axis along which the
+    # estimate stays "tiny" while the table grows unboundedly, which is
+    # the defining divergence of the t14 class (row counts multiplied by
+    # an explode the estimator cannot see).  At real corpus scale the
+    # estimate crosses the threshold with the data and the join becomes
+    # the canonical (band, bucket) shuffle on its own.
+    # tools/broadcast_audit.py encodes this whitelist.
     return (
         a.join(b, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))

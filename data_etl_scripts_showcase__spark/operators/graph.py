@@ -66,7 +66,18 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
     ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
     ac = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
-    return ab.join(bc, "b").join(ac, ["a", "c"]).select("a", "b", "c")
+    # shuffle_hash pins (round 9, the t14 lesson): every side here is
+    # EDGE-scaled — Catalyst's static estimate for the oriented edge list
+    # is a fixed ratio of the text scan, so it under-estimates arbitrarily
+    # and auto-broadcasts a corpus-sized relation (broadcast stages
+    # materialize eagerly under AQE, so runtime stats can never demote
+    # them).  Shuffled-hash shards the wedge join by node id at any graph
+    # size.
+    return (
+        ab.join(bc.hint("shuffle_hash"), "b")
+        .join(ac.hint("shuffle_hash"), ["a", "c"])
+        .select("a", "b", "c")
+    )
 
 
 def label_propagation(
@@ -97,7 +108,13 @@ def label_propagation(
     from pyspark.sql import Window as W
 
     for _ in range(n_iter):
-        nbr = sym.join(labels, sym["b"] == labels["id"]).select(
+        # labels is NODE-scaled and (unlike the CC/BFS loops) not
+        # localCheckpoint-ed, so its static estimate is a scan ratio —
+        # pin shuffle_hash or the planner auto-broadcasts the corpus's
+        # node set (round 9, the t14 lesson).
+        nbr = sym.join(
+            labels.hint("shuffle_hash"), sym["b"] == labels["id"]
+        ).select(
             F.col("a").alias("id"), F.col("community").alias("lab")
         )
         counts = nbr.groupBy("id", "lab").agg(F.count("*").alias("n"))

@@ -867,9 +867,12 @@ def pr1_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id", F.expr("1000000000000 div n").alias("r")
     )
     for _ in range(3):
+        # r and deg are NODE-scaled: pin shuffle_hash so the rank vector
+        # never rides a static-estimate broadcast (round 9, the t14
+        # lesson — the per-iteration join shards by node id at any n).
         contrib = (
-            edges.join(r, edges.src == r.id)
-            .join(deg, "src")
+            edges.join(r.hint("shuffle_hash"), edges.src == r.id)
+            .join(deg.hint("shuffle_hash"), "src")
             .select(F.col("dst"), F.expr("r div d").alias("c"))
         )
         r = (

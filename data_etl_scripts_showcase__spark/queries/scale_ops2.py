@@ -1771,8 +1771,11 @@ def pr7_partition_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         verified.select(F.col("id_b").alias("id"), F.col("id_a").alias("nbr"))
     )
     deg = sym.groupBy("id").agg(F.count("*").alias("d"))
+    # deg is NODE-scaled with a scan-ratio static estimate — pin
+    # shuffle_hash (round 9, the t14 lesson); labels side is already
+    # estimate-safe (localCheckpoint-ed by the CC operator).
     dc = (
-        deg.join(labels, "id")
+        deg.hint("shuffle_hash").join(labels, "id")
         .groupBy("component")
         .agg(F.sum("d").alias("d_c"))
     )
@@ -2216,13 +2219,19 @@ def x53_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cand_rk") != F.col("ark"))
     )
+    # the rank table and the near-dup exclusion set are both
+    # CORPUS-scaled with scan-ratio static estimates — pin shuffle_hash
+    # so neither rides an auto-broadcast (round 9, the t14 lesson)
     joined = trials.join(
-        r.select(F.col("rk").alias("cand_rk"), F.col("doc_id").alias("neg_id")),
+        r.select(
+            F.col("rk").alias("cand_rk"), F.col("doc_id").alias("neg_id")
+        ).hint("shuffle_hash"),
         "cand_rk",
     )
+    ndh = nd.hint("shuffle_hash")
     safe = joined.join(
-        nd,
-        (joined["anchor_id"] == nd["id_a"]) & (joined["neg_id"] == nd["id_b"]),
+        ndh,
+        (joined["anchor_id"] == ndh["id_a"]) & (joined["neg_id"] == ndh["id_b"]),
         "left_anti",
     )
     wk = Window.partitionBy("anchor_id").orderBy("t")
