@@ -241,15 +241,23 @@ def main() -> None:
     with open(os.path.join(REPO, out_name), "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
 
-    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    # The driver-visible headline is BEST-OF-2 since round 10 (VERDICT r9
+    # #4): r9's run2-only headline moved 82.8→87.4 s while the engine got
+    # faster per the full-registry diff — run2 alone carries host jitter
+    # the best-of-2 series doesn't, so the recorded number now carries the
+    # same noise discipline bench_diff already uses.  run2's total stays
+    # in the record as value_run2 for continuity with the r1-r9 series.
+    slowest = dict(sorted(best.items(), key=lambda kv: -kv[1])[:10])
     print(
         json.dumps(
             {
                 "metric": detail["metric"],
-                "value": total,
+                "value": detail["total_best_of_2"],
+                "methodology": "best_of_2 (r10+; r1-r9 recorded run2)",
+                "value_run2": total,
                 "unit": "sec",
                 "n_queries": len(timings),
-                "queries": slowest,
+                "queries": {n: round(v, 3) for n, v in slowest.items()},
                 "detail": out_name,
                 "sf": sf_val,
                 # compact host-load fingerprint in the headline record too

@@ -112,8 +112,9 @@ def assign_cells(
     """Assign each vector to its ``n_assign`` nearest centroids by cosine.
 
     Returns (id, vec, cell, cell_rank).  Deterministic tie-break: sim desc
-    (rounded half away from zero — the F.round/DuckDB mode), centroid id
-    asc.  Malformed vectors (null, or length ≠ centroid dim) are emitted
+    (rounded half away from zero — the DuckDB-round mode, which is what
+    the oracle side computes; see the in-loop comment for how it relates
+    to Spark's F.round), centroid id asc.  Malformed vectors (null, or length ≠ centroid dim) are emitted
     with cell/cell_rank NULL — quarantined, never ranked (VERDICT r8 #2);
     zero-NORM vectors of the right dim score sim 0 against every centroid
     (a defined cosine degeneracy, not garbage) and rank by centroid id.
@@ -203,10 +204,16 @@ def assign_cells(
                 denom = vn[:, None] * cn[None, :]
                 with np.errstate(divide="ignore", invalid="ignore"):
                     sims = np.where(denom == 0.0, 0.0, dots / denom)
-                # Round half AWAY FROM ZERO — the F.round/DuckDB-round mode
-                # the rest of the similarity family (and every oracle) uses;
-                # np.round is half-to-even and flips ties landing exactly on
-                # a dyadic decimal boundary (ADVICE r8).
+                # Round half AWAY FROM ZERO — the DuckDB-round mode (the
+                # oracle side of every gate); np.round is half-to-even and
+                # flips ties landing exactly on a dyadic decimal boundary
+                # (ADVICE r8).  NOT exactly Spark F.round (ADVICE r9):
+                # F.round is BigDecimal HALF_UP on the double's exact
+                # decimal expansion, so when |sim|*1e6 FP-rounds onto
+                # exactly .5 the two modes can disagree.  No query pairs
+                # assign_cells output with F.round-ed sims (rank ties break
+                # on THIS rounded value and centroid id only), so the
+                # divergence has no consumer; keep it that way.
                 simr = np.copysign(
                     np.floor(np.abs(sims) * scale + 0.5), sims
                 ) / scale

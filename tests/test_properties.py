@@ -1099,3 +1099,53 @@ def test_assign_cells_quarantine_invariants(spark, vecs):
         assert all(c in (0, 1) for _, c in got)
     for i in malformed:
         assert by_id[i] == [(None, None)], f"malformed {i} was ranked"
+
+
+# Adversarial gram shapes for the d18 digest-arithmetic property: a tiny
+# alphabet forces heavy overlap (subsets, supersets, identical docs), and
+# min_size=0 covers docs too short to shingle (empty gram sets — the
+# greatest(lmin, 1) guard).
+ADV_TOKS = st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=24)
+
+
+@FAST
+@given(ADV_TOKS, ADV_TOKS)
+def test_d18_digest_sizes_exact_vs_set_arithmetic(spark, ta, tb):
+    """d18's containment arithmetic (VERDICT r9 #7): hashing each gram to
+    an 8-byte xxhash64 digest and computing |A∩B| / |A∪B| from the digest
+    arrays must equal EXACT set arithmetic over the raw grams — absent a
+    64-bit collision, which this alphabet cannot produce (the birthday
+    bound for the real tiers is documented at queries/dedup.py:d18).
+    Union is |A|+|B|−|A∩B| (no array_distinct(concat) materialization),
+    so the identity is what keeps the shuffle payload fixed-width."""
+    from data_etl_scripts_showcase__spark.operators.dedup import (
+        ngrams_from_tokens,
+        tokens,
+    )
+
+    texts = [(" ".join(ta), " ".join(tb))]
+    df = spark.createDataFrame(texts, "a string, b string")
+    gexpr = df.select(
+        ngrams_from_tokens(tokens("a")).alias("grams_a"),
+        ngrams_from_tokens(tokens("b")).alias("grams_b"),
+    )
+    digs_a = F.transform("grams_a", lambda g: F.xxhash64(g))
+    digs_b = F.transform("grams_b", lambda g: F.xxhash64(g))
+    d = gexpr.select(digs_a.alias("grams_a"), digs_b.alias("grams_b"))
+    inter_n = F.size(F.array_intersect("grams_a", "grams_b"))
+    row = d.select(
+        inter_n.alias("inter"),
+        (F.size("grams_a") + F.size("grams_b") - inter_n).alias("union"),
+        F.size("grams_a").alias("na"),
+        F.size("grams_b").alias("nb"),
+    ).collect()[0]
+
+    def pygrams(toks):
+        return {
+            " ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 0))
+        }
+
+    A, B = pygrams(ta), pygrams(tb)
+    assert row.na == len(A) and row.nb == len(B)
+    assert row.inter == len(A & B)
+    assert row["union"] == len(A | B)

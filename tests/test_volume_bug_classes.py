@@ -279,3 +279,64 @@ class TestExactIntegerAllocation:
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", before)
         assert results[0] == results[1] == results[2]
+
+
+class TestBroadcastAuditMatchers:
+    """Class (c) — t14-class content broadcasts (round 9) and the audit
+    tool that polices them.  Pins the flag/whitelist decision logic of
+    tools/broadcast_audit.py on synthetic plan text so a whitelist
+    regression (ADVICE r9: the old matcher pinned an exact Spark-internal
+    mode string) is a unit failure, not a noisy audit run."""
+
+    @pytest.fixture(scope="class")
+    def audit(self):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "broadcast_audit", os.path.join(REPO, "tools", "broadcast_audit.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def _plan(self, header_mode, subtree_lines):
+        body = "\n".join(f"   {ln}" for ln in subtree_lines)
+        return f"+- BroadcastExchange {header_mode}, [plan_id=1]\n{body}\n+- Scan parquet\n"
+
+    def test_flags_content_explode_broadcast(self, audit):
+        plan = self._plan(
+            "HashedRelationBroadcastMode(List(input[0, bigint, true]),false)",
+            ["+- HashAggregate(keys=[bg#12], functions=[count(1)])",
+             "   +- Generate explode(tokens#3), ..."],
+        )
+        assert audit.flag_positions(plan)
+
+    def test_whitelists_lsh_bucket_selfjoin_by_key_attrs(self, audit):
+        # NOT the old literal prefix — a re-worded mode header must still
+        # whitelist as long as the 2-key (band, bucket) shape is there.
+        plan = self._plan(
+            "HashedRelationBroadcastMode(List(input[0, int, false], "
+            "input[1, string, false]), isNullAware=false)",
+            ["+- Project [band#5, bucket#6, doc_id#7L]",
+             "   +- Generate explode(sig#2), ..."],
+        )
+        assert not audit.flag_positions(plan)
+
+    def test_whitelists_enrichment_merchant_pivot(self, audit):
+        plan = self._plan(
+            "HashedRelationBroadcastMode(List(input[0, bigint, true]),false)",
+            ["+- HashAggregate(keys=[merchant_id#90L], "
+             "functions=[pivotfirst(metric#14, sum(vi)#25L, ...)])",
+             "   +- Generate explode(metrics#8), ..."],
+        )
+        assert not audit.flag_positions(plan)
+
+    def test_one_key_band_bucket_lookalike_still_flagged(self, audit):
+        # A 1-key broadcast whose subtree merely MENTIONS band/bucket
+        # attributes is not the adjudicated self-join.
+        plan = self._plan(
+            "HashedRelationBroadcastMode(List(input[0, int, false]),false)",
+            ["+- HashAggregate(keys=[band#5, bucket#6], functions=[collect_list(gram#9)])",
+             "   +- Generate explode(shingles#2), ..."],
+        )
+        assert audit.flag_positions(plan)

@@ -230,18 +230,25 @@ def fragment_substituter(
         return state["rels"]
 
     def sub(sql: str) -> str:
-        if not (
-            reach_re.search(sql)
-            or verified_re.search(sql)
-            or cand_text in sql
-        ):
+        # Each substitution is tied to its actual INPUTS (ADVICE r9): the
+        # precomputed closure is only exact when the reach text sits over
+        # the STANDARD verified body, which in turn is only standard when
+        # it consumes the STANDARD cand.  An oracle building the same
+        # reach text over a variant verified (different threshold, capped
+        # cand) must run verbatim — substituting the standard components
+        # under it would surface as a confusing downstream gate failure
+        # instead of being skipped here.
+        has_cand = cand_text in sql
+        has_verified = has_cand and verified_re.search(sql) is not None
+        has_reach = has_verified and reach_re.search(sql) is not None
+        if not has_cand:
             return sql
         rels = _rels()
-        if "comp" in rels:
+        if has_reach and "comp" in rels:
             sql = reach_re.sub(
                 lambda _m: f"reach(id, r) AS ({rels['comp']})", sql
             )
-        if "verified" in rels:
+        if has_verified and "verified" in rels:
             sql = verified_re.sub(
                 lambda _m: f"verified AS ({rels['verified']})", sql
             )
@@ -545,7 +552,16 @@ def main() -> int:
     rotation = None
     if "--rotation" in args:
         i = args.index("--rotation")
-        rotation = int(args[i + 1])
+        # Guarded parse (ADVICE r9): a missing or non-integer value prints
+        # the usage line instead of an IndexError/ValueError traceback.
+        try:
+            rotation = int(args[i + 1])
+        except (IndexError, ValueError):
+            print(
+                "usage: check_correctness.py [sf_dir] [query ...] "
+                "[--rotation N]   (N = integer round number)"
+            )
+            return 2
         args = args[:i] + args[i + 2 :]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     only = set(args[1:] if args and os.path.isdir(args[0]) else args)

@@ -307,10 +307,28 @@ def bucketed_join_plan(spark) -> str:
         spark.sql("DROP TABLE IF EXISTS plans_b_cust")
 
 
+def source_hash() -> str:
+    """The same working-tree content hash .fullpytest_ok is stamped with
+    (tools/source_hash.sh) — lets the pre-commit hook refuse a source
+    commit whose PLANS.md predates the shipped plans (VERDICT r9 #1:
+    round 9 shipped a PLANS.md whose t14 section still showed the
+    auto-broadcast plan that round had just eliminated)."""
+    import subprocess
+
+    return subprocess.run(
+        ["bash", os.path.join(REPO, "tools", "source_hash.sh")],
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.strip()
+
+
 def main() -> None:
     spark = get_session("gen_plans")
     out = [
         "# PLANS — physical-plan evidence (generated by tools/gen_plans.py)",
+        "",
+        f"<!-- source_hash: {source_hash()} -->",
         "",
         "`explain(\"formatted\")` at sf0.001 for the headline queries.",
         "Plan-shape guarantees are asserted in `tests/test_plans.py`; the",

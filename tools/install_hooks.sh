@@ -29,6 +29,16 @@ if echo "$staged" | grep -qE \
       echo "  Or for a WIP milestone commit: ALLOW_STALE_PYTEST=1 git commit ..."
       exit 1
     fi
+    # PLANS.md must be generated from the same tree (VERDICT r9 #1: the
+    # published plan document contradicted the shipped plans for a round).
+    plans_stamp="$(grep -oP '(?<=<!-- source_hash: )[0-9a-f]+' PLANS.md 2>/dev/null || true)"
+    if [ "$want" != "$plans_stamp" ]; then
+      echo "[pre-commit] BLOCKED: PLANS.md was generated from a different source tree."
+      echo "  Run: bash tools/run_full_pytest.sh   (regenerates + stamps PLANS.md)"
+      echo "  Or just: python tools/gen_plans.py"
+      echo "  Or for a WIP milestone commit: ALLOW_STALE_PYTEST=1 git commit ..."
+      exit 1
+    fi
     # The marker hashes the WORKING TREE (what pytest ran against) but the
     # commit records the INDEX.  If unstaged edits touch gated paths, the
     # staged tree is NOT the tree the suite validated - block that too.

@@ -32,3 +32,14 @@ if [ -n "$counts" ] && grep -q '^| full pytest |' SCALE.md; then
   sed -i "s#^| full pytest |.*#| full pytest | $counts | marker fresh at HEAD (row auto-synced from \`.fullpytest_ok\` by \`tools/run_full_pytest.sh\` — ADVICE r8) |#" SCALE.md
   echo "[full-pytest] SCALE.md row synced: $counts"
 fi
+
+# Keep PLANS.md mechanically fresh (VERDICT r9 #1): regenerate it at the
+# same tree the suite just validated, stamped with the same source hash,
+# so a stale plan document blocks commits exactly like a stale
+# .fullpytest_ok.  Skip only when the stamp already matches (a docs-only
+# rerun doesn't need a Spark session).
+stamp="$(grep -oP '(?<=<!-- source_hash: )[0-9a-f]+' PLANS.md 2>/dev/null || true)"
+if [ "$stamp" != "$hash" ]; then
+  echo "[full-pytest] regenerating PLANS.md at source hash $hash"
+  python tools/gen_plans.py
+fi

@@ -10,6 +10,8 @@
 #   bash tools/run_scale_sweeps.sh cluster10x # multi-JVM x 10x VOLUME axis
 #   bash tools/run_scale_sweeps.sh skew-pairs # hot LSH bucket / graph node axis
 #   bash tools/run_scale_sweeps.sh pressure  # memory-starvation axis (spill proof)
+#   bash tools/run_scale_sweeps.sh pressure-longdocs   # starvation x doc-length product
+#   bash tools/run_scale_sweeps.sh cluster-skew-pairs  # pairwise skew x multi-JVM product
 #
 # Dirs are ensured by tools/scale_probe.py --build-only, invoked
 # UNCONDITIONALLY (ADVICE r6: a bare dir-exists guard skipped the LAYOUT
@@ -70,6 +72,11 @@ if [ "$TIER" = "longdocs" ]; then
   SPARK_GRAFT_GATE_VIA_PARQUET=1 SPARK_GRAFT_ORACLE_CACHE="$OCACHE" \
     python tools/check_correctness.py /tmp/spark_graft_scale/longdocs_L128 \
       d18_containment_pairs d22_lsh_scurve_audit
+  # VERDICT r9 #3: the t14 estimate diverges with doc LENGTH, so the
+  # broadcast audit must run where the class actually manifests — the
+  # x128 length tier — not just the 10x volume dir.
+  echo "[scale-sweeps] broadcast audit on the longdocs x128 dir"
+  python tools/broadcast_audit.py /tmp/spark_graft_scale/longdocs_L128
 fi
 
 # Hot-key SKEW axis (round 7): the volume tiers are uniform; this tier
@@ -155,6 +162,50 @@ if [ "$TIER" = "cluster-skew" ]; then
       w1_topk_per_group w14_cohort_retention w16_activity_streaks \
       t26_chat_turns_audit a7_argmax_latest_per_key x1_salted_agg_hot_keys \
       x6_salted_join x48_chunk_dedup_ratio x16_source_mixture_resample
+fi
+
+# Remaining axis PRODUCTS (VERDICT r9 #6): pressure x longdocs and
+# skew-pairs x cluster were the two untested pairs, and both the r8 (x43,
+# cluster x volume) and r9 (t14, cluster x length) bugs surfaced only on
+# products.
+#
+# pressure-longdocs: the length-sensitive heavy families at x128 doc
+# length on TWO starved 2g executors (~260 MB per concurrent task) —
+# content-scaled shuffles (gram digests, chunk hashes, bigram counts)
+# must spill-or-stream, never OOM, and stay value-exact.  The spill
+# report is informational here (no --require-spill): the content columns
+# are digest-capped BY DESIGN, so the tier may legitimately not spill —
+# the contract is survive-starved-and-exact, not spill-happened.
+if [ "$TIER" = "pressure-longdocs" ]; then
+  SPARK_GRAFT_LONGDOC_MULT=128 python tools/scale_probe.py --longdocs --build-only
+  EVLOG=/tmp/spark_graft_pressure_ld_evlog
+  rm -rf "$EVLOG" && mkdir -p "$EVLOG"
+  echo "[scale-sweeps] pressure-longdocs tier: longdocs_L128 on local-cluster[2,4,2048]"
+  PYSPARK_SUBMIT_ARGS="--conf spark.eventLog.enabled=true --conf spark.eventLog.dir=$EVLOG --conf spark.eventLog.compress=false pyspark-shell" \
+  SPARK_GRAFT_MASTER='local-cluster[2,4,2048]' SPARK_GRAFT_CPUS=8 \
+  PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}" SPARK_GRAFT_GATE_VIA_PARQUET=1 \
+  SPARK_GRAFT_ORACLE_CACHE="$OCACHE" \
+    python tools/check_correctness.py /tmp/spark_graft_scale/longdocs_L128 \
+      t8_tfidf_top_terms t14_bigram_lm_score d10_ngram_contamination \
+      d17_duplicate_spans d18_containment_pairs d22_lsh_scurve_audit \
+      t25_content_defined_chunks d23_chunk_contamination x48_chunk_dedup_ratio
+  python tools/spill_report.py "$EVLOG" || true
+fi
+
+# cluster-skew-pairs: the pairwise hot-bucket/dense-component families
+# re-gated on real executor JVMs — the skew-pairs dir's combinatorial
+# output crossing a real netty shuffle with real broadcast serialization.
+if [ "$TIER" = "cluster-skew-pairs" ]; then
+  python tools/scale_probe.py --skew-pairs --build-only
+  echo "[scale-sweeps] cluster-skew-pairs tier: skewpairs_p10 on local-cluster[4,8,6144]"
+  SPARK_GRAFT_MASTER='local-cluster[4,8,6144]' \
+    PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}" \
+    SPARK_GRAFT_GATE_VIA_PARQUET=1 SPARK_GRAFT_ORACLE_CACHE="$OCACHE" \
+    python tools/check_correctness.py /tmp/spark_graft_scale/skewpairs_p10 \
+      d3_lsh_candidate_pairs d4_jaccard_verified_pairs d14_lsh_capped_pairs \
+      d9_neardup_components d12_semantic_dedup pr1_pagerank_neardup \
+      pr2_triangle_count pr4_cc_alternating pr5_bfs_hops \
+      pr7_partition_modularity
 fi
 
 if [ "$TIER" = "cluster-longdocs" ]; then
