@@ -116,6 +116,22 @@ def _shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _gram_arrays(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, _grams) with the distinct-shingle array materialized per doc.
+
+    Docs too short to shingle (< 3 tokens → zero 3-grams) are dropped
+    HERE, on the cheap token-array size — exactly the rows an
+    ``explode`` of the gram array would have dropped — so the heavy
+    ngram/hash expressions are never inlined into a filter condition
+    (the ngrams_from_tokens perf note) and never run on unusable rows.
+    """
+    return (
+        df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+        .where(F.size("_toks") >= 3)
+        .select(F.col(id_col), ngrams_from_tokens(F.col("_toks")).alias("_grams"))
+    )
+
+
 def exact_dedup(
     df: DataFrame, id_col: str, text_col: str, parallelism: int | None = None
 ) -> DataFrame:
@@ -148,10 +164,17 @@ def minhash_signature(
 ) -> DataFrame:
     """MinHash signature: (id, mh0..mh{n-1}).
 
-    One explode of distinct shingles + ONE md5 per shingle (the n_seeds
-    permutations are cheap affine maps of that base hash), then ONE groupBy
-    computing every per-seed min — map-side combine keeps the shuffle at
-    |docs|·n_seeds values regardless of corpus size.
+    ZERO-SHUFFLE form (optimization round 10, guide §2.4): the per-doc
+    shingle set is already an array, so every per-seed min is a per-row
+    array fold — ONE md5 per distinct shingle materialized into a hash
+    array (``transform``), then ``array_min`` over each seed's affine
+    permutation of it.  The whole signature is a projection inside the
+    scan stage: no explode to |shingles| rows, no groupBy exchange — the
+    previous shape shuffled |docs|·n_seeds values; this shuffles nothing.
+    Values are bit-identical to the explode+groupBy form (min over the
+    same distinct-shingle set, same integer arithmetic); docs with no
+    shingle (< n tokens) are filtered out exactly as the explode dropped
+    them (no row, not a NULL signature).
 
     ``parallelism``: repartition the input first.  Set it when the source is
     a small file count (a single parquet file reads as one partition and the
@@ -160,11 +183,26 @@ def minhash_signature(
     """
     if parallelism:
         df = df.repartition(parallelism)
-    sh = _shingles(df, id_col, text_col).withColumn("h", base_hash("shingle"))
-    aggs = [
-        F.min(perm_hash(F.col("h"), s)).alias(f"mh{s}") for s in range(n_seeds)
+    hs = _gram_arrays(df, id_col, text_col).select(
+        F.col(id_col),
+        F.transform(
+            "_grams",
+            lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast(
+                "bigint"
+            ),
+        ).alias("_hs"),
+    )
+    mins = [
+        F.array_min(
+            F.transform(
+                "_hs",
+                lambda h: (h * F.lit(PERMS[s][0]) + F.lit(PERMS[s][1]))
+                % F.lit(MINHASH_PRIME),
+            )
+        ).alias(f"mh{s}")
+        for s in range(n_seeds)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hs.select(F.col(id_col), *mins)
 
 
 def lsh_buckets(
@@ -263,27 +301,46 @@ def simhash32(
 ) -> DataFrame:
     """32-bit SimHash from md5-derived shingle hashes.
 
-    For each bit: sum(+1 if set else −1) over the doc's shingles; bit set
-    in the output iff the sum is positive.  All 32 sums ride ONE groupBy.
+    For each bit: sum(+1 if set else −1) over the doc's (distinct)
+    shingles; bit set in the output iff the sum is positive.
+
+    ZERO-SHUFFLE form (optimization round 10, guide §2.4): the shingle
+    hashes are materialized once per doc as an array (ONE md5 per
+    shingle), and each bit's ±1 sum is an ``aggregate`` fold over that
+    array — a projection inside the scan stage, where the previous shape
+    exploded to |shingles| rows and paid a 32-buffer groupBy exchange.
+    Sums are integer and order-free, so the simhash is bit-identical to
+    the explode+groupBy form; shingle-less docs are filtered exactly as
+    the explode dropped them.
     ``parallelism``: see minhash_signature.
     """
     if parallelism:
         df = df.repartition(parallelism)
-    sh = _shingles(df, id_col, text_col).withColumn("h", h32("shingle", 0))
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(32)
-    ]
-    sums = sh.groupBy(id_col).agg(*aggs)
+    hs = _gram_arrays(df, id_col, text_col).select(
+        F.col(id_col),
+        F.transform(
+            "_grams",
+            lambda g: F.conv(
+                F.substring(F.md5(F.concat(F.lit("0:"), g)), 1, 8), 16, 10
+            ).cast("bigint"),
+        ).alias("_hs"),
+    )
+
+    def bit_sum(i: int):
+        return F.aggregate(
+            F.col("_hs"),
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(1) == 1, 1).otherwise(-1),
+        )
+
     sim = None
     for i in range(32):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(2**i).cast("bigint")).otherwise(
+        bit = F.when(bit_sum(i) > 0, F.lit(2**i).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
         sim = bit if sim is None else sim + bit
-    return sums.select(F.col(id_col), sim.alias("simhash"))
+    return hs.select(F.col(id_col), sim.alias("simhash"))
 
 
 def hamming32(a: Column, b: Column) -> Column:

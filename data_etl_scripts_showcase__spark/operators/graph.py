@@ -11,7 +11,10 @@ label-propagation-to-minimum loop on DataFrames:
 Each iteration is one join + one aggregate (both shuffle on the node id, so
 the exchange is reused); convergence needs O(component diameter) rounds —
 near-dup clusters are shallow, so this is 2-4 rounds in practice.  Results
-are persisted per round and the loop early-exits on a zero-change count.
+are checkpointed per round and the loop early-exits when an exact O(1)-row
+monotone-sum probe over the new state says nothing changed (round 10: the
+old per-round old⋈new join+count job was strictly dearer evidence of the
+same fact).
 This is the standard MapReduce/Pregel CC formulation and scales to any
 graph whose nodes fit the cluster (100 TB of edges is fine; the state is
 one row per node).
@@ -99,9 +102,16 @@ def label_propagation(
     state is 1 row/node.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # localCheckpoint, not persist (round 10): this loop runs NO action
+    # before returning, so the old persist never materialized — and the
+    # trailing unpersist() dropped the cache entry before the caller's
+    # first action, so every round's two references to ``sym`` replayed
+    # the full upstream pipeline (6× for the default 3 rounds).  The
+    # eager checkpoint computes it exactly once and cuts the plan to a
+    # leaf.
     sym = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct().persist()
+    ).distinct().localCheckpoint(eager=True)
     labels = sym.select(F.col("a").alias("id")).distinct().select(
         "id", F.col("id").alias("community")
     )
@@ -124,7 +134,6 @@ def label_propagation(
             .where(F.col("rn") == 1)
             .select("id", F.col("lab").alias("community"))
         )
-    sym.unpersist()
     return labels
 
 
@@ -138,11 +147,15 @@ def connected_components(
     partitioning or iteration interleaving (min is idempotent/commutative).
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # localCheckpoint (not persist, round 10): persist caches execution but
+    # leaves the input's FULL logical lineage in every round's plan, so
+    # Catalyst re-optimized the whole upstream pipeline (LSH verify, in the
+    # dedup queries) once per round.  The leaf plan makes each round's
+    # planning O(1).
     sym = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
-    sym = sym.persist()
-    # localCheckpoint (not just persist): ``labels`` appears twice in each
+    ).distinct().localCheckpoint(eager=True)
+    # labels localCheckpoint: ``labels`` appears twice in each
     # round's plan (union + join), so the LOGICAL tree doubles per round —
     # a deep component (long chain) grows it 2^rounds and OOMs the driver
     # even though the cached execution is fine.  Checkpointing cuts the
@@ -153,7 +166,22 @@ def connected_components(
         .select("id", F.col("id").alias("component"))
         .localCheckpoint(eager=True)
     )
-    changed = -1
+
+    # Convergence probe (optimization round 10): the node set is fixed and
+    # every round's label is min(old, neighbors') — per-node MONOTONE
+    # NON-INCREASING — so the labeling changed iff Σ component changed.
+    # One tiny aggregate over the just-checkpointed state replaces the old
+    # per-round labels⋈new_labels join+count job.  EXACT (not a hash
+    # digest): sums are order-free and decimal(38,0) cannot overflow for
+    # any realistic id range × node count.
+    def _label_sum(l: DataFrame):
+        row = l.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]
+        return row["s"]
+
+    prev_sum = _label_sum(labels)
+    converged = False
     for _ in range(max_iter):
         nbr = sym.join(labels, sym["b"] == labels["id"]).select(
             F.col("a").alias("id"), F.col("component")
@@ -164,17 +192,13 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        cur_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
+            converged = True
             break
-    sym.unpersist()
-    _warn_if_unconverged("connected_components", changed == 0, max_iter)
+        prev_sum = cur_sum
+    _warn_if_unconverged("connected_components", converged, max_iter)
     return labels
 
 
@@ -205,6 +229,12 @@ def connected_components_alternating(
     itself is the unique CC fixpoint, so determinism matches
     :func:`connected_components` exactly (asserted in tests).
     """
+    # Callers with an expensive edge pipeline should pass a checkpointed
+    # leaf (pr4/pr5/pr7 do): ``canon`` feeds both the node set and the
+    # working edge set, so a non-leaf input computes twice.  Checkpointing
+    # canon HERE was measured a net loss (~0.4 s/run at sf0.1) for the
+    # common leaf-input case — a cheap projection does not earn a
+    # materialization.
     canon = edges.select(
         F.least(F.col(src), F.col(dst)).alias("u"),
         F.greatest(F.col(src), F.col(dst)).alias("v"),
@@ -308,17 +338,36 @@ def bfs_hops(
     constant-size (same lineage discipline as the CC loops above).
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # localCheckpoint, not persist (round 10): the leaf plan keeps each
+    # round's planning O(1) instead of re-optimizing the input lineage.
     sym = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     dist = sources.select(
         F.col("id"), F.lit(0).cast("bigint").alias("hops")
     ).localCheckpoint(eager=True)
-    changed = -1  # mirrors connected_components: max_iter <= 0 must hit the
-    # convergence warning below, not a NameError.
+
+    # Convergence probe (optimization round 10): the reached set only ever
+    # GROWS (every old id survives the union) and each hop value is a min
+    # over monotone candidates, so the distance table changed iff
+    # (count, Σ hops) changed — equal counts force an identical id set,
+    # and identical sets with per-id non-increasing hops force identical
+    # hops when the sum matches.  One tiny aggregate over the checkpointed
+    # state replaces the old per-round dist⋈new_dist join+count job;
+    # EXACT, not a hash digest.
+    def _dist_digest(d: DataFrame):
+        row = d.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("hops").cast("decimal(38,0)")).alias("s"),
+        ).collect()[0]
+        return (row["n"], row["s"])
+
+    prev = _dist_digest(dist)
+    converged = False  # max_iter <= 0 must hit the convergence warning
+    # below, not a NameError (mirrors connected_components).
     for _ in range(max_iter):
         via = sym.join(dist, sym["a"] == dist["id"]).select(
             F.col("b").alias("id"), (F.col("hops") + 1).alias("hops")
@@ -329,18 +378,11 @@ def bfs_hops(
             .agg(F.min("hops").alias("hops"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_dist.alias("n")
-            .join(dist.alias("o"), "id", "left")
-            .where(
-                F.col("o.hops").isNull()
-                | (F.col("n.hops") != F.col("o.hops"))
-            )
-            .count()
-        )
+        cur = _dist_digest(new_dist)
         dist = new_dist
-        if changed == 0:
+        if cur == prev:
+            converged = True
             break
-    sym.unpersist()
-    _warn_if_unconverged("bfs_hops", changed == 0, max_iter)
+        prev = cur
+    _warn_if_unconverged("bfs_hops", converged, max_iter)
     return dist

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from .dedup import h32 as dedup_h32
 
+
 MEDIA_TYPES = ["image", "audio", "video"]
 
 # Output schema of the decode/feature stage (DDL, used by mapInPandas).
@@ -464,7 +465,12 @@ def phash32_stub(
     small hamming distance — by computing a SimHash over the payload's
     byte trigrams (hex-encoded so the shingling is pure codegen and any
     SQL engine reproduces it).  One explode + one 32-conditional-sum
-    groupBy, same plan shape as text SimHash (operators/dedup.simhash32).
+    groupBy, same plan shape as text SimHash.  (Round 10 measured the
+    per-asset array-fold form here and it LOST ~30%: hex payloads yield
+    ~5× more shingles per row than text grams, so 32 interpreted
+    ``aggregate`` folds cost more than the codegen'd explode+partial-agg
+    plus its doc-scaled exchange.  The fold stays in dedup.simhash32,
+    where gram counts are small and the signature feeds self-joins.)
     """
     hx = assets.select(
         F.col(id_col), F.hex(F.col(content_col)).alias("hx")
@@ -505,6 +511,9 @@ def hamming_band_pairs(
     |candidates| ≈ collisions per byte-bucket instead of |assets|².
     Recall is exactly 100% by construction, unlike probabilistic LSH.
     """
+    # localCheckpoint (round 10): both self-join sides reference the banded
+    # table — as a lazy plan the phash computation (now a scan-stage fold)
+    # would run once per side.  4 rows × 4 cols per asset: tiny.
     banded = phashes.select(
         id_col,
         "phash",
@@ -521,7 +530,9 @@ def hamming_band_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "phash", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+    ).select(
+        id_col, "phash", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv")
+    ).localCheckpoint(eager=True)
     a = banded.select(
         "band", "bv", F.col(id_col).alias("id_a"), F.col("phash").alias("ph_a")
     )

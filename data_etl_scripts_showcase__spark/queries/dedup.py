@@ -852,36 +852,48 @@ def pr1_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", parallelism=spark.sparkContext.defaultParallelism
     )
     pairs = DD.candidate_pairs(DD.lsh_buckets(sig, "doc_id"), "doc_id")
+    # Round 10 restructure (guide §2.4/§7.3, measured): the old shape
+    # persisted `edges` but left its LINEAGE intact, so the 3-iteration
+    # plan replayed the whole minhash/LSH pipeline per reference (~80
+    # Exchange nodes — driver planning time dominated the query) and
+    # re-joined `deg` every iteration.  localCheckpoint cuts the lineage
+    # to a leaf, the out-degree is attached to the edge list ONCE, and
+    # the node count becomes a driver constant (an O(1)-row aggregate,
+    # the house collect rule) instead of four broadcast-joined
+    # re-aggregations of the edge list.  Every arithmetic step and row
+    # set is unchanged — exact integer PICO-unit PageRank.
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
-    nodes = edges.select(F.col("src").alias("id")).distinct()
-    nn = nodes.agg(F.count("*").alias("n"))
-
-    r = nodes.crossJoin(F.broadcast(nn)).select(
-        "id", F.expr("1000000000000 div n").alias("r")
+    # deg is NODE-scaled: pin shuffle_hash so it never rides a
+    # static-estimate broadcast (round 9, the t14 lesson).
+    ewd = edges.join(
+        edges.groupBy("src").agg(F.count("*").alias("d")).hint("shuffle_hash"),
+        "src",
+    ).localCheckpoint(eager=True)
+    n = edges.select("src").distinct().count()
+    n0 = n or 1  # empty graph: r has zero rows, the seed value is unused
+    r = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.lit(10**12 // n0).cast("bigint").alias("r")
     )
     for _ in range(3):
-        # r and deg are NODE-scaled: pin shuffle_hash so the rank vector
-        # never rides a static-estimate broadcast (round 9, the t14
-        # lesson — the per-iteration join shards by node id at any n).
-        contrib = (
-            edges.join(r.hint("shuffle_hash"), edges.src == r.id)
-            .join(deg.hint("shuffle_hash"), "src")
-            .select(F.col("dst"), F.expr("r div d").alias("c"))
+        # the rank vector is NODE-scaled too: same shuffle_hash pin.
+        contrib = ewd.join(r.hint("shuffle_hash"), ewd.src == r.id).select(
+            F.col("dst"), F.expr("r div d").alias("c")
         )
         r = (
             contrib.groupBy("dst")
             .agg(F.sum("c").alias("s"))
-            .crossJoin(F.broadcast(nn))
             .select(
                 F.col("dst").alias("id"),
-                F.expr("(150000000000 div n) + (85 * s) div 100").alias("r"),
+                (
+                    F.lit(150 * 10**9 // n0).cast("bigint")
+                    + F.expr("(85 * s) div 100")
+                ).alias("r"),
             )
         )
     return r.select(F.col("id").alias("doc_id"), F.col("r").cast("bigint").alias("rank_pico"))
@@ -1040,6 +1052,11 @@ def d16_minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig.crossJoin(F.broadcast(mrow))
         .where(F.col("doc_id") % F.col("m") == 0)
         .drop("m")
+        # round 10: the sample is the non-equi self-join's BOTH sides —
+        # as a lazy plan, the corpus-wide signature computation ran once
+        # per side UNDER the nested-loop join (measured 6+ s at sf0.1 vs
+        # 0.6 s from a leaf).  A constant ~budget-row relation: checkpoint.
+        .localCheckpoint(eager=True)
     )
     a = sample.select(
         F.col("doc_id").alias("id_a"),
@@ -1141,8 +1158,15 @@ def pr2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(DD.jaccard(F.col("grams_a"), F.col("grams_b")) >= 0.5)
         .select("id_a", "id_b")
     )
-    edges = verified.persist()
-    tri = triangles(edges, "id_a", "id_b")
+    # Round 10: localCheckpoint (not persist) — the four count branches
+    # reference this relation repeatedly, and persist alone left the full
+    # minhash/LSH lineage in the plan (~90 Exchange nodes of planning).
+    # The triangle list is checkpointed too: `tri` feeds both the
+    # n_triangles count and the tri-node distinct, which re-executed the
+    # two wedge joins.  Tiny relations (near-dup edges/triangles), exact
+    # same rows.
+    edges = verified.localCheckpoint(eager=True)
+    tri = triangles(edges, "id_a", "id_b").localCheckpoint(eager=True)
     e = edges.select(
         F.least("id_a", "id_b").alias("lo"), F.greatest("id_a", "id_b").alias("hi")
     ).where(F.col("lo") != F.col("hi")).distinct()

@@ -315,21 +315,31 @@ def d17_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("wh"),
     )
-    dup = (
-        win.groupBy("wh")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("wh", F.lit(1).alias("_dup"))
+    # Round 10 restructure: the old shape referenced the |tokens|-row
+    # explode+md5 subtree TWICE (once under the distinct-count aggregate,
+    # once as the join probe) and paid a countDistinct Expand.  Collapsing
+    # to per-(doc, window) occurrence counts first computes the explode
+    # ONCE (the duplicated aggregate subtree reuses the same exchange),
+    # turns the distinct-doc count into a plain count over `occ`, and
+    # joins back on the already-aggregated (small) relation.  Window
+    # multiplicity is preserved via n_occ, so every output value is
+    # unchanged.  nd is content-scaled — pin shuffle_hash so it never
+    # rides a static-estimate broadcast (the t14 lesson).
+    occ = win.groupBy("doc_id", "wh").agg(F.count("*").alias("n_occ"))
+    nd = occ.groupBy("wh").agg(F.count("*").alias("nd"))
+    nw = F.sum("n_occ")
+    ndw = F.sum(
+        F.when(F.col("nd") >= 2, F.col("n_occ")).otherwise(
+            F.lit(0).cast("bigint")
+        )
     )
     return (
-        win.join(dup, "wh", "left")
+        occ.join(nd.hint("shuffle_hash"), "wh")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_windows"),
-            F.count("_dup").alias("n_dup_windows"),
-            F.round(
-                F.count("_dup").cast("double") / F.count("*"), 6
-            ).alias("dup_frac"),
+            nw.alias("n_windows"),
+            ndw.alias("n_dup_windows"),
+            F.round(ndw.cast("double") / nw, 6).alias("dup_frac"),
         )
     )
 

@@ -241,7 +241,9 @@ def pr4_cc_alternating(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(gb, "id_b")
         .where(DD.jaccard(F.col("grams_a"), F.col("grams_b")) >= 0.5)
         .select("id_a", "id_b")
-    )
+    ).localCheckpoint(eager=True)  # round 10: the CC operator references
+    # its input twice (node set + working edges) — hand it a leaf so the
+    # LSH verify pipeline runs once (pr5/pr7's idiom).
     return connected_components_alternating(verified, "id_a", "id_b").select(
         F.col("id").alias("doc_id"), "component"
     )
@@ -1763,7 +1765,10 @@ def pr7_partition_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(gb, "id_b")
         .where(DD.jaccard(F.col("grams_a"), F.col("grams_b")) >= 0.5)
         .select("id_a", "id_b")
-    )
+    ).localCheckpoint(eager=True)  # round 10: referenced by CC (twice),
+    # sym (twice) and the edge count — checkpointing computes the LSH
+    # verify pipeline once instead of ~5× and keeps the plan leaf-sized
+    # (pr5 already used this idiom).
     labels = connected_components_alternating(verified, "id_a", "id_b")
     sym = verified.select(
         F.col("id_a").alias("id"), F.col("id_b").alias("nbr")
@@ -1875,21 +1880,29 @@ def x51_dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 4096
         ).alias("f"),
     )
-    tgt = b.where(F.col("lang") == "en").groupBy("f").agg(
-        F.count("*").alias("ct")
+    # Round 10 restructure: target and raw histograms ride ONE aggregate
+    # over the hashed-feature stream (a conditional count replaces the
+    # filtered second pass + left join — every f with no 'en' rows counts
+    # 0, exactly what coalesce(ct, 0) produced), and the ≤4096-row result
+    # is checkpointed: the old shape re-evaluated the corpus-wide
+    # explode+md5 stream once per reference (tgt×2, raw×2 = 4 passes);
+    # now it runs once here + once for the scoring probe below.
+    g = (
+        b.groupBy("f")
+        .agg(
+            F.count("*").alias("cr"),
+            F.count(F.when(F.col("lang") == "en", F.lit(1))).alias("ct"),
+        )
+        .localCheckpoint(eager=True)
     )
-    raw = b.groupBy("f").agg(F.count("*").alias("cr"))
-    tot = raw.agg(F.sum("cr").alias("nr")).crossJoin(
-        tgt.agg(F.sum("ct").alias("nt"))
-    )
+    tot = g.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
     lr = (
-        raw.join(tgt, "f", "left")
-        .crossJoin(F.broadcast(tot))
+        g.crossJoin(F.broadcast(tot))
         .select(
             "f",
             F.round(
                 F.log(
-                    ((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (F.col("nt") + 4096))
+                    ((F.col("ct") + 1.0) / (F.col("nt") + 4096))
                     / ((F.col("cr") + 1.0) / (F.col("nr") + 4096))
                 )
                 * 1e6

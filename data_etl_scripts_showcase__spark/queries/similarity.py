@@ -477,6 +477,11 @@ def v9_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sim").alias("qsim"),
             F.round(F.col("sim") * 1000000, 0).cast("bigint").alias("qs6"),
         )
+        # round 10: the candidate pool is referenced by p1/m2/m3 and the
+        # pair table — without the leaf, the corpus-wide brute-force kNN
+        # re-executed once per reference (~6×/run) and the plan carried
+        # ~64 Exchange nodes.  k·|queries| rows — tiny at any scale.
+        .localCheckpoint(eager=True)
     )
     ids = cand.select("qid", "cid")
     ea = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("va"))
@@ -496,6 +501,9 @@ def v9_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("s6"),
         )
+        # round 10: m2 and m3 reference this k²·|queries|-row pool three
+        # times — checkpoint so the pairwise cosines compute once.
+        .localCheckpoint(eager=True)
     )
     from pyspark.sql import Window as W
 
@@ -1331,7 +1339,9 @@ def v18_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     exact = SIM.knn_bruteforce(q, e, k=3, parallelism=par).select(
         "query_id", "neighbor_id"
-    )
+    ).localCheckpoint(eager=True)  # round 10: the ground truth is used by
+    # the n_q count AND the grid fan-out — the leaf runs the corpus-wide
+    # brute-force pass once instead of twice.  3·|queries| rows.
     n_q = exact.select("query_id").distinct().count()
 
     grid = (1, 2, 4)

@@ -97,12 +97,15 @@ class TestAggregationShape:
         plan = plan_of(spark, "d1_exact_dedup")
         assert plan.count("Arguments: hashpartitioning") == 1
 
-    def test_minhash_signature_single_shuffle(self, spark):
-        """d2: shingle explode + 16 permutation mins ride ONE groupBy shuffle
-        with map-side partial mins."""
+    def test_minhash_signature_zero_shuffle(self, spark):
+        """d2 (round 10): the 16 permutation mins are per-doc array folds —
+        a projection inside the scan stage.  NO keyed shuffle at all (the
+        only exchange is the round-robin spread for single-file local
+        inputs), and the shingle md5 is materialized exactly once."""
         plan = plan_of(spark, "d2_minhash_signature")
-        assert plan.count("Arguments: hashpartitioning") == 1
-        assert "partial_min" in plan
+        assert plan.count("Arguments: hashpartitioning") == 0
+        assert plan.count("md5(") == 1
+        assert "array_min" in plan
 
 
 class TestCustomJoinOps:
