@@ -254,6 +254,14 @@ def candidate_pairs(
     — one extra aggregate on the already-shuffled bucket key, which AQE
     folds into the same exchange — so the quadratic blow-up never happens.
     """
+    # localCheckpoint (round 10): every path below references ``buckets``
+    # at least twice (self-join sides; three times with the cap).  Since
+    # the signature became a scan-stage fold there is no aggregate
+    # exchange left for ReusedExchange to dedup, so a lazy plan would
+    # re-run the corpus-wide shingle hashing once per reference.  The
+    # banded table is ~n_bands rows × ~50 B per doc — the standard
+    # materialized-LSH-index shape at any scale.
+    buckets = buckets.localCheckpoint(eager=True)
     if max_bucket_size is not None:
         keep = bucket_sizes(buckets).where(
             F.col("n_ids") <= max_bucket_size

@@ -65,19 +65,33 @@ def knn_bruteforce(
     """
     if parallelism:
         corpus = corpus.repartition(parallelism)
+    # Round 10: norms are per-ROW, so compute them once on each side
+    # before the pair fan-out.  The inlined cosine() evaluated norm(a)
+    # and norm(b) TWICE per pair (once in the zero-norm guard, once in
+    # the ratio) — 4 interpreted 64-dim array folds per (corpus × query)
+    # pair that a projection does |corpus|+|queries| times total.  The
+    # ratio dot(a,b)/(na·nb) is the same expression over the same double
+    # values, so every sim is bit-identical.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(vec_col).alias("_qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(vec_col).alias("_cn"),
     )
+    sim = F.when(
+        (F.col("_qn") == 0.0) | (F.col("_cn") == 0.0), F.lit(0.0)
+    ).otherwise(dot("q_vec", "c_vec") / (F.col("_qn") * F.col("_cn")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine("q_vec", "c_vec"), round_to).alias("sim"),
+            F.round(sim, round_to).alias("sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(
@@ -288,21 +302,30 @@ def knn_ivf(
             F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
         )
     )
+    # per-row norms hoisted out of the pair scorer (round 10, same
+    # bit-identical rewrite as knn_bruteforce)
     cells = assign_cells(corpus, cents, 1, id_col, vec_col, round_to).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        norm(vec_col).alias("_cn"),
         "cell",
     )
     probes = assign_cells(queries, cents, nprobe, id_col, vec_col, round_to).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "cell"
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(vec_col).alias("_qn"),
+        "cell",
     )
+    sim = F.when(
+        (F.col("_qn") == 0.0) | (F.col("_cn") == 0.0), F.lit(0.0)
+    ).otherwise(dot("q_vec", "c_vec") / (F.col("_qn") * F.col("_cn")))
     scored = (
         cells.join(F.broadcast(probes), "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine("q_vec", "c_vec"), round_to).alias("sim"),
+            F.round(sim, round_to).alias("sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(
@@ -336,20 +359,27 @@ def knn_lsh_bucketed(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        norm(vec_col).alias("_qn"),
         sign_bucket(vec_col, n_bits).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        norm(vec_col).alias("_cn"),
         sign_bucket(vec_col, n_bits).alias("bucket"),
     )
+    # per-row norms hoisted out of the pair scorer (round 10, same
+    # bit-identical rewrite as knn_bruteforce)
+    sim = F.when(
+        (F.col("_qn") == 0.0) | (F.col("_cn") == 0.0), F.lit(0.0)
+    ).otherwise(dot("q_vec", "c_vec") / (F.col("_qn") * F.col("_cn")))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine("q_vec", "c_vec"), round_to).alias("sim"),
+            F.round(sim, round_to).alias("sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(

@@ -732,7 +732,11 @@ def d13_cross_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = DD.minhash_signature(
         docs, "doc_id", "text", parallelism=spark.sparkContext.defaultParallelism
     )
-    buckets = DD.lsh_buckets(sig, "doc_id")
+    buckets = DD.lsh_buckets(sig, "doc_id").localCheckpoint(
+        eager=True
+    )  # round 10: new/old probe sides both read the banded index — one
+    # compute of the corpus-wide shingle fold, not two (the materialized
+    # LSH-index shape, same as candidate_pairs).
     newb = buckets.where(F.col("doc_id") % 5 != 0)
     oldb = buckets.where(F.col("doc_id") % 5 == 0).select(
         F.col("doc_id").alias("old_id"), "band", "bucket"
@@ -1502,6 +1506,10 @@ def d22_lsh_scurve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams.crossJoin(F.broadcast(mrow))
         .where(F.col("doc_id") % F.col("m") == 0)
         .drop("m")
+        # round 10: both audit-pair sides read this ~budget-row sample —
+        # the leaf tokenizes/shingles the corpus once, not per side
+        # (d16's fix applied here).
+        .localCheckpoint(eager=True)
     )
     # The audited pair population is ~budget²/2 rows of array_intersect —
     # CPU-bound, so two plan choices matter (measured 14.4 s → 1.2 s at

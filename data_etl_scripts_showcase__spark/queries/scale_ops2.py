@@ -2000,7 +2000,9 @@ def x52_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     q = d.select(
         "doc_id", F.round(quality_score("text"), 6).alias("qs")
-    )
+    ).localCheckpoint(eager=True)  # round 10: referenced by the row-id
+    # offsets, the probe AND the count — the multi-regex quality score
+    # runs once instead of 3×.  2 cols × |docs| rows.
     with_ids = global_row_ids(
         q,
         F.floor(F.col("qs") * 20).cast("int"),

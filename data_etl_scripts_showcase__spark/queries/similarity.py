@@ -734,16 +734,23 @@ def v11_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook = blocks.where(F.col("vec_id") < _PQ_CODES).select(
         "b", F.col("vec_id").cast("int").alias("code"), F.col("sub").alias("csub")
     )
-    from pyspark.sql import Window as W
-
-    enc_w = W.partitionBy("vec_id", "b").orderBy(
-        sq_u(F.col("sub"), F.col("csub")), F.col("code")
-    )
+    # Round 10: the per-(vector, block) nearest-code argmin is a min_by
+    # aggregate over the lexicographic (distance, code) key — identical
+    # winner to the old row_number()==1 window (code is unique within a
+    # group, so the order is total), but it partial-aggregates map-side
+    # and skips the window's sort pass entirely.
     encoded = (
         blocks.join(F.broadcast(codebook), "b")
-        .withColumn("rn", F.row_number().over(enc_w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "b", "code")
+        .groupBy("vec_id", "b")
+        .agg(
+            F.min_by(
+                "code",
+                F.struct(
+                    sq_u(F.col("sub"), F.col("csub")).alias("d"),
+                    F.col("code").alias("c"),
+                ),
+            ).alias("code")
+        )
     )
     qblocks = blocks.where(F.col("vec_id") == 0).select(
         "b", F.col("sub").alias("qsub")
@@ -761,6 +768,8 @@ def v11_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (parallel per-partition partial top-k, tiny driver merge) instead of an
     # unpartitioned WindowExec that funnels every ADC-scored corpus row
     # through one reducer.  The rank window then runs over only k rows.
+    from pyspark.sql import Window as W
+
     top = scored.orderBy(F.col("adc_dist_u").asc(), F.col("neighbor_id").asc()).limit(5)
     rank_w = W.orderBy(F.col("adc_dist_u").asc(), F.col("neighbor_id").asc())
     return top.withColumn("rank", F.row_number().over(rank_w).cast("int"))
@@ -1222,16 +1231,21 @@ def v17_ivf_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook = blocks.where(F.col("vec_id") < _PQ_CODES).select(
         "b", F.col("vec_id").cast("int").alias("code"), F.col("sub").alias("csub")
     )
-    from pyspark.sql import Window as W
-
-    enc_w = W.partitionBy("vec_id", "b").orderBy(
-        sq_u(F.col("sub"), F.col("csub")), F.col("code")
-    )
+    # Round 10: argmin-by-(distance, code) as a map-side min_by aggregate
+    # instead of a row_number window — identical winner, no sort pass
+    # (see v11_pq_adc_topk).
     encoded = (
         blocks.join(F.broadcast(codebook), "b")
-        .withColumn("rn", F.row_number().over(enc_w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "b", "code")
+        .groupBy("vec_id", "b")
+        .agg(
+            F.min_by(
+                "code",
+                F.struct(
+                    sq_u(F.col("sub"), F.col("csub")).alias("d"),
+                    F.col("code").alias("c"),
+                ),
+            ).alias("code")
+        )
     )
     qblocks = blocks.where(F.col("vec_id") == 0).select(
         "b", F.col("sub").alias("qsub")
@@ -1267,6 +1281,8 @@ def v17_ivf_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
         .limit(5)
     )
+    from pyspark.sql import Window as W
+
     rerank_w = W.orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return reranked.withColumn("rank", F.row_number().over(rerank_w).cast("int"))
 
@@ -1348,17 +1364,25 @@ def v18_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = e.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent_vec")
     )
+    # per-row norms hoisted out of the pair scorer (round 10, the
+    # knn_bruteforce rewrite): bit-identical sims, 4 fewer interpreted
+    # array folds per candidate pair.
     cells = SIM.assign_cells(e.repartition(par), cents, 1).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_vec"),
+        SIM.norm("embedding").alias("_cn"),
         "cell",
     )
     probes = SIM.assign_cells(q, cents, max(grid)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_vec"),
+        SIM.norm("embedding").alias("_qn"),
         "cell",
         F.col("cell_rank").alias("probe_rank"),
     )
+    sim = F.when(
+        (F.col("_qn") == 0.0) | (F.col("_cn") == 0.0), F.lit(0.0)
+    ).otherwise(SIM.dot("q_vec", "c_vec") / (F.col("_qn") * F.col("_cn")))
     scored = (
         cells.join(F.broadcast(probes), "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -1366,7 +1390,7 @@ def v18_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "probe_rank",
-            F.round(SIM.cosine("q_vec", "c_vec"), 6).alias("sim"),
+            F.round(sim, 6).alias("sim"),
         )
     )
     # fan the ONE scored relation out to the grid; each grid point keeps

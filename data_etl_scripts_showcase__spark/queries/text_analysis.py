@@ -552,7 +552,10 @@ def t12_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(F.explode(TX.tokens("text")).alias("term"))
     tf = tok.groupBy("term").agg(F.count("*").alias("freq"))
-    tfn = tf.withColumn("_negf", -F.col("freq"))
+    tfn = tf.withColumn("_negf", -F.col("freq")).localCheckpoint(
+        eager=True
+    )  # round 10: global_row_ids references its input twice — the leaf
+    # runs the corpus-wide explode+count once.  Vocab-scaled rows.
     r = global_row_ids(
         tfn,
         -F.floor(F.log2("freq")).cast("int"),
@@ -927,7 +930,12 @@ def t18_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     window left runs over the ~120-row bucket-offsets list."""
     from .scale_ops2 import global_row_ids, ntile_from_rank
 
-    scored = t14_bigram_lm_score(spark, sf_dir).select("doc_id", "avg_logprob")
+    scored = t14_bigram_lm_score(spark, sf_dir).select(
+        "doc_id", "avg_logprob"
+    ).localCheckpoint(eager=True)  # round 10: global_row_ids references
+    # its input twice (offsets + probe) and the count makes a third — the
+    # leaf runs the full bigram-LM pipeline once instead of 3×.  2 cols ×
+    # |docs| rows.
     # bucket key: monotone in the leading order column (scores land in
     # roughly [-12, 0], so floor(score*10) yields ~120 range buckets —
     # bounded by the score's range, not by corpus size)
