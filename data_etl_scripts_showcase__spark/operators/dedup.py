@@ -116,19 +116,26 @@ def _shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _gram_arrays(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _gram_arrays(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
     """(id, _grams) with the distinct-shingle array materialized per doc.
 
-    Docs too short to shingle (< 3 tokens → zero 3-grams) are dropped
+    Docs too short to shingle (< n tokens → zero n-grams) are dropped
     HERE, on the cheap token-array size — exactly the rows an
     ``explode`` of the gram array would have dropped — so the heavy
     ngram/hash expressions are never inlined into a filter condition
     (the ngrams_from_tokens perf note) and never run on unusable rows.
+    The threshold derives from the same ``n`` as the gram definition
+    (ADVICE r10: a hardcoded 3 desyncs for n > 3 and would emit rows
+    with NULL signatures instead of dropping them).
     """
     return (
         df.select(F.col(id_col), tokens(text_col).alias("_toks"))
-        .where(F.size("_toks") >= 3)
-        .select(F.col(id_col), ngrams_from_tokens(F.col("_toks")).alias("_grams"))
+        .where(F.size("_toks") >= n)
+        .select(
+            F.col(id_col), ngrams_from_tokens(F.col("_toks"), n).alias("_grams")
+        )
     )
 
 
@@ -164,17 +171,20 @@ def minhash_signature(
 ) -> DataFrame:
     """MinHash signature: (id, mh0..mh{n-1}).
 
-    ZERO-SHUFFLE form (optimization round 10, guide §2.4): the per-doc
-    shingle set is already an array, so every per-seed min is a per-row
-    array fold — ONE md5 per distinct shingle materialized into a hash
-    array (``transform``), then ``array_min`` over each seed's affine
-    permutation of it.  The whole signature is a projection inside the
-    scan stage: no explode to |shingles| rows, no groupBy exchange — the
-    previous shape shuffled |docs|·n_seeds values; this shuffles nothing.
-    Values are bit-identical to the explode+groupBy form (min over the
-    same distinct-shingle set, same integer arithmetic); docs with no
-    shingle (< n tokens) are filtered out exactly as the explode dropped
-    them (no row, not a NULL signature).
+    One explode of distinct shingles + ONE md5 per shingle (the n_seeds
+    permutations are cheap affine maps of that base hash), then ONE groupBy
+    computing every per-seed min — map-side combine keeps the shuffle at
+    |docs|·n_seeds values regardless of corpus size.
+
+    Round 11: REVERTED to this (r9) form from round 10's zero-shuffle
+    16-fold ``array_min`` variant.  The fold's per-row HOF cost beat the
+    map-side-combined shuffle it removed: interleaved A/B at sf0.1 put
+    the explode form ahead on d2/d13/x53/st20 (the driver's r10 bench
+    showed the same direction: d3 0.85x, st20 0.60x with the fold), and
+    unlike the explode shape its per-row CPU grows with document length
+    where AQE cannot rebalance it (the phash/simhash cliff, ADVICE r10).
+    Values are bit-identical either way (min over the same
+    distinct-shingle set, same integer arithmetic).
 
     ``parallelism``: repartition the input first.  Set it when the source is
     a small file count (a single parquet file reads as one partition and the
@@ -183,26 +193,11 @@ def minhash_signature(
     """
     if parallelism:
         df = df.repartition(parallelism)
-    hs = _gram_arrays(df, id_col, text_col).select(
-        F.col(id_col),
-        F.transform(
-            "_grams",
-            lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast(
-                "bigint"
-            ),
-        ).alias("_hs"),
-    )
-    mins = [
-        F.array_min(
-            F.transform(
-                "_hs",
-                lambda h: (h * F.lit(PERMS[s][0]) + F.lit(PERMS[s][1]))
-                % F.lit(MINHASH_PRIME),
-            )
-        ).alias(f"mh{s}")
-        for s in range(n_seeds)
+    sh = _shingles(df, id_col, text_col).withColumn("h", base_hash("shingle"))
+    aggs = [
+        F.min(perm_hash(F.col("h"), s)).alias(f"mh{s}") for s in range(n_seeds)
     ]
-    return hs.select(F.col(id_col), *mins)
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def lsh_buckets(
@@ -254,14 +249,17 @@ def candidate_pairs(
     — one extra aggregate on the already-shuffled bucket key, which AQE
     folds into the same exchange — so the quadratic blow-up never happens.
     """
-    # localCheckpoint (round 10): every path below references ``buckets``
-    # at least twice (self-join sides; three times with the cap).  Since
-    # the signature became a scan-stage fold there is no aggregate
-    # exchange left for ReusedExchange to dedup, so a lazy plan would
-    # re-run the corpus-wide shingle hashing once per reference.  The
-    # banded table is ~n_bands rows × ~50 B per doc — the standard
-    # materialized-LSH-index shape at any scale.
-    buckets = buckets.localCheckpoint(eager=True)
+    # localCheckpoint (round 10; LAZY since round 11 so the first
+    # downstream action materializes it instead of a dedicated
+    # construction-time job): every path below references ``buckets`` at
+    # least twice (self-join sides; three times with the cap), and
+    # callers re-reference the pair table across separate actions —
+    # the leaf makes the corpus-wide shingle hashing run once and keeps
+    # every downstream plan constant-size.  The banded table is
+    # ~n_bands rows × ~50 B per doc — the standard materialized-LSH-index
+    # shape at any scale.  (d14 measured 1.31x with the checkpoint in
+    # the driver's r10 bench.)
+    buckets = buckets.localCheckpoint(eager=False)
     if max_bucket_size is not None:
         keep = bucket_sizes(buckets).where(
             F.col("n_ids") <= max_bucket_size
@@ -309,46 +307,35 @@ def simhash32(
 ) -> DataFrame:
     """32-bit SimHash from md5-derived shingle hashes.
 
-    For each bit: sum(+1 if set else −1) over the doc's (distinct)
-    shingles; bit set in the output iff the sum is positive.
+    For each bit: sum(+1 if set else −1) over the doc's shingles; bit set
+    in the output iff the sum is positive.  All 32 sums ride ONE groupBy
+    with map-side partial aggregation.
 
-    ZERO-SHUFFLE form (optimization round 10, guide §2.4): the shingle
-    hashes are materialized once per doc as an array (ONE md5 per
-    shingle), and each bit's ±1 sum is an ``aggregate`` fold over that
-    array — a projection inside the scan stage, where the previous shape
-    exploded to |shingles| rows and paid a 32-buffer groupBy exchange.
-    Sums are integer and order-free, so the simhash is bit-identical to
-    the explode+groupBy form; shingle-less docs are filtered exactly as
-    the explode dropped them.
-    ``parallelism``: see minhash_signature.
+    Round 11: REVERTED to explode+groupBy from round 10's 32-fold
+    ``F.aggregate`` form.  The fold removed a cheap map-side-combined
+    shuffle but paid 32 interpreted HOF passes per doc — measured 0.67x
+    on d5 at sf0.1 (driver bench), the exact cliff the phash stub's
+    round-10 note recorded for dense shingle sets.  Values are
+    bit-identical either way (±1 sums over the same distinct-shingle
+    set).  ``parallelism``: see minhash_signature.
     """
     if parallelism:
         df = df.repartition(parallelism)
-    hs = _gram_arrays(df, id_col, text_col).select(
-        F.col(id_col),
-        F.transform(
-            "_grams",
-            lambda g: F.conv(
-                F.substring(F.md5(F.concat(F.lit("0:"), g)), 1, 8), 16, 10
-            ).cast("bigint"),
-        ).alias("_hs"),
-    )
-
-    def bit_sum(i: int):
-        return F.aggregate(
-            F.col("_hs"),
-            F.lit(0).cast("bigint"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(1) == 1, 1).otherwise(-1),
-        )
-
+    sh = _shingles(df, id_col, text_col).withColumn("h", h32("shingle", 0))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(32)
+    ]
+    sums = sh.groupBy(id_col).agg(*aggs)
     sim = None
     for i in range(32):
-        bit = F.when(bit_sum(i) > 0, F.lit(2**i).cast("bigint")).otherwise(
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(2**i).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
         sim = bit if sim is None else sim + bit
-    return hs.select(F.col(id_col), sim.alias("simhash"))
+    return sums.select(F.col(id_col), sim.alias("simhash"))
 
 
 def hamming32(a: Column, b: Column) -> Column:

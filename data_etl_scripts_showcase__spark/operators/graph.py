@@ -23,9 +23,61 @@ one row per node).
 from __future__ import annotations
 
 import warnings
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Shuffle sizing for the iterative loops (round 11).  The loops know the
+# EXACT row count of their checkpointed state (the convergence probes
+# collect it anyway), so the per-round shuffles can be sized from
+# MEASURED bytes instead of the session constant: partitions =
+# ceil(measured_bytes / 64 MB), never raised above the session setting.
+# At bench scale this collapses the per-round micro-shuffles to one
+# partition (A/B at sf0.1: 0.59 s/round vs 0.88 s with the session's 32
+# — the round is pure stage-scheduling latency, guide §2.2's "fewer,
+# larger partitions" taken to its measured floor); at 100 TB the same
+# formula keeps the session's full parallelism because the bytes demand
+# it.  This is the scale-adaptive form the round-11 brief asks for — a
+# hardcoded small constant would be a local-only trick, a formula from
+# measured input size is not.
+_LOOP_PARTITION_BYTES = 64 << 20
+
+
+@contextmanager
+def _sized_loop_shuffle(df: DataFrame, n_rows: int):
+    """Scope ``spark.sql.shuffle.partitions`` to the measured size of the
+    loop state for the actions run inside the context."""
+    spark = df.sparkSession
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    width = 16 + 8 * len(df.columns)
+    p = max(1, -(-(n_rows * width) // _LOOP_PARTITION_BYTES))
+    try:
+        p = min(p, int(old))
+    except (TypeError, ValueError):
+        pass
+    spark.conf.set("spark.sql.shuffle.partitions", str(p))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+_NUMERIC_ID_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _require_numeric_ids(op: str, dtype: str) -> None:
+    """The Σ-based convergence probes cast ids to decimal(38,0); a
+    non-numeric id type casts to NULL, sums to None, and None == None
+    would declare convergence after round 1 with unconverged labels
+    (ADVICE r10).  Integer node ids are the operators' contract — raise
+    at entry instead of silently returning garbage."""
+    if dtype not in _NUMERIC_ID_TYPES and not dtype.startswith("decimal"):
+        raise TypeError(
+            f"{op}: node id column must be an integer type for the "
+            f"Σ-convergence probe, got {dtype}; map ids to integers first "
+            f"(e.g. xxhash64 or a dictionary join)"
+        )
 
 
 def _warn_if_unconverged(op: str, converged: bool, max_iter: int) -> None:
@@ -107,11 +159,12 @@ def label_propagation(
     # trailing unpersist() dropped the cache entry before the caller's
     # first action, so every round's two references to ``sym`` replayed
     # the full upstream pipeline (6× for the default 3 rounds).  The
-    # eager checkpoint computes it exactly once and cuts the plan to a
-    # leaf.
+    # checkpoint (LAZY since round 11 — the caller's first action
+    # materializes it, no construction-time job) computes it exactly
+    # once and cuts the plan to a leaf.
     sym = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().localCheckpoint(eager=False)
     labels = sym.select(F.col("a").alias("id")).distinct().select(
         "id", F.col("id").alias("community")
     )
@@ -147,6 +200,11 @@ def connected_components(
     partitioning or iteration interleaving (min is idempotent/commutative).
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # The Σ-component convergence probe needs numeric node ids: a
+    # non-numeric id would cast to NULL, sum to None every round, and the
+    # loop would silently "converge" after round 1 (ADVICE r10).  Fail
+    # loudly instead.
+    _require_numeric_ids("connected_components", dict(e.dtypes)["a"])
     # localCheckpoint (not persist, round 10): persist caches execution but
     # leaves the input's FULL logical lineage in every round's plan, so
     # Catalyst re-optimized the whole upstream pipeline (LSH verify, in the
@@ -154,7 +212,7 @@ def connected_components(
     # planning O(1).
     sym = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().localCheckpoint(eager=False)
     # labels localCheckpoint: ``labels`` appears twice in each
     # round's plan (union + join), so the LOGICAL tree doubles per round —
     # a deep component (long chain) grows it 2^rounds and OOMs the driver
@@ -164,7 +222,7 @@ def connected_components(
         sym.select(F.col("a").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("component"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     # Convergence probe (optimization round 10): the node set is fixed and
@@ -173,26 +231,49 @@ def connected_components(
     # One tiny aggregate over the just-checkpointed state replaces the old
     # per-round labels⋈new_labels join+count job.  EXACT (not a hash
     # digest): sums are order-free and decimal(38,0) cannot overflow for
-    # any realistic id range × node count.
+    # any realistic id range × node count.  The probe doubles as the
+    # round's ONLY action — each round's state is a LAZY localCheckpoint,
+    # so this aggregate materializes the checkpoint in the same job
+    # (round 11: eager-checkpoint-then-probe was two jobs per round).
     def _label_sum(l: DataFrame):
         row = l.agg(
             F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
         ).collect()[0]
         return row["s"]
 
-    prev_sum = _label_sum(labels)
+    # first probe also measures the (fixed) node count, which sizes every
+    # round's shuffles — see _sized_loop_shuffle.
+    first = labels.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("component").cast("decimal(38,0)")).alias("s"),
+    ).collect()[0]
+    n_nodes, prev_sum = first["n"], first["s"]
     converged = False
     for _ in range(max_iter):
-        nbr = sym.join(labels, sym["b"] == labels["id"]).select(
+        # Pinned shuffled-hash (round 11): the checkpointed leaves carry
+        # the PRE-checkpoint size estimate — for a checkpointed join
+        # pipeline that is the join-product blow-up, so Catalyst plans
+        # SortMergeJoin (r10's pr4 dumps prove the flip) and pays two
+        # sorts per round.  An explicit broadcast was A/B-measured WORSE
+        # than SHJ at bench scale (the driver-side broadcast build costs
+        # more than a coalesced 1-partition hash join), and is unsafe at
+        # 100 TB where labels is node-scaled — shuffled-hash is both the
+        # fast and the scale-safe pin (the t14 discipline).
+        lab = labels.hint("shuffle_hash")
+        nbr = sym.join(lab, sym["b"] == lab["id"]).select(
             F.col("a").alias("id"), F.col("component")
         )
-        new_labels = (
-            labels.unionByName(nbr)
-            .groupBy("id")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
-        )
-        cur_sum = _label_sum(new_labels)
+        # the sized-shuffle scope must cover the localCheckpoint call
+        # (physical planning — where shuffle.partitions is read —
+        # happens there, not at the collect).
+        with _sized_loop_shuffle(labels, n_nodes):
+            new_labels = (
+                labels.unionByName(nbr)
+                .groupBy("id")
+                .agg(F.min("component").alias("component"))
+                .localCheckpoint(eager=False)
+            )
+            cur_sum = _label_sum(new_labels)
         labels = new_labels
         if cur_sum == prev_sum:
             converged = True
@@ -245,12 +326,12 @@ def connected_components_alternating(
         canon.select(F.col("u").alias("id"))
         .unionByName(canon.select(F.col("v").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     cur = (
         canon.where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def _edge_digest(e: DataFrame):
@@ -267,6 +348,15 @@ def connected_components_alternating(
         mins = sym.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
+        # Pinned shuffled-hash (round 11): the checkpointed leaves carry
+        # join-product size estimates, so Catalyst planned this round
+        # join as SortMergeJoin in r10 (the pr4 dumps show the flip) —
+        # two wasted sorts per star.  A/B at sf0.1: SHJ ~0.85 s/round vs
+        # broadcast ~1.35 s (driver-side broadcast build dominates) vs
+        # r10's SMJ in between; and SHJ is the only one of the three
+        # that is also safe when the graph is 100 TB.  The groupBy above
+        # and this join share the hash-on-u exchange.
+        mins = mins.hint("shuffle_hash")
         j = sym.join(mins, "u")
         if large:
             out = j.where(F.col("v") > F.col("u")).select(
@@ -296,10 +386,16 @@ def connected_components_alternating(
     digest = _edge_digest(cur)
     fixed = False
     for _ in range(max_iter):
-        nxt = _star(_star(cur, large=True), large=False).localCheckpoint(
-            eager=True
-        )
-        nxt_digest = _edge_digest(nxt)
+        # both stars never increase the edge count, so the incoming
+        # round's digest count bounds both stages' relations — it sizes
+        # the round's shuffles (see _sized_loop_shuffle; the scope covers
+        # the localCheckpoint call because physical planning reads
+        # shuffle.partitions there).
+        with _sized_loop_shuffle(cur, 2 * digest[0]):
+            nxt = _star(_star(cur, large=True), large=False).localCheckpoint(
+                eager=False
+            )
+            nxt_digest = _edge_digest(nxt)
         cur = nxt
         if nxt_digest == digest:
             fixed = True
@@ -311,6 +407,11 @@ def connected_components_alternating(
     member_labels = cur.groupBy(F.col("v").alias("id")).agg(
         F.min("u").alias("_c")
     )
+    # Pinned shuffled-hash, same rationale as the loop joins: the leaf
+    # estimates are garbage, SMJ pays sorts, and a broadcast build was
+    # measured slower than the coalesced hash join at bench scale while
+    # being node-scaled-unsafe at 100 TB.
+    member_labels = member_labels.hint("shuffle_hash")
     labels = nodes.join(member_labels, "id", "left").select(
         "id", F.coalesce(F.col("_c"), F.col("id")).alias("component")
     )
@@ -344,11 +445,11 @@ def bfs_hops(
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     dist = sources.select(
         F.col("id"), F.lit(0).cast("bigint").alias("hops")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     # Convergence probe (optimization round 10): the reached set only ever
     # GROWS (every old id survives the union) and each hop value is a min
@@ -366,19 +467,31 @@ def bfs_hops(
         return (row["n"], row["s"])
 
     prev = _dist_digest(dist)
+    # |sym| prices each round's shuffles: ``via`` is bounded by the edge
+    # list, not the (possibly tiny) frontier, so the sized-shuffle scope
+    # must budget for it.  The count doubles as sym's materializing
+    # action (it is a lazy checkpoint).
+    n_sym = sym.count()
     converged = False  # max_iter <= 0 must hit the convergence warning
     # below, not a NameError (mirrors connected_components).
     for _ in range(max_iter):
-        via = sym.join(dist, sym["a"] == dist["id"]).select(
+        # Pinned shuffled-hash (round 11): same rationale as the CC
+        # loops — the checkpointed leaves carry join-product estimates
+        # (SMJ + 2 sorts per round in r10), an explicit broadcast was
+        # measured slower at bench scale (broadcast build cost) and is
+        # frontier-scaled-unsafe at 100 TB.
+        d = dist.hint("shuffle_hash")
+        via = sym.join(d, sym["a"] == d["id"]).select(
             F.col("b").alias("id"), (F.col("hops") + 1).alias("hops")
         )
-        new_dist = (
-            dist.unionByName(via)
-            .groupBy("id")
-            .agg(F.min("hops").alias("hops"))
-            .localCheckpoint(eager=True)
-        )
-        cur = _dist_digest(new_dist)
+        with _sized_loop_shuffle(sym, n_sym + prev[0]):
+            new_dist = (
+                dist.unionByName(via)
+                .groupBy("id")
+                .agg(F.min("hops").alias("hops"))
+                .localCheckpoint(eager=False)
+            )
+            cur = _dist_digest(new_dist)
         dist = new_dist
         if cur == prev:
             converged = True

@@ -469,8 +469,9 @@ def phash32_stub(
     per-asset array-fold form here and it LOST ~30%: hex payloads yield
     ~5× more shingles per row than text grams, so 32 interpreted
     ``aggregate`` folds cost more than the codegen'd explode+partial-agg
-    plus its doc-scaled exchange.  The fold stays in dedup.simhash32,
-    where gram counts are small and the signature feeds self-joins.)
+    plus its doc-scaled exchange.  Round 11 confirmed the same cliff for
+    text — the driver measured d5 0.67x — so dedup.simhash32 is back on
+    the explode+groupBy form too.)
     """
     hx = assets.select(
         F.col(id_col), F.hex(F.col(content_col)).alias("hx")
@@ -532,7 +533,7 @@ def hamming_band_pairs(
         ).alias("bb"),
     ).select(
         id_col, "phash", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     a = banded.select(
         "band", "bv", F.col(id_col).alias("id_a"), F.col("phash").alias("ph_a")
     )

@@ -80,19 +80,31 @@ def column_profile(df: DataFrame) -> DataFrame:
     safe = df.select(
         *[F.col(_bq(f.name)).alias(f"_c{i}") for i, f in enumerate(fields)]
     )
-    aggs = []
+    # TWO single-pass aggregates instead of one (round 11, VERDICT r10
+    # #8).  Mixing the countDistinct rewrite (Expand ×(n_cols+1)) with
+    # string-buffered min/max in ONE aggregate forced SortAggregate over
+    # the whole expanded stream — the r10 plan shows the 5×N rows sorted
+    # TWICE (min/max over strings needs a variable-length buffer, which
+    # HashAggregate cannot hold).  Split them: the extrema/count fold is
+    # Expand-free with empty grouping keys (a SortAggregate with no keys
+    # sorts nothing — it is a plain fold), and the distinct pass carries
+    # only long buffers so the Expand stream stays in HashAggregate.
+    # Both 1-row results meet in a broadcast join; total work is two
+    # scans and zero corpus-wide sorts.
+    base_aggs = []
+    dist_aggs = []
     for i, f in enumerate(fields):
         sf = T.StructField(f"_c{i}", f.dataType)
         c = sf.name
         mn, mx = _extrema(sf)
-        aggs += [
+        base_aggs += [
             F.count("*").alias(f"{c}__n"),
             (F.count("*") - F.count(c)).alias(f"{c}__nn"),
-            _distinct(sf).alias(f"{c}__nd"),
             mn.alias(f"{c}__mn"),
             mx.alias(f"{c}__mx"),
         ]
-    one = safe.agg(*aggs)
+        dist_aggs.append(_distinct(sf).alias(f"{c}__nd"))
+    one = safe.agg(*base_aggs).crossJoin(F.broadcast(safe.agg(*dist_aggs)))
     stack_expr = ", ".join(
         f"{_slit(f.name)}, _c{i}__n, _c{i}__nn, _c{i}__nd, _c{i}__mn, _c{i}__mx"
         for i, f in enumerate(fields)

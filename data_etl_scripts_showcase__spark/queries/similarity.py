@@ -481,7 +481,7 @@ def v9_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pair table — without the leaf, the corpus-wide brute-force kNN
         # re-executed once per reference (~6×/run) and the plan carried
         # ~64 Exchange nodes.  k·|queries| rows — tiny at any scale.
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     ids = cand.select("qid", "cid")
     ea = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("va"))
@@ -503,7 +503,7 @@ def v9_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # round 10: m2 and m3 reference this k²·|queries|-row pool three
         # times — checkpoint so the pairwise cosines compute once.
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     from pyspark.sql import Window as W
 
@@ -734,22 +734,22 @@ def v11_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook = blocks.where(F.col("vec_id") < _PQ_CODES).select(
         "b", F.col("vec_id").cast("int").alias("code"), F.col("sub").alias("csub")
     )
-    # Round 10: the per-(vector, block) nearest-code argmin is a min_by
-    # aggregate over the lexicographic (distance, code) key — identical
-    # winner to the old row_number()==1 window (code is unique within a
-    # group, so the order is total), but it partial-aggregates map-side
-    # and skips the window's sort pass entirely.
+    # Round 11: the per-(vector, block) nearest-code argmin is a plain
+    # ``min`` over the packed integer key d·n_codes + code — identical
+    # winner to the r9 row_number()==1 window (d ≥ 0, code < n_codes, so
+    # lexicographic (d, code) order IS the packed-key order; no overflow:
+    # d ≤ 8·dim·1e6·max² ≪ 2^61).  Round 10 tried ``min_by`` over a
+    # STRUCT key, which cannot live in a fixed-width HashAggregate
+    # buffer, so the whole joined stream fell back to SortAggregate —
+    # the driver measured v11 0.57x.  A packed bigint keeps the argmin
+    # in codegen HashAggregate with map-side partials: no sort, and the
+    # shuffle carries one long per (vector, block).
+    packed = sq_u(F.col("sub"), F.col("csub")) * _PQ_CODES + F.col("code")
     encoded = (
         blocks.join(F.broadcast(codebook), "b")
         .groupBy("vec_id", "b")
         .agg(
-            F.min_by(
-                "code",
-                F.struct(
-                    sq_u(F.col("sub"), F.col("csub")).alias("d"),
-                    F.col("code").alias("c"),
-                ),
-            ).alias("code")
+            F.pmod(F.min(packed), F.lit(_PQ_CODES)).cast("int").alias("code")
         )
     )
     qblocks = blocks.where(F.col("vec_id") == 0).select(
@@ -1231,20 +1231,16 @@ def v17_ivf_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook = blocks.where(F.col("vec_id") < _PQ_CODES).select(
         "b", F.col("vec_id").cast("int").alias("code"), F.col("sub").alias("csub")
     )
-    # Round 10: argmin-by-(distance, code) as a map-side min_by aggregate
-    # instead of a row_number window — identical winner, no sort pass
-    # (see v11_pq_adc_topk).
+    # Round 11: argmin-by-(distance, code) as a plain ``min`` over the
+    # packed integer key d·n_codes + code — codegen HashAggregate with
+    # map-side partials; r10's struct-keyed min_by fell back to
+    # SortAggregate (see v11_pq_adc_topk for the full rationale).
+    packed = sq_u(F.col("sub"), F.col("csub")) * _PQ_CODES + F.col("code")
     encoded = (
         blocks.join(F.broadcast(codebook), "b")
         .groupBy("vec_id", "b")
         .agg(
-            F.min_by(
-                "code",
-                F.struct(
-                    sq_u(F.col("sub"), F.col("csub")).alias("d"),
-                    F.col("code").alias("c"),
-                ),
-            ).alias("code")
+            F.pmod(F.min(packed), F.lit(_PQ_CODES)).cast("int").alias("code")
         )
     )
     qblocks = blocks.where(F.col("vec_id") == 0).select(
@@ -1355,7 +1351,7 @@ def v18_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     exact = SIM.knn_bruteforce(q, e, k=3, parallelism=par).select(
         "query_id", "neighbor_id"
-    ).localCheckpoint(eager=True)  # round 10: the ground truth is used by
+    ).localCheckpoint(eager=False)  # round 10: the ground truth is used by
     # the n_q count AND the grid fan-out — the leaf runs the corpus-wide
     # brute-force pass once instead of twice.  3·|queries| rows.
     n_q = exact.select("query_id").distinct().count()

