@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import normalize, tokens
+from ..ckpt import ckpt
 
 N_SEEDS = 16  # minhash permutations
 N_BANDS = 4  # LSH bands (rows per band = N_SEEDS // N_BANDS)
@@ -259,7 +260,7 @@ def candidate_pairs(
     # ~n_bands rows × ~50 B per doc — the standard materialized-LSH-index
     # shape at any scale.  (d14 measured 1.31x with the checkpoint in
     # the driver's r10 bench.)
-    buckets = buckets.localCheckpoint(eager=False)
+    buckets = buckets.transform(ckpt)
     if max_bucket_size is not None:
         keep = bucket_sizes(buckets).where(
             F.col("n_ids") <= max_bucket_size

@@ -28,6 +28,8 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..ckpt import ckpt
+
 # Shuffle sizing for the iterative loops (round 11).  The loops know the
 # EXACT row count of their checkpointed state (the convergence probes
 # collect it anyway), so the per-round shuffles can be sized from
@@ -164,7 +166,7 @@ def label_propagation(
     # once and cuts the plan to a leaf.
     sym = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct().localCheckpoint(eager=False)
+    ).distinct().transform(ckpt)
     labels = sym.select(F.col("a").alias("id")).distinct().select(
         "id", F.col("id").alias("community")
     )
@@ -212,7 +214,7 @@ def connected_components(
     # planning O(1).
     sym = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct().localCheckpoint(eager=False)
+    ).distinct().transform(ckpt)
     # labels localCheckpoint: ``labels`` appears twice in each
     # round's plan (union + join), so the LOGICAL tree doubles per round —
     # a deep component (long chain) grows it 2^rounds and OOMs the driver
@@ -222,7 +224,7 @@ def connected_components(
         sym.select(F.col("a").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("component"))
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
 
     # Convergence probe (optimization round 10): the node set is fixed and
@@ -271,7 +273,7 @@ def connected_components(
                 labels.unionByName(nbr)
                 .groupBy("id")
                 .agg(F.min("component").alias("component"))
-                .localCheckpoint(eager=False)
+                .transform(ckpt)
             )
             cur_sum = _label_sum(new_labels)
         labels = new_labels
@@ -326,12 +328,12 @@ def connected_components_alternating(
         canon.select(F.col("u").alias("id"))
         .unionByName(canon.select(F.col("v").alias("id")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     cur = (
         canon.where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
 
     def _edge_digest(e: DataFrame):
@@ -392,9 +394,7 @@ def connected_components_alternating(
         # the localCheckpoint call because physical planning reads
         # shuffle.partitions there).
         with _sized_loop_shuffle(cur, 2 * digest[0]):
-            nxt = _star(_star(cur, large=True), large=False).localCheckpoint(
-                eager=False
-            )
+            nxt = _star(_star(cur, large=True), large=False).transform(ckpt)
             nxt_digest = _edge_digest(nxt)
         cur = nxt
         if nxt_digest == digest:
@@ -445,11 +445,11 @@ def bfs_hops(
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     dist = sources.select(
         F.col("id"), F.lit(0).cast("bigint").alias("hops")
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
 
     # Convergence probe (optimization round 10): the reached set only ever
     # GROWS (every old id survives the union) and each hop value is a min
@@ -489,7 +489,7 @@ def bfs_hops(
                 dist.unionByName(via)
                 .groupBy("id")
                 .agg(F.min("hops").alias("hops"))
-                .localCheckpoint(eager=False)
+                .transform(ckpt)
             )
             cur = _dist_digest(new_dist)
         dist = new_dist

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import h32 as dedup_h32
+from ..ckpt import ckpt
 
 
 MEDIA_TYPES = ["image", "audio", "video"]
@@ -455,7 +456,10 @@ def sample_video_frames(assets: DataFrame, parallelism: int | None = None) -> Da
 
 
 def phash32_stub(
-    assets: DataFrame, id_col: str = "asset_id", content_col: str = "content"
+    assets: DataFrame,
+    id_col: str = "asset_id",
+    content_col: str = "content",
+    parallelism: int | None = None,
 ) -> DataFrame:
     """32-bit perceptual-hash STUB over binary content → (id, phash).
 
@@ -472,7 +476,15 @@ def phash32_stub(
     plus its doc-scaled exchange.  Round 11 confirmed the same cliff for
     text — the driver measured d5 0.67x — so dedup.simhash32 is back on
     the explode+groupBy form too.)
+    ``parallelism``: repartition the assets first (round 11).  The
+    hex-trigram pass is the densest hashing stage in the engine (~1 md5
+    per 2 payload bytes), and a single-row-group local parquet scan
+    would run it all on ONE core — the same documented spread knob as
+    ``minhash_signature``; leave None when the source scan is already
+    wide (100 TB scans are).
     """
+    if parallelism:
+        assets = assets.repartition(parallelism)
     hx = assets.select(
         F.col(id_col), F.hex(F.col(content_col)).alias("hx")
     ).where(F.length("hx") >= 6)
@@ -533,7 +545,7 @@ def hamming_band_pairs(
         ).alias("bb"),
     ).select(
         id_col, "phash", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv")
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     a = banded.select(
         "band", "bv", F.col(id_col).alias("id_a"), F.col("phash").alias("ph_a")
     )

@@ -15,6 +15,7 @@ from ..operators.similarity import cosine, dot, norm
 from .text_analysis import QUALITY_SQL
 from ..sources import load_table
 from . import register
+from ..ckpt import ckpt
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _TOKS = f"string_split({_NORM}, ' ')"
@@ -732,9 +733,7 @@ def d13_cross_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = DD.minhash_signature(
         docs, "doc_id", "text", parallelism=spark.sparkContext.defaultParallelism
     )
-    buckets = DD.lsh_buckets(sig, "doc_id").localCheckpoint(
-        eager=True
-    )  # round 10: new/old probe sides both read the banded index — one
+    buckets = DD.lsh_buckets(sig, "doc_id").transform(ckpt)  # round 10: new/old probe sides both read the banded index — one
     # compute of the corpus-wide shingle fold, not two (the materialized
     # LSH-index shape, same as candidate_pairs).
     newb = buckets.where(F.col("doc_id") % 5 != 0)
@@ -871,14 +870,14 @@ def pr1_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     # deg is NODE-scaled: pin shuffle_hash so it never rides a
     # static-estimate broadcast (round 9, the t14 lesson).
     ewd = edges.join(
         edges.groupBy("src").agg(F.count("*").alias("d")).hint("shuffle_hash"),
         "src",
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     n = edges.select("src").distinct().count()
     n0 = n or 1  # empty graph: r has zero rows, the seed value is unused
     r = edges.select(F.col("src").alias("id")).distinct().select(
@@ -1060,7 +1059,7 @@ def d16_minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # as a lazy plan, the corpus-wide signature computation ran once
         # per side UNDER the nested-loop join (measured 6+ s at sf0.1 vs
         # 0.6 s from a leaf).  A constant ~budget-row relation: checkpoint.
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     a = sample.select(
         F.col("doc_id").alias("id_a"),
@@ -1169,8 +1168,8 @@ def pr2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_triangles count and the tri-node distinct, which re-executed the
     # two wedge joins.  Tiny relations (near-dup edges/triangles), exact
     # same rows.
-    edges = verified.localCheckpoint(eager=False)
-    tri = triangles(edges, "id_a", "id_b").localCheckpoint(eager=False)
+    edges = verified.transform(ckpt)
+    tri = triangles(edges, "id_a", "id_b").transform(ckpt)
     e = edges.select(
         F.least("id_a", "id_b").alias("lo"), F.greatest("id_a", "id_b").alias("hi")
     ).where(F.col("lo") != F.col("hi")).distinct()
@@ -1509,7 +1508,7 @@ def d22_lsh_scurve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # round 10: both audit-pair sides read this ~budget-row sample —
         # the leaf tokenizes/shingles the corpus once, not per side
         # (d16's fix applied here).
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     # The audited pair population is ~budget²/2 rows of array_intersect —
     # CPU-bound, so two plan choices matter (measured 14.4 s → 1.2 s at

@@ -530,7 +530,13 @@ def mm10_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = MM.to_assets(docs, "doc_id", "text").where(
         F.col("media_type") == "image"
     )
-    ph = MM.phash32_stub(assets)
+    # parallelism spread (round 11): the hex-trigram hashing is ~1 md5
+    # per 2 payload bytes and the local single-row-group scan is
+    # unsplittable — without the spread the whole stage ran on one core
+    # (mm10's 8→32-core scaling ratio was 1.21 in the r10 driver bench).
+    ph = MM.phash32_stub(
+        assets, parallelism=spark.sparkContext.defaultParallelism
+    )
     return MM.hamming_band_pairs(ph)
 
 

@@ -306,6 +306,12 @@ def d17_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", DD.tokens("text").alias("t")).where(
         F.size("t") >= _SPAN_W
     )
+    # parallelism spread (round 11): the window pass is one md5 per token
+    # and the local single-row-group scan is unsplittable — d17's 8→32-core
+    # scaling ratio was 0.98 in the r10 driver bench because the whole
+    # explode+hash stage ran on one core.  Same documented knob as
+    # minhash_signature; a 100 TB scan is already wide and skips this.
+    toks = toks.repartition(spark.sparkContext.defaultParallelism)
     win = toks.select(
         "doc_id",
         F.explode(

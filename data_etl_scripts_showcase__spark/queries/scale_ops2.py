@@ -26,6 +26,7 @@ from ..sources import load_table
 from . import register
 from .dedup import _BANDS_CTE, _CAND_SQL
 from ..operators import dedup as DD
+from ..ckpt import ckpt
 
 
 # ------------------------------------------------------- x38: zone maps
@@ -241,7 +242,7 @@ def pr4_cc_alternating(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(gb, "id_b")
         .where(DD.jaccard(F.col("grams_a"), F.col("grams_b")) >= 0.5)
         .select("id_a", "id_b")
-    ).localCheckpoint(eager=False)  # round 10: the CC operator references
+    ).transform(ckpt)  # round 10: the CC operator references
     # its input twice (node set + working edges) — hand it a leaf so the
     # LSH verify pipeline runs once (pr5/pr7's idiom).
     return connected_components_alternating(verified, "id_a", "id_b").select(
@@ -886,7 +887,7 @@ def pr5_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(gb, "id_b")
         .where(DD.jaccard(F.col("grams_a"), F.col("grams_b")) >= 0.5)
         .select("id_a", "id_b")
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     from ..operators.graph import connected_components_alternating
 
     comps = connected_components_alternating(verified, "id_a", "id_b")
@@ -1211,7 +1212,7 @@ def pr6_khop_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(
             Window.partitionBy("a").orderBy(rank_hash, F.col("b"))
         ),
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     hop1 = ranked.where(F.col("rk") <= 3).select(
         F.col("a").alias("root"), F.col("b").alias("n1")
     )
@@ -1765,7 +1766,7 @@ def pr7_partition_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(gb, "id_b")
         .where(DD.jaccard(F.col("grams_a"), F.col("grams_b")) >= 0.5)
         .select("id_a", "id_b")
-    ).localCheckpoint(eager=False)  # round 10: referenced by CC (twice),
+    ).transform(ckpt)  # round 10: referenced by CC (twice),
     # sym (twice) and the edge count — checkpointing computes the LSH
     # verify pipeline once instead of ~5× and keeps the plan leaf-sized
     # (pr5 already used this idiom).
@@ -1893,7 +1894,7 @@ def x51_dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("cr"),
             F.count(F.when(F.col("lang") == "en", F.lit(1))).alias("ct"),
         )
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     tot = g.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
     lr = (
@@ -2000,7 +2001,7 @@ def x52_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     q = d.select(
         "doc_id", F.round(quality_score("text"), 6).alias("qs")
-    ).localCheckpoint(eager=False)  # round 10: referenced by the row-id
+    ).transform(ckpt)  # round 10: referenced by the row-id
     # offsets, the probe AND the count — the multi-regex quality score
     # runs once instead of 3×.  2 cols × |docs| rows.
     with_ids = global_row_ids(

@@ -13,6 +13,7 @@ from ..operators import similarity as SIM
 from .text_analysis import QUALITY_SQL
 from ..sources import load_table
 from . import register
+from ..ckpt import ckpt
 
 _COS = (
     "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
@@ -481,7 +482,7 @@ def v9_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pair table — without the leaf, the corpus-wide brute-force kNN
         # re-executed once per reference (~6×/run) and the plan carried
         # ~64 Exchange nodes.  k·|queries| rows — tiny at any scale.
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     ids = cand.select("qid", "cid")
     ea = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("va"))
@@ -503,7 +504,7 @@ def v9_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # round 10: m2 and m3 reference this k²·|queries|-row pool three
         # times — checkpoint so the pairwise cosines compute once.
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     from pyspark.sql import Window as W
 
@@ -1351,7 +1352,7 @@ def v18_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     exact = SIM.knn_bruteforce(q, e, k=3, parallelism=par).select(
         "query_id", "neighbor_id"
-    ).localCheckpoint(eager=False)  # round 10: the ground truth is used by
+    ).transform(ckpt)  # round 10: the ground truth is used by
     # the n_q count AND the grid fan-out — the leaf runs the corpus-wide
     # brute-force pass once instead of twice.  3·|queries| rows.
     n_q = exact.select("query_id").distinct().count()

@@ -22,6 +22,7 @@ _TOKS = f"string_split({_NORM}, ' ')"
 # CDC boundary window hash (polynomial Horner chain) — byte-exact with the
 # engine's numpy scan on ASCII input; see operators/chunking.py.
 from ..operators.chunking import cdc_boundary_sql as _cdc_boundary_sql
+from ..ckpt import ckpt
 
 _CDC_B = _cdc_boundary_sql("text", "i")
 
@@ -552,9 +553,7 @@ def t12_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(F.explode(TX.tokens("text")).alias("term"))
     tf = tok.groupBy("term").agg(F.count("*").alias("freq"))
-    tfn = tf.withColumn("_negf", -F.col("freq")).localCheckpoint(
-        eager=True
-    )  # round 10: global_row_ids references its input twice — the leaf
+    tfn = tf.withColumn("_negf", -F.col("freq")).transform(ckpt)  # round 10: global_row_ids references its input twice — the leaf
     # runs the corpus-wide explode+count once.  Vocab-scaled rows.
     r = global_row_ids(
         tfn,
@@ -932,7 +931,7 @@ def t18_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scored = t14_bigram_lm_score(spark, sf_dir).select(
         "doc_id", "avg_logprob"
-    ).localCheckpoint(eager=False)  # round 10: global_row_ids references
+    ).transform(ckpt)  # round 10: global_row_ids references
     # its input twice (offsets + probe) and the count makes a third — the
     # leaf runs the full bigram-LM pipeline once instead of 3×.  2 cols ×
     # |docs| rows.

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import dec2, ntz_epoch_us
+from ..ckpt import ckpt
 
 #: State partitioning for the fresh-checkpoint drains below (VERDICT r8
 #: #5).  Stateful operators create one state-store instance PER SHUFFLE
@@ -1064,7 +1065,7 @@ def streaming_neardup_gate(docs: DataFrame, out_path: str) -> None:
         # over the batch.  The bucket table is N_BANDS rows × ~50 B per
         # batch document, so materializing it once is the same
         # bounded-state story the sink already tells.
-        bk = neardup_buckets(batch).localCheckpoint(eager=False)
+        bk = neardup_buckets(batch).transform(ckpt)
         dropped = neardup_within_batch_hits(bk)
         seen_path = f"{out_path}/seen"
         if os.path.isdir(seen_path):
